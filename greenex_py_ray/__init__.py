@@ -1,0 +1,22 @@
+"""greenex_py_ray — a Ray-Data-native greenness-exposure engine.
+
+A from-scratch reimplementation of the capabilities of
+``Spatial-Data-Science-and-GEO-AI-Lab/GreenEx_Py`` (reference checkout at
+``/root/reference``, cited per-module) as streaming ``ray.data.Dataset``
+pipelines over zero-copy Arrow batches of an interleaved-document table
+(``doc_id, spans``), plus the large-scale training-data operators
+(dedup, similarity search, text analysis) such a pipeline needs.
+
+Layout:
+  cells, geom            — vectorized spatial kernels (no shapely/geopandas)
+  sources/               — documents (spans) reader/decoder, synthetic world,
+                           driver-testdata adapters
+  stages/                — map_batches stage bodies (zonal, access, text, dedup…)
+  state/                 — per-actor state (tile cache, grid indexes, graphs)
+  pipelines/             — end-to-end pipelines mirroring the reference API
+  functions/             — scalar helpers
+"""
+
+from . import cells, geom  # noqa: F401
+
+__version__ = "0.1.0"

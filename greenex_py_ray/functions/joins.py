@@ -1,0 +1,111 @@
+"""Join strategies.
+
+Two implementations, chosen by payload type:
+
+* ``Dataset.join`` (Ray 2.49 hash-shuffle join) — used for flat
+  columns.  One aggregator actor per partition, so the partition count
+  must respect the cluster CPU budget (``default_join_partitions``).
+* ``bucket_join_attach`` — explicit partitioned hash join for tables
+  carrying nested columns (the ``spans`` list<struct> payload), which
+  Arrow's join kernel rejects ("not supported in join non-key field").
+  Pattern: add ``__bucket = stable_hash(key) % B`` to both sides, align
+  schemas with typed null columns, ``union`` → ``groupby(__bucket)`` →
+  per-bucket Arrow-native index merge (``take`` on each side, column
+  hstack).  Nested values never round-trip through pandas/python, so
+  span bytes stay identical — the per-row invariant the north rule
+  demands.  Exactly one all-to-all exchange of the document payload,
+  which any column-append onto the doc table requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def default_join_partitions(requested: int | None = None) -> int:
+    """~half the cluster CPUs (min 2): scales up on real clusters, stays
+    small on the 4-CPU test fixture so join aggregator actors don't
+    starve the map stages."""
+    if requested is not None:
+        return requested
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // 2)
+
+
+def stable_bucket(keys, num_buckets: int) -> np.ndarray:
+    """Process-stable hash bucket of a key array (siphash via pandas,
+    fixed key — identical on every worker)."""
+    h = pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _with_bucket_and_nulls(ds, key: str, num_buckets: int, side: int,
+                           null_fields: list[pa.Field]):
+    def add(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch.column(key).to_pylist(), num_buckets)
+        out = batch.append_column("__bucket", pa.array(b))
+        out = out.append_column("__side", pa.array(np.full(len(b), side, dtype=np.int8)))
+        for f in null_fields:
+            out = out.append_column(f.name, pa.nulls(len(b), f.type))
+        return out
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bucket_join_attach(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str = "doc_id",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Inner join attaching ``right``'s non-key columns to ``left``,
+    supporting nested left payloads.  Requires unique keys on the right
+    (metric tables are keyed by doc)."""
+    num_buckets = num_buckets or default_join_partitions(None) * 4
+    lschema = left.schema()
+    rschema = right.schema()
+    lfields = [pa.field(n, t) for n, t in zip(lschema.names, lschema.types)]
+    rfields = [pa.field(n, t) for n, t in zip(rschema.names, rschema.types) if n != key]
+    lnames = [f.name for f in lfields if f.name != key]
+    rnames = [f.name for f in rfields]
+    dup = set(lnames) & set(rnames)
+    if dup:
+        raise ValueError(f"overlapping non-key columns: {dup}")
+
+    l2 = _with_bucket_and_nulls(left, key, num_buckets, 0, rfields)
+    r2 = _with_bucket_and_nulls(right.select_columns([key] + rnames), key,
+                                num_buckets, 1, [f for f in lfields if f.name != key])
+    # align column order for union
+    order = [key] + lnames + rnames + ["__bucket", "__side"]
+    l2 = l2.select_columns(order)
+    r2 = r2.select_columns(order)
+    u = l2.union(r2)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        lt = tbl.take(pa.array(li))
+        rt = tbl.take(pa.array(ri))
+        lk = pd.Index(lt.column(key).to_pylist())
+        rk = pd.Index(rt.column(key).to_pylist())
+        pos = rk.get_indexer(lk)
+        hit = pos >= 0
+        lt = lt.take(pa.array(np.flatnonzero(hit)))
+        rt = rt.take(pa.array(pos[hit]))
+        cols = {key: lt.column(key)}
+        for n in lnames:
+            cols[n] = lt.column(n)
+        for n in rnames:
+            cols[n] = rt.column(n)
+        return pa.table(cols)
+
+    return u.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,137 @@
+"""Availability pillar pipelines (mean NDVI, landcover percentages).
+
+Ray-Data-native reimplementation of
+``GreenExp/availability.py::get_mean_NDVI`` (`:41-342`) and
+``::get_landcover_percentages`` (`:344-597`): euclidean-buffer AoIs,
+zonal statistics against a tiled raster store, per-key rollup.
+
+Each function takes an already-decoded PoI dataset (columns ``key, x,
+y``) and returns a metrics Dataset keyed by ``key``; ``*_documents``
+wrappers run the whole flow from the interleaved spans table and join
+the metrics back so the output keeps the untouched ``spans`` column
+(per-row span-sequence invariant).
+"""
+
+from __future__ import annotations
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.joins import bucket_join_attach
+from ..sources import documents as doc_src
+from ..stages import zonal
+
+#: default classmap for the synthetic lulc band (ESA-WorldCover-style
+#: values produced by sources/synth.field_lulc)
+DEFAULT_CLASSMAP = {10: "pct_tree", 30: "pct_grass", 40: "pct_crop",
+                    50: "pct_builtup", 60: "pct_bare", 80: "pct_water"}
+
+
+def mean_ndvi(
+    poi: "ray.data.Dataset",
+    tile_root: str,
+    radius: float,
+    key_col: str = "doc_id",
+    concurrency: int = 4,
+    batch_size: int = 4096,
+    locality_sort: bool = False,
+) -> "ray.data.Dataset":
+    """poi(key,x,y) → (key, mean_NDVI, std_NDVI); semantics of
+    availability.py:289 (clamp ≥0, population std, round 3).
+
+    ``locality_sort=True`` adds a sort on ``tile_key`` before the zonal
+    actor pool — an extra shuffle that pays off when the tile working
+    set exceeds the per-actor cache (large worlds); leave False when the
+    whole tile set fits in cache.
+    """
+    cov = poi.map_batches(
+        zonal.TileCover(radius, key_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if locality_sort:
+        cov = cov.sort("tile_key")
+    part = cov.map_batches(
+        zonal.ZonalStatsPartial,
+        fn_constructor_kwargs=dict(
+            tile_root=tile_root, band="ndvi", radius=radius, key_col=key_col
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    agg = part.groupby(key_col).aggregate(Sum("psum"), Sum("psumsq"), Sum("pcount"))
+    return agg.map_batches(
+        lambda b: zonal.finish_mean_std(b, key_col), batch_format="pyarrow"
+    )
+
+
+def landcover_percentages(
+    poi: "ray.data.Dataset",
+    tile_root: str,
+    radius: float,
+    key_col: str = "doc_id",
+    classmap: dict[int, str] | None = None,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+    stringify: bool = False,
+    locality_sort: bool = False,
+) -> "ray.data.Dataset":
+    """poi(key,x,y) → (key, pct_<class>...); availability.py:1068-1082
+    semantics (count/total*100 round 3; ``stringify=True`` reproduces the
+    reference's ``"12.345%"`` string columns)."""
+    classmap = classmap or DEFAULT_CLASSMAP
+    names = [classmap[c] for c in sorted(classmap)]
+    cov = poi.map_batches(
+        zonal.TileCover(radius, key_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if locality_sort:
+        cov = cov.sort("tile_key")
+    part = cov.map_batches(
+        zonal.LandcoverPartial,
+        fn_constructor_kwargs=dict(
+            tile_root=tile_root, radius=radius, classmap=classmap, key_col=key_col
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    aggs = [Sum(f"cnt_{n}") for n in names] + [Sum("cnt_total")]
+    agg = part.groupby(key_col).aggregate(*aggs)
+    return agg.map_batches(
+        lambda b: zonal.finish_landcover(b, names, key_col, stringify=stringify),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-document entry points (reference public-API parity)
+# ---------------------------------------------------------------------------
+
+
+def get_mean_ndvi_documents(
+    documents_path: str, tile_root: str, buffer_dist: float = 300.0,
+    concurrency: int = 4, num_join_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Flagship pipeline: spans documents → decode geom → zonal NDVI →
+    join metrics back onto the untouched documents (span passthrough)."""
+    docs = doc_src.read_documents(documents_path)
+    poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    metrics = mean_ndvi(poi, tile_root, buffer_dist, key_col="doc_id",
+                        concurrency=concurrency)
+    return bucket_join_attach(docs, metrics, key="doc_id",
+                              num_buckets=num_join_partitions)
+
+
+def get_landcover_percentages_documents(
+    documents_path: str, tile_root: str, buffer_dist: float = 500.0,
+    concurrency: int = 4, num_join_partitions: int | None = None, stringify: bool = True,
+) -> "ray.data.Dataset":
+    docs = doc_src.read_documents(documents_path)
+    poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    metrics = landcover_percentages(
+        poi, tile_root, buffer_dist, key_col="doc_id", concurrency=concurrency,
+        stringify=stringify,
+    )
+    return bucket_join_attach(docs, metrics, key="doc_id",
+                              num_buckets=num_join_partitions)

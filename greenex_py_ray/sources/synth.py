@@ -1,0 +1,400 @@
+"""Deterministic synthetic world for the interleaved-document engine.
+
+`BASELINE.json input_hint` fixes the primary input shape:
+
+    documents(doc_id: string,
+              spans: list<struct<kind: string, text: string,
+                                 media_ref: string, offset: int32>>)
+
+A span with ``kind="geom"`` carries the PoI location as ``POINT(x y)``
+WKT in ``text``; ``kind="text"`` carries attribute payloads;
+``kind="media"`` carries a ``media_ref`` (``tile://{band}/{tix}_{tiy}``
+or ``img://{image_id}``).  The per-row invariant of every pipeline is
+span-sequence equality — spans pass through byte-identical and in order.
+
+Side tables mirror the reference's side inputs
+(`/root/reference/GreenExp/availability.py` rasters & vectors,
+`accessibility.py` greenspaces & network, `visibility.py` DSM/DTM/green
+& image features) but are generated from closed-form fields with a fixed
+seed, so an independent straight-line oracle can recompute every zonal /
+kNN / viewshed value exactly.  No external data, no network.
+
+Everything here is driver-side, small-scale generation for tests and
+benchmarks; at production scale these tables are assumed to already
+exist as partitioned Parquet/Lance fragments.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# ---------------------------------------------------------------------------
+# World parameters (all deterministic; seed fixed per generator call)
+# ---------------------------------------------------------------------------
+
+WORLD = 20_000.0          # world is [0, WORLD) × [0, WORLD) in projected meters
+RASTER_RES = 10.0         # raster pixel size (matches the reference's 10 m fixtures)
+TILE_PX = 256             # tile width/height in pixels
+TILE_SIZE = RASTER_RES * TILE_PX  # 2560 m per tile edge
+BANDS = ("ndvi", "lulc", "dsm", "dtm", "green")
+
+SPAN_TYPE = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+DOC_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.string()), pa.field("spans", pa.list_(SPAN_TYPE))]
+)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form raster fields (pixel-center evaluated)
+# ---------------------------------------------------------------------------
+
+
+def field_ndvi(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """NDVI in [-1, 1] as a smooth deterministic field of world coords."""
+    v = (
+        0.45 * np.sin(x * 0.00123) * np.cos(y * 0.00117)
+        + 0.30 * np.sin((x + y) * 0.00071)
+        + 0.15
+    )
+    # float64 on purpose: the DuckDB oracle recomputes this closed form in
+    # SQL double math; keeping the stored tiles double makes the zonal
+    # sums bit-comparable (only groupby addition order differs).
+    return np.minimum(np.maximum(v, -1.0), 1.0)
+
+
+def field_dtm(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return 20.0 * np.sin(x * 0.0004) + 20.0 * np.cos(y * 0.0005) + 50.0
+
+
+def field_dsm(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """DSM = DTM + deterministic 'building' blocks on a 200 m urban grid."""
+    base = field_dtm(x, y).astype(np.float64)
+    bx = np.floor(x / 200.0).astype(np.int64)
+    by = np.floor(y / 200.0).astype(np.int64)
+    h = (bx * 73_856_093 ^ by * 19_349_663) & 0xFFFF
+    has_building = (h % 7) == 0
+    height = 6.0 + (h % 5) * 4.0
+    return base + np.where(has_building, height, 0.0)
+
+
+def field_green(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return (field_ndvi(x, y) > 0.25).astype(np.float64)
+
+
+def field_lulc(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """ESA-WorldCover-style classes {10..100} from NDVI bands + a grid hash."""
+    v = field_ndvi(x, y).astype(np.float64)
+    gx = np.floor(x / 400.0).astype(np.int64)
+    gy = np.floor(y / 400.0).astype(np.int64)
+    h = ((gx * 2_654_435_761 + gy * 40_503) % 10).astype(np.int64)
+    cls = np.where(
+        v > 0.45, 10,                       # tree cover
+        np.where(v > 0.25, 30,              # grassland
+                 np.where(v > 0.05, 40,     # cropland
+                          np.where(h < 3, 50, np.where(h < 6, 60, 80)))),
+    )
+    return cls.astype(np.int16)
+
+
+_FIELDS = {
+    "ndvi": field_ndvi,
+    "lulc": field_lulc,
+    "dsm": field_dsm,
+    "dtm": field_dtm,
+    "green": field_green,
+}
+
+
+def tile_array(band: str, tix: int, tiy: int) -> np.ndarray:
+    """Dense (TILE_PX, TILE_PX) array for one tile, row 0 = southmost row,
+    values evaluated at pixel centers.  This is the single source of
+    truth shared by the tile-store writer, the pipelines' tile fetch,
+    and the test oracles."""
+    px = (np.arange(TILE_PX) + 0.5) * RASTER_RES
+    xs = tix * TILE_SIZE + px
+    ys = tiy * TILE_SIZE + px
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")  # [row=y, col=x]
+    return _FIELDS[band](gx, gy)
+
+
+def raster_value_at(band: str, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Pixel value under each coordinate (nearest pixel-center sample)."""
+    cx = (np.floor(np.asarray(x) / RASTER_RES) + 0.5) * RASTER_RES
+    cy = (np.floor(np.asarray(y) / RASTER_RES) + 0.5) * RASTER_RES
+    return _FIELDS[band](cx, cy)
+
+
+def write_raster_tiles(out_dir: str, bands=BANDS, extent: float = WORLD) -> str:
+    """Materialize the tile store as partitioned parquet: one row per
+    (band, tile), data = float32/int16 row-major bytes.  Layout mirrors a
+    Lance fragment set: file per band, tile_id addressable."""
+    os.makedirs(out_dir, exist_ok=True)
+    ntiles = int(np.ceil(extent / TILE_SIZE))
+    for band in bands:
+        rows = {
+            "tile_id": [], "band": [], "tix": [], "tiy": [],
+            "x0": [], "y0": [], "res": [], "w": [], "h": [], "data": [],
+        }
+        for tix in range(ntiles):
+            for tiy in range(ntiles):
+                arr = tile_array(band, tix, tiy)
+                rows["tile_id"].append(f"{band}/{tix}_{tiy}")
+                rows["band"].append(band)
+                rows["tix"].append(tix)
+                rows["tiy"].append(tiy)
+                rows["x0"].append(tix * TILE_SIZE)
+                rows["y0"].append(tiy * TILE_SIZE)
+                rows["res"].append(RASTER_RES)
+                rows["w"].append(TILE_PX)
+                rows["h"].append(TILE_PX)
+                rows["data"].append(arr.tobytes())
+        t = pa.table(
+            {
+                "tile_id": pa.array(rows["tile_id"], pa.string()),
+                "band": pa.array(rows["band"], pa.string()),
+                "tix": pa.array(rows["tix"], pa.int32()),
+                "tiy": pa.array(rows["tiy"], pa.int32()),
+                "x0": pa.array(rows["x0"], pa.float64()),
+                "y0": pa.array(rows["y0"], pa.float64()),
+                "res": pa.array(rows["res"], pa.float64()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "data": pa.array(rows["data"], pa.binary()),
+            }
+        )
+        # small row groups → tile-granular predicate pushdown for the
+        # per-actor tile cache (state/tiles.py)
+        pq.write_table(t, os.path.join(out_dir, f"tiles_{band}.parquet"), row_group_size=4)
+    return out_dir
+
+
+#: numpy dtype of the packed ``data`` buffer per band.
+BAND_DTYPE = {"ndvi": np.float64, "lulc": np.int16, "dsm": np.float64,
+              "dtm": np.float64, "green": np.float64}
+
+
+# ---------------------------------------------------------------------------
+# Documents (interleaved spans)
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "park tree canopy street view green exposure urban walk node raster "
+    "tile vector buffer sample point network graph shade leaf grass"
+).split()
+
+
+def doc_coordinates(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Mixture of uniform background + dense urban clusters (hot cells,
+    exercises salting).  Deterministic for a given (n, seed)."""
+    rng = np.random.default_rng(seed)
+    n_clustered = n * 3 // 10
+    n_uniform = n - n_clustered
+    xu = rng.uniform(0.0, WORLD, n_uniform)
+    yu = rng.uniform(0.0, WORLD, n_uniform)
+    k = 5
+    centers = rng.uniform(WORLD * 0.2, WORLD * 0.8, (k, 2))
+    which = rng.integers(0, k, n_clustered)
+    xc = np.clip(centers[which, 0] + rng.normal(0, 250.0, n_clustered), 0, WORLD - 1e-6)
+    yc = np.clip(centers[which, 1] + rng.normal(0, 250.0, n_clustered), 0, WORLD - 1e-6)
+    x = np.concatenate([xu, xc])
+    y = np.concatenate([yu, yc])
+    order = rng.permutation(n)
+    return x[order], y[order]
+
+
+def make_documents(n: int, seed: int = 42) -> pa.Table:
+    x, y = doc_coordinates(n, seed)
+    rng = np.random.default_rng(seed + 1)
+    doc_ids = [f"doc-{i:012d}" for i in range(n)]
+    ntiles = int(np.ceil(WORLD / TILE_SIZE))
+    tix = np.minimum((x // TILE_SIZE).astype(np.int64), ntiles - 1)
+    tiy = np.minimum((y // TILE_SIZE).astype(np.int64), ntiles - 1)
+    n_text = rng.integers(1, 4, n)
+    word_idx = rng.integers(0, len(_WORDS), (n, 6))
+    spans: list[list[dict]] = []
+    for i in range(n):
+        s = [
+            {"kind": "geom", "text": f"POINT({x[i]!r} {y[i]!r})", "media_ref": "", "offset": 0}
+        ]
+        off = 1
+        for _ in range(int(n_text[i])):
+            txt = " ".join(_WORDS[j] for j in word_idx[i, off - 1 :: 2][:3])
+            s.append({"kind": "text", "text": txt, "media_ref": "", "offset": off})
+            off += 1
+        s.append(
+            {
+                "kind": "media",
+                "text": "",
+                "media_ref": f"tile://ndvi/{tix[i]}_{tiy[i]}",
+                "offset": off,
+            }
+        )
+        spans.append(s)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.string()), "spans": pa.array(spans, pa.list_(SPAN_TYPE))},
+        schema=DOC_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector side tables: greenspace / canopy polygons
+# ---------------------------------------------------------------------------
+
+RING_TYPE = pa.list_(pa.list_(pa.struct([pa.field("x", pa.float64()), pa.field("y", pa.float64())])))
+
+
+def _poly_table(rings_list, ids) -> pa.Table:
+    from ..geom import polygon_area, polygon_centroid
+
+    areas = [polygon_area(r) for r in rings_list]
+    cents = [polygon_centroid(r) for r in rings_list]
+    rings_py = [[[{"x": float(px), "y": float(py)} for px, py in ring]] for ring in rings_list]
+    return pa.table(
+        {
+            "gs_id": pa.array(ids, pa.int64()),
+            "rings": pa.array(rings_py, RING_TYPE),
+            "area": pa.array(areas, pa.float64()),
+            "centroid_x": pa.array([c[0] for c in cents], pa.float64()),
+            "centroid_y": pa.array([c[1] for c in cents], pa.float64()),
+        }
+    )
+
+
+def make_greenspace(n: int = 120, seed: int = 43) -> pa.Table:
+    """Axis-aligned rectangles + convex n-gons, some overlapping (to
+    exercise the dissolve of ``accessibility.py:125-127``)."""
+    rng = np.random.default_rng(seed)
+    rings = []
+    for i in range(n):
+        cx, cy = rng.uniform(500, WORLD - 500, 2)
+        if i % 3 == 0:
+            w, h = rng.uniform(80, 600, 2)
+            ring = np.array(
+                [[cx - w, cy - h], [cx + w, cy - h], [cx + w, cy + h], [cx - w, cy + h]]
+            )
+        else:
+            k = int(rng.integers(5, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            rad = rng.uniform(60, 400)
+            ring = np.column_stack((cx + rad * np.cos(ang), cy + rad * np.sin(ang)))
+        rings.append(ring)
+    return _poly_table(rings, list(range(n)))
+
+
+def make_canopy(n: int = 300, seed: int = 44) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rings = []
+    for _ in range(n):
+        cx, cy = rng.uniform(200, WORLD - 200, 2)
+        k = int(rng.integers(5, 10))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(15, 120)
+        rings.append(np.column_stack((cx + rad * np.cos(ang), cy + rad * np.sin(ang))))
+    return _poly_table(rings, list(range(n)))
+
+
+# ---------------------------------------------------------------------------
+# Street network (grid graph + diagonals)
+# ---------------------------------------------------------------------------
+
+
+def make_network(spacing: float = 200.0, seed: int = 45) -> tuple[pa.Table, pa.Table]:
+    """Grid street network over the whole world: nodes at grid corners,
+    edges horizontal/vertical plus deterministic diagonals."""
+    rng = np.random.default_rng(seed)
+    m = int(WORLD // spacing) + 1
+    ii, jj = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    node_id = (ii * m + jj).ravel().astype(np.int64)
+    nx = (ii * spacing).ravel().astype(np.float64)
+    ny = (jj * spacing).ravel().astype(np.float64)
+    nodes = pa.table({"node_id": node_id, "x": nx, "y": ny})
+
+    us, vs = [], []
+    # horizontal edges
+    a = (ii[:-1, :] * m + jj[:-1, :]).ravel()
+    b = ((ii[:-1, :] + 1) * m + jj[:-1, :]).ravel()
+    us.append(a); vs.append(b)
+    # vertical edges
+    a = (ii[:, :-1] * m + jj[:, :-1]).ravel()
+    b = (ii[:, :-1] * m + jj[:, :-1] + 1).ravel()
+    us.append(a); vs.append(b)
+    # some diagonals
+    mask = ((ii[:-1, :-1] * 31 + jj[:-1, :-1] * 17) % 5 == 0)
+    a = (ii[:-1, :-1][mask] * m + jj[:-1, :-1][mask]).ravel()
+    b = ((ii[:-1, :-1][mask] + 1) * m + jj[:-1, :-1][mask] + 1).ravel()
+    us.append(a); vs.append(b)
+    u = np.concatenate(us).astype(np.int64)
+    v = np.concatenate(vs).astype(np.int64)
+    length = np.hypot(nx[u] - nx[v], ny[u] - ny[v])
+    # drop a few edges to make the graph irregular
+    keep = rng.random(len(u)) > 0.03
+    edges = pa.table(
+        {"u": u[keep], "v": v[keep], "length": length[keep]}
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Image features (streetview)
+# ---------------------------------------------------------------------------
+
+
+def make_image_features(n: int = 2000, seed: int = 46) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, WORLD, n)
+    y = rng.uniform(0, WORLD, n)
+    ids = [f"img-{i:08d}" for i in range(n)]
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "x": x,
+            "y": y,
+            "is_panoramic": pa.array((rng.random(n) > 0.5).tolist(), pa.bool_()),
+            "media_ref": pa.array([f"img://{i}" for i in ids], pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-call world materializer (cached by (root, n_docs))
+# ---------------------------------------------------------------------------
+
+
+def ensure_world(root: str, n_docs: int = 2000, seed: int = 42) -> dict[str, str]:
+    """Write the full synthetic world under ``root`` if absent; returns a
+    path map.  Idempotent — used by tests, bench and queries()."""
+    paths = {
+        "documents": os.path.join(root, "documents.parquet"),
+        "greenspace": os.path.join(root, "greenspace.parquet"),
+        "canopy": os.path.join(root, "canopy.parquet"),
+        "network_nodes": os.path.join(root, "network_nodes.parquet"),
+        "network_edges": os.path.join(root, "network_edges.parquet"),
+        "image_features": os.path.join(root, "image_features.parquet"),
+        "tiles": os.path.join(root, "tiles"),
+    }
+    marker = os.path.join(root, f".complete_{n_docs}_{seed}")
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(make_documents(n_docs, seed), paths["documents"])
+    pq.write_table(make_greenspace(), paths["greenspace"])
+    pq.write_table(make_canopy(), paths["canopy"])
+    nodes, edges = make_network()
+    pq.write_table(nodes, paths["network_nodes"])
+    pq.write_table(edges, paths["network_edges"])
+    pq.write_table(make_image_features(), paths["image_features"])
+    write_raster_tiles(paths["tiles"])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths

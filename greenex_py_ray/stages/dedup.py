@@ -1,0 +1,327 @@
+"""Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine) as Ray Data stages.
+
+These are the first-class training-data-pipeline operators: at 100 TB the
+shape is hash-partition + per-group reduce, never a driver-side set.
+
+* exact:   content hash in a vectorized ``map_batches`` →
+           ``groupby(hash).map_groups(keep min key)`` — one shuffle over
+           (hash, key) pairs only.
+* minhash: shingle → K minhashes per doc → explode to (band, band_hash)
+           rows → ``groupby(band, band_hash)`` → candidate pairs →
+           Jaccard verify.  Sketches are mergeable; bands bound the
+           shuffle width.
+* simhash: 64-bit weighted-token hash; near-dups = equal band keys on
+           bit blocks.
+* embedding: cosine near-dup via LSH bucket (random hyperplanes) +
+           in-bucket exact verify.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+# ---------------------------------------------------------------------------
+# content hash + exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a stable 64-bit content hash (md5 low bits) of the text."""
+    texts = batch.column(text_col).to_pylist()
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5((t or "").encode()).digest()[:8], "big", signed=True)
+            for t in texts
+        ),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    return batch.append_column("content_hash", pa.array(h))
+
+
+def exact_dedup(ds: "ray.data.Dataset", key_col: str = "doc_id",
+                text_col: str = "text") -> "ray.data.Dataset":
+    """Keep the min-key row per distinct text. Hash-partition on the
+    content hash; the per-group reduce keeps ``min(key)`` — matching the
+    SQL oracle ``GROUP BY text → min(doc_id)``."""
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(key_col).head(1)
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """Actor stage: char-shingle MinHash signatures.
+
+    ``num_perm`` permutations via (a*x+b) mod p universal hashes over
+    shingle hashes; parameters drawn once per actor from a fixed seed so
+    every actor produces identical signatures.
+    Appends ``minhash`` (fixed-size list<uint64>).
+    """
+
+    def __init__(self, num_perm: int = 64, shingle: int = 5, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        k = self.shingle
+        if len(b) < k:
+            b = np.frombuffer((text + " " * k).encode("utf-8"), dtype=np.uint8)
+        # rolling 64-bit hash of each k-gram, vectorized over windows
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        mult = np.uint64(31) ** np.arange(k, dtype=np.uint64)
+        return np.unique((win * mult[::-1]).sum(axis=1, dtype=np.uint64))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingle_hashes(text or "")
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (P, S) universal hashes → min per permutation; mod a Mersenne
+        # prime via uint64 wraparound products (consistent everywhere)
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts]) if texts else \
+            np.zeros((0, self.num_perm), dtype=np.uint64)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
+        )
+        return batch.append_column("minhash", col)
+
+
+def lsh_band_batch(batch: pa.Table, num_perm: int = 64, bands: int = 16,
+                   key_col: str = "doc_id") -> pa.Table:
+    """Explode signatures to (key, band_id, band_hash) rows — the LSH
+    bucket key for the groupby shuffle."""
+    mh = batch.column("minhash")
+    if isinstance(mh, pa.ChunkedArray):
+        mh = mh.combine_chunks()
+    sigs = mh.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm).astype(np.uint64)
+    rows_per_band = num_perm // bands
+    n = len(sigs)
+    band_hashes = np.empty((n, bands), dtype=np.int64)
+    for bnd in range(bands):
+        seg = sigs[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
+        h = np.uint64(1469598103934665603)
+        acc = np.full(n, h, dtype=np.uint64)
+        for c in range(rows_per_band):
+            acc = acc * np.uint64(1099511628211) + seg[:, c]
+        band_hashes[:, bnd] = acc.astype(np.int64)
+    keys = batch.column(key_col)
+    idx = np.repeat(np.arange(n), bands)
+    return pa.table(
+        {
+            key_col: keys.take(pa.array(idx)),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hashes.reshape(-1)),
+        }
+    )
+
+
+def minhash_lsh_candidates(
+    ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
+    key_col: str = "doc_id", concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """documents → candidate near-dup pairs (key_a < key_b) from shared
+    LSH buckets, deduplicated across bands."""
+    sigs = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+    bands_ds = sigs.map_batches(
+        lambda b: lsh_band_batch(b, num_perm, bands, key_col), batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ks = np.sort(g[key_col].to_numpy())
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": []})
+        ia, ib = np.triu_indices(len(ks), k=1)
+        return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib]})
+
+    cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # dedup pairs surfaced by multiple bands
+    return cand.groupby(["key_a", "key_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+class JaccardVerifier:
+    """Actor stage: exact char-shingle Jaccard for candidate pairs.
+
+    Texts for both pair members are fetched from a broadcast key→text
+    lookup (``ray.put`` of a small table at test scale; at 100 TB this
+    becomes a bucket-join of pair rows against the text table on key —
+    the verify stage itself is unchanged)."""
+
+    def __init__(self, texts_ref, shingle: int = 5, threshold: float = 0.8):
+        import ray as _ray
+
+        t = _ray.get(texts_ref) if isinstance(texts_ref, _ray.ObjectRef) else texts_ref
+        self.lookup = dict(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
+        self.shingle = shingle
+        self.threshold = threshold
+        self.hasher = MinHasher(num_perm=1, shingle=shingle)
+
+    def _set(self, key):
+        return set(self.hasher.shingle_hashes(self.lookup.get(key, "") or "").tolist())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ka = batch.column("key_a").to_pylist()
+        kb = batch.column("key_b").to_pylist()
+        jac = np.empty(len(ka))
+        for i in range(len(ka)):
+            sa = self._set(ka[i])
+            sb = self._set(kb[i])
+            u = len(sa | sb)
+            jac[i] = (len(sa & sb) / u) if u else 1.0
+        return (
+            batch.append_column("jaccard", pa.array(jac))
+            .append_column("is_dup", pa.array(jac >= self.threshold))
+        )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """Actor stage: 64-bit SimHash over word tokens (weight = term freq).
+    Appends ``simhash`` int64."""
+
+    def __init__(self, seed: int = 11):
+        self.seed = seed
+
+    @staticmethod
+    def _token_hashes(text: str) -> np.ndarray:
+        toks = (text or "").lower().split()
+        if not toks:
+            return np.zeros(0, dtype=np.uint64)
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        bitpos = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            th = self._token_hashes(t)
+            if not len(th):
+                continue
+            bits = ((th[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
+            score = bits.sum(axis=0) * 2 - len(th)
+            out[i] = np.uint64(
+                int("".join("1" if s > 0 else "0" for s in score[::-1]), 2)
+            )
+        return batch.append_column("simhash", pa.array(out.astype(np.int64)))
+
+
+def simhash_block_batch(batch: pa.Table, blocks: int = 4, key_col: str = "doc_id") -> pa.Table:
+    """Explode simhash into (block_id, block_bits) keys: two hashes within
+    Hamming distance < blocks share at least one identical block
+    (pigeonhole) — the groupby key for near-dup candidates."""
+    sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(sh)
+    width = 64 // blocks
+    mask = np.uint64((1 << width) - 1)
+    out_blocks = np.empty((n, blocks), dtype=np.int64)
+    for b in range(blocks):
+        out_blocks[:, b] = ((sh >> np.uint64(b * width)) & mask).astype(np.int64)
+    idx = np.repeat(np.arange(n), blocks)
+    return pa.table(
+        {
+            key_col: batch.column(key_col).take(pa.array(idx)),
+            "block_id": pa.array(np.tile(np.arange(blocks, dtype=np.int32), n)),
+            "block_bits": pa.array(out_blocks.reshape(-1)),
+            "simhash": pa.array(np.repeat(sh.astype(np.int64), blocks)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+class EmbeddingLSH:
+    """Actor stage: random-hyperplane LSH bucket for embeddings.
+
+    ``planes`` hyperplanes drawn from a fixed seed per actor → identical
+    buckets everywhere.  Appends ``bucket`` (int64 sign pattern)."""
+
+    def __init__(self, dim: int, planes: int = 12, seed: int = 13,
+                 vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.H = rng.standard_normal((dim, planes))
+        self.vec_col = vec_col
+        self.planes = planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vc = batch.column(self.vec_col)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        dim = self.H.shape[0]
+        flat = vc.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        signs = (flat @ self.H) > 0
+        bucket = np.zeros(len(flat), dtype=np.int64)
+        for p in range(self.planes):
+            bucket |= signs[:, p].astype(np.int64) << p
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def cosine_pairs_in_group(g: pd.DataFrame, threshold: float, key_col: str,
+                          vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact in-bucket cosine; emit pairs ≥ threshold (key_a < key_b)."""
+    if len(g) < 2:
+        return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+    order = np.argsort(g[key_col].to_numpy())
+    keys = g[key_col].to_numpy()[order]
+    V = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    Vn = V / norms[:, None]
+    sim = Vn @ Vn.T
+    ia, ib = np.triu_indices(len(keys), k=1)
+    keep = sim[ia, ib] >= threshold
+    return pd.DataFrame(
+        {"key_a": keys[ia[keep]], "key_b": keys[ib[keep]], "cosine": sim[ia, ib][keep]}
+    )

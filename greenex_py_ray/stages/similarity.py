@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (ANN operators).
+
+* ``BruteForceTopK`` — baseline: per-batch numpy matmul of the batch's
+  embeddings against a BROADCAST query matrix (``ray.put`` once), local
+  top-k per batch, then a global top-k reduce via
+  ``sort(score).limit(k)`` over the small per-batch candidate set.
+* ``ivf_assign`` / IVF path — the scale variant: k-means-style coarse
+  centroids (trained on a driver-side sample), each vector assigned to
+  its nearest centroid cell; queries probe only ``nprobe`` cells — the
+  spatial-cell pattern applied to embedding space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col, dim: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim).astype(np.float64)
+
+
+class BruteForceTopK:
+    """Actor stage: local top-k cosine per query against each batch.
+
+    Emits (query_id, key, score) rows — at most k per (query, batch);
+    the global answer is the top-k of the union (guaranteed superset
+    property of per-partition top-k).
+    """
+
+    def __init__(self, queries_ref, k: int, dim: int, key_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["query_id"]
+        Q = np.asarray(q["vectors"], dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0] = 1.0
+        self.Qn = Q / qn[:, None]
+        self.k = k
+        self.dim = dim
+        self.key_col = key_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        V = _to_matrix(batch.column(self.vec_col), self.dim)
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        sim = (V / norms[:, None]) @ self.Qn.T  # (batch, nq)
+        k = min(self.k, len(keys))
+        out_q, out_key, out_score = [], [], []
+        for j, qid in enumerate(self.qids):
+            s = sim[:, j]
+            top = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_key.append(keys[top])
+            out_score.append(s[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.key_col: pa.array(np.concatenate(out_key)),
+                "score": pa.array(np.concatenate(out_score)),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset", queries: dict, k: int, dim: int,
+    key_col: str = "vec_id", concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Global top-k per query: broadcast queries, per-batch local top-k,
+    then a tiny per-query reduce (the candidate set is ≤ k·num_batches
+    rows — small)."""
+    ref = ray.put(queries)
+    cand = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, dim=dim, key_col=key_col),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-break on (score desc, key asc)
+        return g.sort_values(["score", key_col], ascending=[False, True]).head(k)
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 17) -> np.ndarray:
+    """Lloyd k-means on a driver-side sample (the coarse quantizer)."""
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), n_centroids, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_centroids):
+            pts = sample[assign == c]
+            if len(pts):
+                C[c] = pts.mean(0)
+    return C
+
+
+class IVFAssign:
+    """Actor stage: append ``ivf_cell`` = nearest coarse centroid id."""
+
+    def __init__(self, centroids_ref, dim: int, vec_col: str = "embedding"):
+        C = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.C = np.asarray(C, dtype=np.float64)
+        self.dim = dim
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        V = _to_matrix(batch.column(self.vec_col), self.dim)
+        # ||v-c||² = ||v||² - 2 v·c + ||c||²; argmin over c
+        d = -2.0 * (V @ self.C.T) + (self.C * self.C).sum(1)[None, :]
+        return batch.append_column("ivf_cell", pa.array(d.argmin(1).astype(np.int64)))
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset", queries: dict, centroids: np.ndarray, k: int, dim: int,
+    nprobe: int = 4, key_col: str = "vec_id", concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """ANN: probe only the ``nprobe`` nearest IVF cells per query.
+    Approximate — recall measured against ``brute_force_topk`` in tests."""
+    cref = ray.put(centroids)
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs=dict(centroids_ref=cref, dim=dim),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+    Q = np.asarray(queries["vectors"], dtype=np.float64)
+    d = -2.0 * (Q @ centroids.T) + (centroids * centroids).sum(1)[None, :]
+    probe_cells = np.argsort(d, axis=1)[:, :nprobe]
+    cells = np.unique(probe_cells)
+    # prune the dataset to probed cells, then brute-force inside
+    pruned = assigned.map_batches(
+        lambda b, cs=set(cells.tolist()): b.filter(
+            pa.array(np.isin(b.column("ivf_cell").to_numpy(zero_copy_only=False), list(cs)))
+        ),
+        batch_format="pyarrow",
+    )
+    per_query = {
+        "query_id": queries["query_id"],
+        "vectors": queries["vectors"],
+    }
+    return brute_force_topk(pruned, per_query, k, dim, key_col, concurrency)

@@ -1,0 +1,84 @@
+"""Accessibility parity: cell-local exact kNN vs brute force, plus the
+reference's miss/rounding semantics (accessibility.py:277-320)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from greenex_py_ray.pipelines import accessibility
+from greenex_py_ray.sources import documents as doc_src
+from greenex_py_ray.state.index import GridIndex, RectIndex
+
+
+def test_grid_index_nearest_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    px = rng.uniform(0, 10000, 500)
+    py = rng.uniform(0, 10000, 500)
+    qx = rng.uniform(-500, 10500, 300)
+    qy = rng.uniform(-500, 10500, 300)
+    idx = GridIndex(px, py, cell_size=700.0)
+    d, i = idx.nearest(qx, qy)
+    bf = np.sqrt((qx[:, None] - px[None, :]) ** 2 + (qy[:, None] - py[None, :]) ** 2)
+    exp_i = bf.argmin(axis=1)
+    exp_d = bf.min(axis=1)
+    assert np.allclose(d, exp_d)
+    # ties are measure-zero with random doubles; indexes must agree
+    assert (i == exp_i).all()
+
+
+def test_grid_index_within_matches_bruteforce():
+    rng = np.random.default_rng(4)
+    px = rng.uniform(0, 5000, 200)
+    py = rng.uniform(0, 5000, 200)
+    qx = rng.uniform(0, 5000, 100)
+    qy = rng.uniform(0, 5000, 100)
+    qi, pj, d = GridIndex(px, py, cell_size=400.0).within(qx, qy, 600.0)
+    got = set(zip(qi.tolist(), pj.tolist()))
+    bf = np.sqrt((qx[:, None] - px[None, :]) ** 2 + (qy[:, None] - py[None, :]) ** 2)
+    exp = set(zip(*np.nonzero(bf <= 600.0)))
+    assert got == {(int(a), int(b)) for a, b in exp}
+
+
+def test_rect_index_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    cx = rng.uniform(0, 5000, 80)
+    cy = rng.uniform(0, 5000, 80)
+    w = rng.uniform(50, 700, 80)
+    h = rng.uniform(50, 700, 80)
+    idx = RectIndex(cx - w, cy - h, cx + w, cy + h, np.arange(80), cell_size=800.0)
+    qx = rng.uniform(0, 5000, 200)
+    qy = rng.uniform(0, 5000, 200)
+    qi, rj = idx.containing(qx, qy)
+    got = set(zip(qi.tolist(), rj.tolist()))
+    inside = (
+        (qx[:, None] >= (cx - w)[None, :]) & (qx[:, None] <= (cx + w)[None, :])
+        & (qy[:, None] >= (cy - h)[None, :]) & (qy[:, None] <= (cy + h)[None, :])
+    )
+    exp = set(zip(*np.nonzero(inside)))
+    assert got == {(int(a), int(b)) for a, b in exp}
+
+
+def test_nearest_greenspace_semantics(world):
+    """distance rounded to 0 decimals; miss/beyond-target → distance =
+    target and flag False (accessibility.py:282,312-320)."""
+    target = 400.0
+    out = accessibility.get_shortest_distance_greenspace_documents(
+        world["documents"], world["greenspace"], target_dist=target, concurrency=2
+    ).to_pandas()
+    gs = pq.read_table(world["greenspace"]).to_pandas()
+    docs = doc_src.decode_geom(
+        doc_src.read_documents(world["documents"])
+    ).select_columns(["doc_id", "x", "y"]).to_pandas()
+    merged = out.merge(docs, on="doc_id")
+    assert len(merged) == len(docs)
+    cx = gs["centroid_x"].to_numpy()
+    cy = gs["centroid_y"].to_numpy()
+    for _, row in merged.sample(50, random_state=1).iterrows():
+        d = np.sqrt((row.x - cx) ** 2 + (row.y - cy) ** 2).min()
+        d = round(d, 0)
+        if d <= target:
+            assert row[f"greenspace_within_{int(target)}m"]
+            assert row["distance_to_greenspace"] == d
+        else:
+            assert not row[f"greenspace_within_{int(target)}m"]
+            assert row["distance_to_greenspace"] == target

@@ -1,0 +1,102 @@
+"""End-to-end parity: Ray zonal pipelines vs a straight-line numpy oracle
+that reimplements the reference formulas directly (clamp ≥0, population
+std, round 3 — availability.py:289; class % round 3 — :1068-1082)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray.data
+
+from greenex_py_ray.pipelines import availability
+from greenex_py_ray.sources import documents as doc_src
+from greenex_py_ray.sources import synth
+
+
+def oracle_disk_values(band, x, y, radius):
+    res = synth.RASTER_RES
+    c0 = int(np.floor((x - radius) / res))
+    c1 = int(np.floor((x + radius) / res))
+    r0 = int(np.floor((y - radius) / res))
+    r1 = int(np.floor((y + radius) / res))
+    px = (np.arange(c0, c1 + 1, dtype=np.float64) + 0.5) * res
+    py = (np.arange(r0, r1 + 1, dtype=np.float64) + 0.5) * res
+    gx, gy = np.meshgrid(px, py, indexing="xy")
+    mask = (gx - x) * (gx - x) + (gy - y) * (gy - y) <= radius * radius
+    # world clip: only pixels inside the tiled extent exist in the store
+    mask &= (gx >= 0) & (gx <= synth.WORLD) & (gy >= 0) & (gy <= synth.WORLD)
+    vals = synth._FIELDS[band](gx, gy)[mask]
+    return vals
+
+
+def decode_world_docs(world):
+    t = pq.read_table(world["documents"])
+    spans = t.column("spans").combine_chunks()
+    x, y = doc_src._first_geom_texts(spans)
+    return t.column("doc_id").to_pylist(), x, y
+
+
+def test_decode_geom_matches_source(world):
+    doc_ids, x, y = decode_world_docs(world)
+    assert len(doc_ids) == 300
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    assert (x >= 0).all() and (x < synth.WORLD).all()
+
+
+def test_mean_ndvi_parity(world):
+    radius = 300.0
+    doc_ids, x, y = decode_world_docs(world)
+    ds = doc_src.decode_geom(doc_src.read_documents(world["documents"]))
+    out = (
+        availability.mean_ndvi(
+            ds.select_columns(["doc_id", "x", "y"]), world["tiles"], radius,
+            concurrency=2,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == len(doc_ids)
+    for i in np.random.default_rng(7).choice(len(doc_ids), 40, replace=False):
+        vals = np.maximum(oracle_disk_values("ndvi", x[i], y[i], radius), 0.0)
+        exp_mean = round(vals.mean(), 3)
+        exp_std = round(vals.std(), 3)
+        row = out.loc[doc_ids[i]]
+        assert row["mean_NDVI"] == exp_mean, (i, row["mean_NDVI"], exp_mean)
+        assert row["std_NDVI"] == exp_std, (i, row["std_NDVI"], exp_std)
+
+
+def test_landcover_parity(world):
+    radius = 500.0
+    doc_ids, x, y = decode_world_docs(world)
+    ds = doc_src.decode_geom(doc_src.read_documents(world["documents"]))
+    out = (
+        availability.landcover_percentages(
+            ds.select_columns(["doc_id", "x", "y"]), world["tiles"], radius,
+            concurrency=2,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    classmap = availability.DEFAULT_CLASSMAP
+    for i in np.random.default_rng(11).choice(len(doc_ids), 20, replace=False):
+        vals = oracle_disk_values("lulc", x[i], y[i], radius)
+        total = vals.size
+        row = out.loc[doc_ids[i]]
+        for cls, name in classmap.items():
+            exp = round((vals == cls).sum() / total * 100.0, 3)
+            assert row[name] == exp, (i, name, row[name], exp)
+
+
+def test_span_passthrough(world):
+    """Per-row invariant: output spans == input spans, byte-identical."""
+    out = availability.get_mean_ndvi_documents(
+        world["documents"], world["tiles"], buffer_dist=200.0, concurrency=2
+    )
+    got = out.to_pandas().set_index("doc_id")
+    src = pq.read_table(world["documents"]).to_pandas().set_index("doc_id")
+    assert len(got) == len(src)
+    for doc_id in src.index[:50]:
+        a = src.loc[doc_id, "spans"]
+        b = got.loc[doc_id, "spans"]
+        assert len(a) == len(b)
+        for sa, sb in zip(a, b):
+            assert dict(sa) == dict(sb)
