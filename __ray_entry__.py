@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (spans documents → decode →
+zonal mean-NDVI → span-preserving join) on a deterministic synthetic
+interleaved-document world plus the sf0.001 driver tables smoke path.
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 over ``sf_dir`` with DuckDB oracles where SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init``/``ray.shutdown`` here or in the library.
 """
 
 from __future__ import annotations
@@ -20,25 +17,27 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline; driver checks rows >= 0 and a stable schema."""
+    import os
+
+    from greenex_py_ray.pipelines import availability
+    from greenex_py_ray.sources import synth
+
+    root = "/tmp/greenex_entry_world"
+    paths = synth.ensure_world(root, n_docs=500, seed=42)
+    out = availability.get_mean_ndvi_documents(
+        paths["documents"], paths["tiles"], buffer_dist=300.0, concurrency=2
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from greenex_py_ray.pipelines.driver_queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from greenex_py_ray.pipelines.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

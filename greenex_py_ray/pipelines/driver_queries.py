@@ -1,0 +1,468 @@
+"""Gate queries: Ray pipelines over the driver testdata + DuckDB oracles.
+
+Every entry here returns a Ray Dataset (or small pyarrow Table) over
+``{sf_dir}`` and, where SQL-expressible, has a matching oracle in
+:data:`ORACLE_SQL` producing identical column names and values (the
+driver hashes values after sorting columns by name).
+
+Arithmetic determinism rules used throughout (see
+``sources/driver_tables.py``): coordinates derive from integer keys via
+integer-mod + float division expressions that numpy and DuckDB evaluate
+to bit-identical doubles; raster values come from the closed-form
+``sources/synth`` fields whose sin/cos match DuckDB's libm calls
+bit-for-bit (verified in tests); aggregated floats are rounded (3–6
+decimals) so summation-order jitter cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .. import cells
+from ..sources import driver_tables as dt
+from ..sources import synth
+from ..stages import dedup as dedup_stage
+from ..stages import similarity, text, zonal
+from ..stages.access import NearestGreenspace, PointsInRects
+from . import availability
+
+CELL_SIZE = 500.0
+KNN_TARGET = 500.0
+NDVI_RADIUS = 300.0
+LULC_RADIUS = 500.0
+TOPK_K = 10
+TOPK_QUERY_IDS = (0, 1, 2)
+EMB_DIM = 64
+
+_X = dt.SQL_X.format(k="doc_id")
+_Y = dt.SQL_Y.format(k="doc_id")
+_GX = dt.SQL_X.format(k="p_partkey")
+_GY = dt.SQL_Y.format(k="p_partkey")
+_CELL = dt.SQL_CELL.format(k="doc_id", cs=CELL_SIZE)
+
+#: world pixel index bounds of the synthetic tile store (8×8 tiles of
+#: 256 px → indices 0..2047); SQL pixel loops are clamped to this range
+#: exactly like missing-tile skipping on the Ray side.
+_NPIX = 8 * synth.TILE_PX - 1
+
+
+def _world_tiles_root() -> str:
+    """Lazily materialize the shared synthetic tile store under /tmp
+    (idempotent, driver-side, ~30 MB/band)."""
+    root = "/tmp/greenex_world"
+    synth.ensure_world(root, n_docs=2000, seed=42)
+    return os.path.join(root, "tiles")
+
+
+# ---------------------------------------------------------------------------
+# Spatial queries (coordinates derived from doc_id / p_partkey)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_assignment(sf_dir: str):
+    """Tile/cell assignment: doc → grid cell, docs per cell (the north
+    rule's 'tile assignments' check)."""
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return ds.groupby("cell").aggregate(Count(alias_name="n_docs"))
+
+
+def q_bbox(sf_dir: str):
+    """Global bounds aggregate (SURVEY M7/A7: total_bounds)."""
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    res = ds.aggregate(
+        Min("x", alias_name="min_x"), Max("x", alias_name="max_x"),
+        Min("y", alias_name="min_y"), Max("y", alias_name="max_y"),
+    )
+    return pa.table({k: [v] for k, v in res.items()})
+
+
+def q_knn_greenspace(sf_dir: str):
+    """Nearest greenspace centroid per doc (SURVEY J5 + accessibility
+    semantics: round 0, miss→target, flag)."""
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    centroids = dt.greenspace_centroids_from_part(sf_dir)
+    ref = ray.put(centroids)
+    return ds.map_batches(
+        NearestGreenspace,
+        fn_constructor_kwargs=dict(centroids_ref=ref, target_dist=KNN_TARGET),
+        batch_format="pyarrow", concurrency=4, num_cpus=1,
+    )
+
+
+def _rects_from_part(sf_dir: str) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    k = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cx, cy = dt.derive_xy(k)
+    w = 100.0 + (k * 13 % 400).astype(np.float64)
+    h = 100.0 + (k * 29 % 500).astype(np.float64)
+    return pa.table(
+        {"gs_id": pa.array(k), "x0": pa.array(cx - w), "y0": pa.array(cy - h),
+         "x1": pa.array(cx + w), "y1": pa.array(cy + h)}
+    )
+
+
+def q_pip_count(sf_dir: str):
+    """Point-in-polygon (axis-aligned) join: docs per greenspace rect
+    (SURVEY J2/J6 cell-refined containment join)."""
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    ref = ray.put(_rects_from_part(sf_dir))
+    pairs = ds.map_batches(
+        PointsInRects, fn_constructor_kwargs=dict(rects_ref=ref),
+        batch_format="pyarrow", concurrency=4, num_cpus=1,
+    )
+    return pairs.groupby("gs_id").aggregate(Count(alias_name="n_docs"))
+
+
+def q_zonal_mean_ndvi(sf_dir: str):
+    """Zonal NDVI mean/std per doc against the synthetic tile store
+    (SURVEY M14/A1: clamp ≥0, population std, round 3)."""
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return availability.mean_ndvi(
+        ds.select_columns(["doc_id", "x", "y"]), _world_tiles_root(), NDVI_RADIUS,
+        key_col="doc_id", concurrency=4,
+    )
+
+
+def q_landcover_pct(sf_dir: str):
+    """Zonal landcover class percentages per doc (SURVEY M15/A2)."""
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return availability.landcover_percentages(
+        ds.select_columns(["doc_id", "x", "y"]), _world_tiles_root(), LULC_RADIUS,
+        key_col="doc_id", concurrency=4, stringify=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity (training-data operators)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_stage.exact_dedup(ds, key_col="doc_id", text_col="text")
+    return out.select_columns(["doc_id"])
+
+
+def q_token_count(sf_dir: str):
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(text.token_count_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def q_quality(sf_dir: str):
+    """Quality scores (rows-only check: regex-token ratios are not
+    reproduced in SQL)."""
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(text.quality_score_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "q_n_chars", "q_n_tokens", "q_mean_word_len",
+         "q_punct_ratio", "q_stopword_ratio", "q_upper_ratio"]
+    )
+
+
+def q_langid(sf_dir: str):
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(text.LangId, batch_format="pandas", concurrency=2, num_cpus=1)
+    return out.select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+def q_fingerprint(sf_dir: str):
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(text.fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs (rows-only check; verified
+    against exact n-gram Jaccard in tests)."""
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stage.minhash_lsh_candidates(ds, key_col="doc_id", concurrency=2)
+
+
+def q_simhash(sf_dir: str):
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(dedup_stage.SimHasher, batch_format="pyarrow",
+                         concurrency=2, num_cpus=1)
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-k per query vector (broadcast query
+    matrix, per-batch local top-k, global reduce)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    sel = np.isin(ids, TOPK_QUERY_IDS)
+    Q = (
+        emb.column("embedding").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False).reshape(-1, EMB_DIM)[sel]
+    )
+    queries = {"query_id": ids[sel].tolist(), "vectors": Q}
+    ds = dt.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.brute_force_topk(ds, queries, TOPK_K, EMB_DIM, concurrency=4)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b.column("query_id"),
+            "vec_id": b.column("vec_id"),
+            "score": pa.array(np.round(b.column("score").to_numpy(zero_copy_only=False), 6)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets +
+    in-bucket exact verify (rows-only; recall measured in tests)."""
+    ds = dt.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        dedup_stage.EmbeddingLSH,
+        fn_constructor_kwargs=dict(dim=EMB_DIM, planes=10),
+        batch_format="pyarrow", concurrency=2, num_cpus=1,
+    )
+    # driver embeddings are random gaussians (max pairwise cosine ≈ 0.48)
+    # so the "near-dup" threshold here is set low enough to surface the
+    # distribution tail; real corpora would use ≥0.9.
+    return bucketed.groupby("bucket").map_groups(
+        lambda g: dedup_stage.cosine_pairs_in_group(g, 0.30, "vec_id"),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / windowed (engine breadth: partial+final aggregation)
+# ---------------------------------------------------------------------------
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type (epoch-hour key)."""
+    ds = dt.read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_hour": pa.array(hour),
+            "value": batch.column("value"),
+        })
+
+    w = ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+    agg = w.groupby(["event_type", "window_hour"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value_raw")
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "window_hour": b.column("window_hour"),
+            "n": b.column("n"),
+            "sum_value": pa.array(
+                np.round(b.column("sum_value_raw").to_numpy(zero_copy_only=False), 6)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped rollup with per-batch partial aggregation before
+    the groupby shuffle (the SURVEY §2.5 partial+final pattern)."""
+    ds = dt.read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            pq_qty=("l_quantity", "sum"), pq_rev=("revenue", "sum"),
+            pq_n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    agg = p.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("pq_qty"), Sum("pq_rev"), Sum("pq_n")
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": pa.array(np.round(b.column("sum(pq_qty)").to_numpy(zero_copy_only=False), 3)),
+            "sum_rev": pa.array(np.round(b.column("sum(pq_rev)").to_numpy(zero_copy_only=False), 3)),
+            "n": b.column("sum(pq_n)"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+_NDVI_SQL = (
+    "least(greatest(0.45*sin(px*0.00123)*cos(py*0.00117)"
+    " + 0.30*sin((px+py)*0.00071) + 0.15, -1.0), 1.0)"
+)
+
+_LULC_SQL = f"""
+CASE WHEN {_NDVI_SQL} > 0.45 THEN 10
+     WHEN {_NDVI_SQL} > 0.25 THEN 30
+     WHEN {_NDVI_SQL} > 0.05 THEN 40
+     WHEN ((CAST(floor(px/400.0) AS BIGINT) * 2654435761
+            + CAST(floor(py/400.0) AS BIGINT) * 40503) % 10) < 3 THEN 50
+     WHEN ((CAST(floor(px/400.0) AS BIGINT) * 2654435761
+            + CAST(floor(py/400.0) AS BIGINT) * 40503) % 10) < 6 THEN 60
+     ELSE 80 END
+"""
+
+_PIXELS_CTE = f"""
+docs AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+pixidx AS (SELECT i AS idx FROM range(0, {_NPIX} + 1) t(i)),
+pix AS (
+  SELECT d.doc_id, d.x, d.y,
+         (gx.idx * 10.0 + 5.0) AS px, (gy.idx * 10.0 + 5.0) AS py
+  FROM docs d
+  JOIN pixidx gx ON gx.idx >= floor((d.x - {{r}}) / 10.0)
+                AND gx.idx <= floor((d.x + {{r}}) / 10.0)
+  JOIN pixidx gy ON gy.idx >= floor((d.y - {{r}}) / 10.0)
+                AND gy.idx <= floor((d.y + {{r}}) / 10.0)
+  WHERE (gx.idx * 10.0 + 5.0 - d.x) * (gx.idx * 10.0 + 5.0 - d.x)
+      + (gy.idx * 10.0 + 5.0 - d.y) * (gy.idx * 10.0 + 5.0 - d.y) <= {{r}} * {{r}}
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "cell_assignment": f"""
+        SELECT {_CELL} AS cell, count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "bbox": f"""
+        SELECT min({_X}) AS min_x, max({_X}) AS max_x,
+               min({_Y}) AS min_y, max({_Y}) AS max_y
+        FROM documents
+    """,
+    "knn_greenspace": f"""
+        WITH docs AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+        gs AS (SELECT p_partkey AS gs_id, {_GX} AS cx, {_GY} AS cy FROM part),
+        d AS (
+          SELECT doc_id, gs_id,
+                 sqrt((x-cx)*(x-cx) + (y-cy)*(y-cy)) AS rawd,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY sqrt((x-cx)*(x-cx) + (y-cy)*(y-cy)) ASC, gs_id ASC
+                 ) AS rn
+          FROM docs CROSS JOIN gs
+        )
+        SELECT doc_id,
+               CASE WHEN round(rawd, 0) <= {KNN_TARGET} THEN round(rawd, 0)
+                    ELSE {KNN_TARGET} END AS distance_to_greenspace,
+               round(rawd, 0) <= {KNN_TARGET} AS greenspace_within_target,
+               gs_id AS nearest_gs_id
+        FROM d WHERE rn = 1
+    """,
+    "pip_count": f"""
+        WITH docs AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+        rects AS (
+          SELECT p_partkey AS gs_id,
+                 {_GX} - (100.0 + (p_partkey * 13) % 400) AS x0,
+                 {_GX} + (100.0 + (p_partkey * 13) % 400) AS x1,
+                 {_GY} - (100.0 + (p_partkey * 29) % 500) AS y0,
+                 {_GY} + (100.0 + (p_partkey * 29) % 500) AS y1
+          FROM part
+        )
+        SELECT gs_id, count(*) AS n_docs
+        FROM rects JOIN docs
+          ON docs.x >= rects.x0 AND docs.x <= rects.x1
+         AND docs.y >= rects.y0 AND docs.y <= rects.y1
+        GROUP BY gs_id
+    """,
+    "zonal_mean_ndvi": "WITH " + _PIXELS_CTE.format(r=NDVI_RADIUS) + f"""
+        , vals AS (SELECT doc_id, greatest({_NDVI_SQL}, 0.0) AS v FROM pix)
+        SELECT doc_id,
+               round(avg(v), 3) AS mean_NDVI,
+               round(sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0)), 3) AS std_NDVI
+        FROM vals GROUP BY doc_id
+    """,
+    "landcover_pct": "WITH " + _PIXELS_CTE.format(r=LULC_RADIUS) + f"""
+        , vals AS (SELECT doc_id, {_LULC_SQL} AS cls FROM pix)
+        SELECT doc_id,
+               round(100.0 * sum(CASE WHEN cls = 10 THEN 1 ELSE 0 END) / count(*), 3) AS pct_tree,
+               round(100.0 * sum(CASE WHEN cls = 30 THEN 1 ELSE 0 END) / count(*), 3) AS pct_grass,
+               round(100.0 * sum(CASE WHEN cls = 40 THEN 1 ELSE 0 END) / count(*), 3) AS pct_crop,
+               round(100.0 * sum(CASE WHEN cls = 50 THEN 1 ELSE 0 END) / count(*), 3) AS pct_builtup,
+               round(100.0 * sum(CASE WHEN cls = 60 THEN 1 ELSE 0 END) / count(*), 3) AS pct_bare,
+               round(100.0 * sum(CASE WHEN cls = 80 THEN 1 ELSE 0 END) / count(*), 3) AS pct_water
+        FROM vals GROUP BY doc_id
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "token_count": r"""
+        SELECT doc_id,
+               CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "events_window": """
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_hour,
+               count(*) AS n,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 3) AS sum_qty,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 3) AS sum_rev,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "embedding_topk": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id IN (0, 1, 2)),
+        s AS (
+          SELECT q.qid AS query_id, e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])) AS rawscore,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(q.qe AS DOUBLE[])) DESC,
+                            e.vec_id ASC
+                 ) AS rn
+          FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, round(rawscore, 6) AS score
+        FROM s WHERE rn <= {TOPK_K}
+    """,
+}
+
+QUERIES = {
+    "cell_assignment": q_cell_assignment,
+    "bbox": q_bbox,
+    "knn_greenspace": q_knn_greenspace,
+    "pip_count": q_pip_count,
+    "zonal_mean_ndvi": q_zonal_mean_ndvi,
+    "landcover_pct": q_landcover_pct,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "events_window": q_events_window,
+    "pricing_summary": q_pricing_summary,
+}

@@ -311,8 +311,13 @@ class EmbeddingLSH:
 def cosine_pairs_in_group(g: pd.DataFrame, threshold: float, key_col: str,
                           vec_col: str = "embedding") -> pd.DataFrame:
     """Exact in-bucket cosine; emit pairs ≥ threshold (key_a < key_b)."""
+    empty = pd.DataFrame(
+        {"key_a": pd.Series([], dtype=np.int64),
+         "key_b": pd.Series([], dtype=np.int64),
+         "cosine": pd.Series([], dtype=np.float64)}
+    )
     if len(g) < 2:
-        return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+        return empty
     order = np.argsort(g[key_col].to_numpy())
     keys = g[key_col].to_numpy()[order]
     V = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
@@ -322,6 +327,10 @@ def cosine_pairs_in_group(g: pd.DataFrame, threshold: float, key_col: str,
     sim = Vn @ Vn.T
     ia, ib = np.triu_indices(len(keys), k=1)
     keep = sim[ia, ib] >= threshold
+    if not keep.any():
+        return empty
     return pd.DataFrame(
-        {"key_a": keys[ia[keep]], "key_b": keys[ib[keep]], "cosine": sim[ia, ib][keep]}
+        {"key_a": keys[ia[keep]].astype(np.int64),
+         "key_b": keys[ib[keep]].astype(np.int64),
+         "cosine": sim[ia, ib][keep].astype(np.float64)}
     )
