@@ -1,0 +1,126 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address='local',
+num_cpus=$RAY_GRAFT_CPUS)`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "rows_per_s": {...}}
+
+``--scaling`` runs the flagship pipeline in two fresh processes at 8 and
+32 CPUs on the same input and reports both throughputs plus the N→4N
+scaling efficiency (the sandbox stand-in for the two-cluster-size
+criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: benchmark suite: name → (queries() key, rows metric)
+BENCH_QUERIES = [
+    "spans_mean_ndvi",      # flagship: decode + zonal + span-preserving join
+    "zonal_mean_ndvi",      # raster⇄vector alignment over driver docs
+    "knn_greenspace",       # cell-local kNN accessibility
+    "cell_assignment",      # tile assignment groupby
+    "viewshed_gvi",         # stateful viewshed actor pool
+    "network_distance",     # graph actor pool
+    "dedup_exact",          # hash-partition dedup
+    "minhash_lsh",          # LSH near-dup
+    "embedding_topk",       # broadcast ANN baseline
+    "token_count",          # vectorized text stage
+]
+
+
+def consume(res) -> int:
+    """Drain a result without materializing it on the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_suite() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warm the page cache + the synthetic world so timing measures
+    # compute/shuffle, not first-touch generation
+    from greenex_py_ray.pipelines.driver_queries import _world_paths
+
+    _world_paths()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_total0 = time.time()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = consume(qs[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
+    total = round(time.time() - t_total0, 3)
+    ray.shutdown()
+    return {
+        "metric": "greenex_ray_pipeline_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "rows_per_s": {
+            k: (round(rows[k] / timings[k], 1) if timings[k] > 0 else None)
+            for k in timings
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        "sec": [r_lo["value"], r_hi["value"]],
+        "queries_sec": {"lo": r_lo["queries"], "hi": r_hi["queries"]},
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

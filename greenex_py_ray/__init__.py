@@ -18,5 +18,14 @@ Layout:
 """
 
 from . import cells, geom  # noqa: F401
+from .api import (  # noqa: F401
+    get_canopy_percentage,
+    get_greenspace_percentage,
+    get_landcover_percentages,
+    get_mean_NDVI,
+    get_shortest_distance_greenspace,
+    get_streetview_GVI,
+    get_viewshed_GVI,
+)
 
 __version__ = "0.1.0"

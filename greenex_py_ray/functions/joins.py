@@ -109,3 +109,15 @@ def bucket_join_attach(
         return pa.table(cols)
 
     return u.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def as_pool(concurrency) -> tuple[int, int]:
+    """Normalize a concurrency spec to an autoscaling (min, max) pool.
+
+    Fixed-size pools reserve all their CPUs up front; on small clusters
+    two fixed pools can starve the shuffle tasks and deadlock the
+    streaming executor — (1, N) lets Ray scale each pool to available
+    resources."""
+    if isinstance(concurrency, tuple):
+        return concurrency
+    return (1, max(1, int(concurrency)))

@@ -13,7 +13,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.joins import bucket_join_attach
+from ..functions.joins import as_pool, bucket_join_attach
 from ..sources import documents as doc_src
 from ..stages.access import NearestGreenspace
 
@@ -39,8 +39,8 @@ def nearest_greenspace(
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+        concurrency=as_pool(concurrency),
+        num_cpus=0.5,
     )
 
 
@@ -64,8 +64,37 @@ def get_shortest_distance_greenspace_documents(
          "cy": gs.column("centroid_y")}
     )
     metrics = nearest_greenspace(
-        poi, centroids, target_dist, key_col="doc_id", concurrency=concurrency,
+        poi, centroids, target_dist, key_col="doc_id", concurrency=as_pool(concurrency),
         flag_name=f"greenspace_within_{int(target_dist)}m",
     )
     return bucket_join_attach(docs, metrics, key="doc_id",
                               num_buckets=num_join_partitions)
+
+
+def network_distance_greenspace(
+    poi: "ray.data.Dataset",
+    nodes: "pa.Table",
+    edges: "pa.Table",
+    greenspace: "pa.Table",
+    target_dist: float = 300.0,
+    destination: str = "centroids",
+    key_col: str = "doc_id",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Network branch of get_shortest_distance_greenspace
+    (accessibility.py:226-273): GraphActor pool with broadcast graph +
+    greenspace tables."""
+    import ray as _ray
+
+    from ..stages.netaccess import NetworkDistance
+
+    return poi.map_batches(
+        NetworkDistance,
+        fn_constructor_kwargs=dict(
+            nodes_ref=_ray.put(nodes), edges_ref=_ray.put(edges),
+            greenspace_ref=_ray.put(greenspace), target_dist=target_dist,
+            destination=destination, key_col=key_col,
+        ),
+        batch_format="pyarrow", batch_size=512,
+        concurrency=as_pool(concurrency), num_cpus=0.5,
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..functions.joins import bucket_join_attach
+from ..functions.joins import as_pool, bucket_join_attach
 from ..sources import documents as doc_src
 from ..stages import zonal
 
@@ -56,8 +56,8 @@ def mean_ndvi(
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+        concurrency=as_pool(concurrency),
+        num_cpus=0.5,
     )
     agg = part.groupby(key_col).aggregate(Sum("psum"), Sum("psumsq"), Sum("pcount"))
     return agg.map_batches(
@@ -93,8 +93,8 @@ def landcover_percentages(
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+        concurrency=as_pool(concurrency),
+        num_cpus=0.5,
     )
     aggs = [Sum(f"cnt_{n}") for n in names] + [Sum("cnt_total")]
     agg = part.groupby(key_col).aggregate(*aggs)
@@ -118,7 +118,7 @@ def get_mean_ndvi_documents(
     docs = doc_src.read_documents(documents_path)
     poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
     metrics = mean_ndvi(poi, tile_root, buffer_dist, key_col="doc_id",
-                        concurrency=concurrency)
+                        concurrency=as_pool(concurrency))
     return bucket_join_attach(docs, metrics, key="doc_id",
                               num_buckets=num_join_partitions)
 
@@ -130,8 +130,79 @@ def get_landcover_percentages_documents(
     docs = doc_src.read_documents(documents_path)
     poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
     metrics = landcover_percentages(
-        poi, tile_root, buffer_dist, key_col="doc_id", concurrency=concurrency,
+        poi, tile_root, buffer_dist, key_col="doc_id", concurrency=as_pool(concurrency),
         stringify=stringify,
     )
     return bucket_join_attach(docs, metrics, key="doc_id",
                               num_buckets=num_join_partitions)
+
+
+def canopy_percentage(
+    poi: "ray.data.Dataset",
+    canopy: "pa.Table",
+    buffer_dist: float = 250.0,
+    key_col: str = "doc_id",
+    concurrency: int = 4,
+    stringify: bool = False,
+    name: str = "canopy_cover",
+) -> "ray.data.Dataset":
+    """get_canopy_percentage (availability.py:600-780): percent of the
+    buffer AoI covered by canopy polygons (broadcast small side)."""
+    import pyarrow as pa  # noqa: F811
+
+    import ray as _ray
+
+    from ..stages.coverage import PolygonCoverage
+
+    ref = _ray.put(canopy)
+    return poi.map_batches(
+        PolygonCoverage,
+        fn_constructor_kwargs=dict(
+            polys_ref=ref, buffer_dist=buffer_dist, key_col=key_col,
+            name=name, stringify=stringify,
+        ),
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+    )
+
+
+def greenspace_percentage(
+    poi: "ray.data.Dataset",
+    greenspace: "pa.Table",
+    buffer_dist: float = 300.0,
+    key_col: str = "doc_id",
+    concurrency: int = 4,
+    stringify: bool = False,
+) -> "ray.data.Dataset":
+    """get_greenspace_percentage (availability.py:783-1010): same
+    machinery with the dissolved greenspace table."""
+    return canopy_percentage(
+        poi, greenspace, buffer_dist, key_col, concurrency, stringify,
+        name="greenspace_cover",
+    )
+
+
+def mean_ndvi_isochrone(
+    poi: "ray.data.Dataset",
+    nodes: "pa.Table",
+    edges: "pa.Table",
+    tile_root: str,
+    buffer_dist: float = 500.0,
+    key_col: str = "doc_id",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """get_mean_NDVI with buffer_type='network' (availability.py:263-275):
+    per-PoI isochrone AoI from the street graph, zonal stats inside the
+    GraphActor pool."""
+    import ray as _ray
+
+    from ..stages.netaccess import IsochroneZonal
+
+    return poi.map_batches(
+        IsochroneZonal,
+        fn_constructor_kwargs=dict(
+            nodes_ref=_ray.put(nodes), edges_ref=_ray.put(edges),
+            tile_root=tile_root, buffer_dist=buffer_dist, key_col=key_col,
+        ),
+        batch_format="pyarrow", batch_size=256,
+        concurrency=as_pool(concurrency), num_cpus=0.5,
+    )

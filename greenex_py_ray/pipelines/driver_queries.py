@@ -93,7 +93,7 @@ def q_knn_greenspace(sf_dir: str):
     return ds.map_batches(
         NearestGreenspace,
         fn_constructor_kwargs=dict(centroids_ref=ref, target_dist=KNN_TARGET),
-        batch_format="pyarrow", concurrency=4, num_cpus=1,
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5,
     )
 
 
@@ -116,7 +116,7 @@ def q_pip_count(sf_dir: str):
     ref = ray.put(_rects_from_part(sf_dir))
     pairs = ds.map_batches(
         PointsInRects, fn_constructor_kwargs=dict(rects_ref=ref),
-        batch_format="pyarrow", concurrency=4, num_cpus=1,
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5,
     )
     return pairs.groupby("gs_id").aggregate(Count(alias_name="n_docs"))
 
@@ -127,7 +127,7 @@ def q_zonal_mean_ndvi(sf_dir: str):
     ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
     return availability.mean_ndvi(
         ds.select_columns(["doc_id", "x", "y"]), _world_tiles_root(), NDVI_RADIUS,
-        key_col="doc_id", concurrency=4,
+        key_col="doc_id", concurrency=(1, 4),
     )
 
 
@@ -136,7 +136,7 @@ def q_landcover_pct(sf_dir: str):
     ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
     return availability.landcover_percentages(
         ds.select_columns(["doc_id", "x", "y"]), _world_tiles_root(), LULC_RADIUS,
-        key_col="doc_id", concurrency=4, stringify=False,
+        key_col="doc_id", concurrency=(1, 4), stringify=False,
     )
 
 
@@ -171,7 +171,7 @@ def q_quality(sf_dir: str):
 
 def q_langid(sf_dir: str):
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(text.LangId, batch_format="pandas", concurrency=2, num_cpus=1)
+    out = ds.map_batches(text.LangId, batch_format="pandas", concurrency=(1, 2), num_cpus=0.5)
     return out.select_columns(["doc_id", "lang_pred", "lang_score"])
 
 
@@ -185,13 +185,13 @@ def q_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs (rows-only check; verified
     against exact n-gram Jaccard in tests)."""
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_stage.minhash_lsh_candidates(ds, key_col="doc_id", concurrency=2)
+    return dedup_stage.minhash_lsh_candidates(ds, key_col="doc_id", concurrency=(1, 2))
 
 
 def q_simhash(sf_dir: str):
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(dedup_stage.SimHasher, batch_format="pyarrow",
-                         concurrency=2, num_cpus=1)
+                         concurrency=(1, 2), num_cpus=0.5)
     return out.select_columns(["doc_id", "simhash"])
 
 
@@ -207,7 +207,7 @@ def q_embedding_topk(sf_dir: str):
     )
     queries = {"query_id": ids[sel].tolist(), "vectors": Q}
     ds = dt.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = similarity.brute_force_topk(ds, queries, TOPK_K, EMB_DIM, concurrency=4)
+    out = similarity.brute_force_topk(ds, queries, TOPK_K, EMB_DIM, concurrency=(1, 4))
     return out.map_batches(
         lambda b: pa.table({
             "query_id": b.column("query_id"),
@@ -225,7 +225,7 @@ def q_embedding_near_dup(sf_dir: str):
     bucketed = ds.map_batches(
         dedup_stage.EmbeddingLSH,
         fn_constructor_kwargs=dict(dim=EMB_DIM, planes=10),
-        batch_format="pyarrow", concurrency=2, num_cpus=1,
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5,
     )
     # driver embeddings are random gaussians (max pairwise cosine ≈ 0.48)
     # so the "near-dup" threshold here is set low enough to surface the
@@ -447,6 +447,133 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-document (spans world) pipelines — rows-only checks; their
+# value-level parity is covered by the pytest oracles (tests/test_*).
+# All run on the deterministic synthetic world (sf-independent input;
+# the driver records row counts + schema stability).
+# ---------------------------------------------------------------------------
+
+
+def _world_paths() -> dict:
+    root = "/tmp/greenex_world"
+    return synth.ensure_world(root, n_docs=2000, seed=42)
+
+
+def _world_poi(limit: int | None = None):
+    from ..sources import documents as doc_src
+
+    w = _world_paths()
+    docs = doc_src.read_documents(w["documents"])
+    poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    return (poi.limit(limit) if limit else poi), w
+
+
+def q_spans_mean_ndvi(sf_dir: str):
+    """Flagship: spans documents → zonal NDVI → span-preserving join."""
+    w = _world_paths()
+    return availability.get_mean_ndvi_documents(
+        w["documents"], w["tiles"], buffer_dist=300.0, concurrency=4
+    )
+
+
+def q_viewshed_gvi(sf_dir: str):
+    from . import visibility as vpipe
+
+    poi, w = _world_poi(limit=300)
+    edges = vpipe.edge_coords_table(w["network_nodes"], w["network_edges"])
+    rollup, _ = vpipe.viewshed_gvi(
+        poi, edges, w["tiles"], buffer_dist=100.0, viewing_dist=250.0,
+        sample_dist=50.0, concurrency=4,
+    )
+    return rollup
+
+
+def q_streetview_gvi(sf_dir: str):
+    from . import visibility as vpipe
+
+    poi, w = _world_poi()
+    poi_tbl = pa.Table.from_pandas(poi.to_pandas(), preserve_index=False)
+    edges = vpipe.edge_coords_table(w["network_nodes"], w["network_edges"])
+    features = pq.read_table(w["image_features"])
+    rollup, _ = vpipe.streetview_gvi(
+        poi_tbl, edges, features, buffer_dist=100.0, concurrency=4
+    )
+    return rollup
+
+
+def q_canopy_pct(sf_dir: str):
+    poi, w = _world_poi(limit=500)
+    canopy = pq.read_table(w["canopy"])
+    return availability.canopy_percentage(poi, canopy, buffer_dist=250.0,
+                                          concurrency=4)
+
+
+def q_greenspace_pct(sf_dir: str):
+    poi, w = _world_poi(limit=500)
+    gs = pq.read_table(w["greenspace"])
+    return availability.greenspace_percentage(poi, gs, buffer_dist=300.0,
+                                              concurrency=4)
+
+
+def q_network_distance(sf_dir: str):
+    from . import accessibility as apipe
+
+    poi, w = _world_poi(limit=300)
+    return apipe.network_distance_greenspace(
+        poi, pq.read_table(w["network_nodes"]), pq.read_table(w["network_edges"]),
+        pq.read_table(w["greenspace"]), target_dist=600.0, concurrency=4,
+    )
+
+
+def q_isochrone_ndvi(sf_dir: str):
+    poi, w = _world_poi(limit=200)
+    return availability.mean_ndvi_isochrone(
+        poi, pq.read_table(w["network_nodes"]), pq.read_table(w["network_edges"]),
+        w["tiles"], buffer_dist=500.0, concurrency=4,
+    )
+
+
+def q_dissolve(sf_dir: str):
+    """Greenspace dissolve blobs (D1) as a table."""
+    from ..stages.dissolve import dissolve_convex
+    import numpy as _np
+
+    w = _world_paths()
+    gs = pq.read_table(w["greenspace"])
+    rings = [
+        _np.array([[p["x"], p["y"]] for p in r[0]])
+        for r in gs.column("rings").to_pylist()
+    ]
+    out = dissolve_convex(rings, ids=gs.column("gs_id").to_pylist())
+    return pa.table({
+        "rep_id": pa.array(out["rep_id"], pa.int64()),
+        "n_members": pa.array([len(m) for m in out["member_ids"]], pa.int64()),
+        "area": pa.array(_np.round(out["area"], 6)),
+        "centroid_x": pa.array(_np.round(out["centroid_x"], 6)),
+        "centroid_y": pa.array(_np.round(out["centroid_y"], 6)),
+    })
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (scale ANN path; recall vs brute
+    force measured in tests)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    V = (
+        emb.column("embedding").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False).reshape(-1, EMB_DIM).astype(np.float64)
+    )
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    sel = np.isin(ids, TOPK_QUERY_IDS)
+    queries = {"query_id": ids[sel].tolist(), "vectors": V[sel]}
+    cents = similarity.train_centroids(V[: min(len(V), 1000)], n_centroids=16)
+    ds = dt.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.ivf_topk(ds, queries, cents, TOPK_K, EMB_DIM, nprobe=4,
+                               concurrency=4)
+
+
 QUERIES = {
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
@@ -465,4 +592,13 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "events_window": q_events_window,
     "pricing_summary": q_pricing_summary,
+    "spans_mean_ndvi": q_spans_mean_ndvi,
+    "viewshed_gvi": q_viewshed_gvi,
+    "streetview_gvi": q_streetview_gvi,
+    "canopy_pct": q_canopy_pct,
+    "greenspace_pct": q_greenspace_pct,
+    "network_distance": q_network_distance,
+    "isochrone_ndvi": q_isochrone_ndvi,
+    "dissolve": q_dissolve,
+    "ivf_topk": q_ivf_topk,
 }

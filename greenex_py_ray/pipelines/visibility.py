@@ -1,0 +1,216 @@
+"""Visibility pillar pipelines: viewshed GVI + streetview GVI.
+
+Ray-Data-native reimplementation of
+``GreenExp/visibility.py::get_viewshed_GVI`` (`:50-293`) and
+``::get_streetview_GVI`` (`:296-437`).  Both return the reference's two
+tables: per-PoI rollup (``GVI`` mean rounded 3 + ``nr_of_points``) and
+the per-sample-point table.
+"""
+
+from __future__ import annotations
+
+from ..functions.joins import as_pool
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..sources import documents as doc_src
+from ..stages import visibility as vis
+
+
+def edge_coords_table(nodes_path: str, edges_path: str) -> pa.Table:
+    """(u, v, length) edge table + node coords → (ax, ay, bx, by, length)
+    straight-segment geometry (synthetic networks carry no curved edge
+    geometry; SURVEY S10)."""
+    nodes = pq.read_table(nodes_path)
+    edges = pq.read_table(edges_path)
+    nid = nodes.column("node_id").to_numpy(zero_copy_only=False)
+    nx = nodes.column("x").to_numpy(zero_copy_only=False)
+    ny = nodes.column("y").to_numpy(zero_copy_only=False)
+    pos = {int(i): k for k, i in enumerate(nid)}
+    u = edges.column("u").to_numpy(zero_copy_only=False)
+    v = edges.column("v").to_numpy(zero_copy_only=False)
+    pu = np.fromiter((pos[int(i)] for i in u), dtype=np.int64, count=len(u))
+    pv = np.fromiter((pos[int(i)] for i in v), dtype=np.int64, count=len(v))
+    return pa.table(
+        {
+            "ax": pa.array(nx[pu]), "ay": pa.array(ny[pu]),
+            "bx": pa.array(nx[pv]), "by": pa.array(ny[pv]),
+            "length": edges.column("length"),
+        }
+    )
+
+
+def _finish_rollup(batch: pa.Table, key_col: str) -> pa.Table:
+    mean = batch.column("mean_gvi_raw").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            key_col: batch.column(key_col),
+            "GVI": pa.array(np.round(mean, 3)),  # visibility.py:564 round(3)
+            "nr_of_points": batch.column("nr_of_points"),
+        }
+    )
+
+
+def viewshed_gvi(
+    poi: "ray.data.Dataset",
+    edges_coords: pa.Table,
+    tile_root: str,
+    buffer_dist: float = 100.0,
+    viewing_dist: float = 250.0,
+    sample_dist: float = 50.0,
+    observer_height: float = 1.7,
+    key_col: str = "doc_id",
+    concurrency: int = 4,
+    batch_size: int = 512,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """poi(key,x,y) → (per-PoI rollup, per-sample-point GVI rows).
+
+    Stage plan: sample-point actor (broadcast edge index) → flat explode
+    → ViewshedGVI actor pool (precomputed rays + tile cache) →
+    groupby(key) Mean/Count rollup.
+    """
+    eref = ray.put(edges_coords)
+    pts = poi.map_batches(
+        vis.SamplePointsViewshed,
+        fn_constructor_kwargs=dict(
+            edges_ref=eref, buffer_dist=buffer_dist, sample_dist=sample_dist,
+            key_col=key_col,
+        ),
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+    )
+    scored = pts.map_batches(
+        vis.ViewshedGVI,
+        fn_constructor_kwargs=dict(
+            tile_root=tile_root, viewing_dist=viewing_dist,
+            observer_height=observer_height, key_col=key_col,
+        ),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=as_pool(concurrency), num_cpus=0.5,
+    )
+    agg = scored.groupby(key_col).aggregate(
+        Mean("GVI", alias_name="mean_gvi_raw"), Count(alias_name="nr_of_points")
+    )
+    rollup = agg.map_batches(lambda b: _finish_rollup(b, key_col), batch_format="pyarrow")
+    return rollup, scored
+
+
+def streetview_gvi(
+    poi_table: pa.Table,
+    edges_coords: pa.Table,
+    features: pa.Table,
+    buffer_dist: float = 100.0,
+    interval: float = 50.0,
+    key_col: str = "doc_id",
+    concurrency: int = 4,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Streetview GVI with the stubbed segmentation scorer.
+
+    edges → points every ``interval`` m → exact dedup (groupby point key)
+    → semi-join vs PoI buffers → nearest image feature ≤100 m →
+    SegmentationGVI actor → explode to PoIs → null-skipping Mean +
+    non-null Count (pandas ``mean``/``count`` semantics,
+    visibility.py:1048-1049).
+    """
+    edges_ds = ray.data.from_arrow(edges_coords)
+    pts = edges_ds.map_batches(
+        lambda b: vis.streetview_sample_batch(b, interval), batch_format="pyarrow"
+    )
+
+    from ..stages.dedup import bucket_dedup
+
+    pts = bucket_dedup(pts, subset=["sp_x", "sp_y"])  # D2: exact geometry dedup
+    pref = ray.put(poi_table)
+    pts = pts.map_batches(
+        vis.PointsToPoi,
+        fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
+                                   key_col=key_col, semi=True),
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+    )
+    fref = ray.put(features)
+    pts = pts.map_batches(
+        vis.NearestImageFeature,
+        fn_constructor_kwargs=dict(features_ref=fref),
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+    )
+    scored = pts.map_batches(
+        vis.SegmentationGVI, batch_format="pyarrow",
+        concurrency=as_pool(concurrency), num_cpus=0.5,
+    )
+    exploded = scored.map_batches(
+        vis.PointsToPoi,
+        fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
+                                   key_col=key_col, semi=False),
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+    )
+
+    def pre_rollup(batch: pa.Table) -> pa.Table:
+        g = batch.column("GVI").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(g)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "gvi_sum": pa.array(np.where(ok, g, 0.0)),
+                "gvi_n": pa.array(ok.astype(np.int64)),
+            }
+        )
+
+    agg = exploded.map_batches(pre_rollup, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("gvi_sum"), Sum("gvi_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(gvi_sum)").to_numpy(zero_copy_only=False)
+        n = batch.column("sum(gvi_n)").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "GVI": pa.array(np.round(mean, 3)),
+                "nr_of_points": pa.array(n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow"), exploded
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-document entry points
+# ---------------------------------------------------------------------------
+
+
+def get_viewshed_gvi_documents(
+    documents_path: str, world_paths: dict, buffer_dist: float = 100.0,
+    viewing_dist: float = 250.0, sample_dist: float = 50.0,
+    concurrency: int = 4,
+):
+    docs = doc_src.read_documents(documents_path)
+    poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    edges = edge_coords_table(world_paths["network_nodes"], world_paths["network_edges"])
+    return viewshed_gvi(
+        poi, edges, world_paths["tiles"], buffer_dist=buffer_dist,
+        viewing_dist=viewing_dist, sample_dist=sample_dist,
+        concurrency=as_pool(concurrency),
+    )
+
+
+def get_streetview_gvi_documents(
+    documents_path: str, world_paths: dict, buffer_dist: float = 100.0,
+    concurrency: int = 4,
+):
+    docs = doc_src.read_documents(documents_path)
+    # the PoI side is broadcast into the semi-join/rollup actors; at
+    # 10^12-doc scale this path switches to the cell-bucketed join of
+    # functions/joins — test/bench scale keeps the broadcast variant
+    poi_pdf = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"]).to_pandas()
+    poi_tbl = pa.Table.from_pandas(poi_pdf, preserve_index=False)
+    edges = edge_coords_table(world_paths["network_nodes"], world_paths["network_edges"])
+    features = pq.read_table(world_paths["image_features"])
+    return streetview_gvi(poi_tbl, edges, features, buffer_dist=buffer_dist,
+                          concurrency=as_pool(concurrency))

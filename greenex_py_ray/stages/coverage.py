@@ -1,0 +1,141 @@
+"""Vector coverage stages: canopy % and greenspace % per AoI.
+
+Reimplements ``availability.get_canopy_percentage`` (`availability.py:
+600-780`, formula :764) and ``get_greenspace_percentage`` (`:783-1010`,
+formula :997)::
+
+    cover = str(round(clip(aoi).area.sum() / aoi.area * 100, 2)) + '%'
+
+The AoI is the reference's shapely buffer polygon — a 4·quad_segs-gon
+(quad_segs=16) — and clipping a polygon by that convex AoI is exact
+Sutherland–Hodgman, so values match the reference's discretization
+bit-for-bit on convex inputs.  Overlapping greenspaces are dissolved
+first (D1, ``accessibility.py:125-127``) via
+:mod:`~greenex_py_ray.stages.dissolve`; the clipped-area union inside
+the AoI uses inclusion–exclusion over convex intersections (exact for
+the convex synthetic polygon corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .. import geom
+from ..state.index import GridIndex
+
+
+def _resolve(ref):
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+def _rings_list(gs: pa.Table) -> list[np.ndarray]:
+    out = []
+    for rlist in gs.column("rings").to_pylist():
+        out.append(np.array([[p["x"], p["y"]] for p in rlist[0]], dtype=np.float64))
+    return out
+
+
+def union_area_of_convex(polys: list[np.ndarray], max_depth: int = 6) -> float:
+    """Area of the union of CONVEX polygons via inclusion–exclusion.
+
+    Intersections of convex sets are convex (successive S–H clips), so
+    every term is exact.  Depth is bounded by the largest overlapping
+    clique; synthetic corpora keep cliques small."""
+    n = len(polys)
+    if n == 0:
+        return 0.0
+    total = 0.0
+
+    def rec(start: int, current: np.ndarray | None, depth: int, sign: float):
+        nonlocal total
+        for j in range(start, n):
+            inter = polys[j] if current is None else geom.clip_polygon_convex(
+                current, polys[j]
+            )
+            if len(inter) < 3:
+                continue
+            a = geom.polygon_area(inter)
+            if a <= 0.0:
+                continue
+            total += sign * a
+            if depth < max_depth:
+                rec(j + 1, inter, depth + 1, -sign)
+
+    rec(0, None, 1, 1.0)
+    return total
+
+
+class PolygonCoverage:
+    """map_batches actor: percent of each PoI's buffer AoI covered by the
+    (broadcast) polygon table.
+
+    AoI = ``buffer_ngon(x, y, buffer_dist, quad_segs)`` (shapely
+    discretization); candidates via a vertex grid index; output column
+    ``{name}`` is ``round(pct, 2)`` (float) or the reference's
+    stringified ``"12.31%"`` when ``stringify=True``.
+    """
+
+    def __init__(self, polys_ref, buffer_dist: float, key_col: str = "doc_id",
+                 name: str = "canopy_cover", stringify: bool = False,
+                 quad_segs: int = 16, dissolve: bool = True):
+        t = _resolve(polys_ref)
+        rings = _rings_list(t)
+        if dissolve:
+            from .dissolve import dissolve_convex
+
+            rings = dissolve_convex(rings)["groups_rings"]
+        else:
+            rings = [[r] for r in rings]
+        # rings is now a list of groups; each group = list of convex
+        # rings forming one dissolved blob (union computed lazily)
+        self.groups = rings
+        vx = np.concatenate([r[:, 0] for grp in rings for r in grp])
+        vy = np.concatenate([r[:, 1] for grp in rings for r in grp])
+        owner = np.concatenate(
+            [np.full(len(r), gi, dtype=np.int64)
+             for gi, grp in enumerate(rings) for r in grp]
+        )
+        self.vert_owner = owner
+        self.vert_index = GridIndex(vx, vy, cell_size=500.0)
+        self.max_span = max(
+            (float(np.hypot(*(r.max(0) - r.min(0)))) for grp in rings for r in grp),
+            default=0.0,
+        )
+        self.buffer_dist = float(buffer_dist)
+        self.key_col = key_col
+        self.name = name
+        self.stringify = stringify
+        self.quad_segs = quad_segs
+
+    def _pct(self, x: float, y: float) -> float:
+        aoi = geom.buffer_ngon(x, y, self.buffer_dist, self.quad_segs)
+        aoi_area = geom.polygon_area(aoi)
+        _, pj, _ = self.vert_index.within(
+            np.array([x]), np.array([y]), self.buffer_dist + self.max_span
+        )
+        if not len(pj):
+            return 0.0
+        clipped: list[np.ndarray] = []
+        for gi in np.unique(self.vert_owner[pj]):
+            for ring in self.groups[gi]:
+                c = geom.clip_polygon_convex(ring, aoi)
+                if len(c) >= 3:
+                    clipped.append(c)
+        if not clipped:
+            return 0.0
+        area = union_area_of_convex(clipped)
+        return area / aoi_area * 100.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        pct = np.array([round(self._pct(x[i], y[i]), 2) for i in range(len(x))])
+        if self.stringify:
+            # availability.py:764: str(round(pct, 2)) + '%'
+            col = pa.array([f"{v!s}%" for v in pct], pa.string())
+        else:
+            col = pa.array(pct)
+        return pa.table({self.key_col: batch.column(self.key_col), self.name: col})

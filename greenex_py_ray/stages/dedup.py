@@ -19,6 +19,8 @@ shape is hash-partition + per-group reduce, never a driver-side set.
 
 from __future__ import annotations
 
+from ..functions.joins import as_pool
+
 import hashlib
 
 import numpy as np
@@ -56,10 +58,7 @@ def exact_dedup(ds: "ray.data.Dataset", key_col: str = "doc_id",
         zero_copy_batch=True,
     )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(key_col).head(1)
-
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return bucket_dedup(hashed, subset=["content_hash"], sort_by=key_col)
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +150,7 @@ def minhash_lsh_candidates(
     LSH buckets, deduplicated across bands."""
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm),
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
     )
     bands_ds = sigs.map_batches(
         lambda b: lsh_band_batch(b, num_perm, bands, key_col), batch_format="pyarrow"
@@ -167,10 +166,8 @@ def minhash_lsh_candidates(
     cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
     )
-    # dedup pairs surfaced by multiple bands
-    return cand.groupby(["key_a", "key_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # dedup pairs surfaced by multiple bands (bucketed, not per-pair groups)
+    return bucket_dedup(cand, subset=["key_a", "key_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -333,4 +330,43 @@ def cosine_pairs_in_group(g: pd.DataFrame, threshold: float, key_col: str,
         {"key_a": keys[ia[keep]].astype(np.int64),
          "key_b": keys[ib[keep]].astype(np.int64),
          "cosine": sim[ia, ib][keep].astype(np.float64)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed exact dedup (scale-friendly)
+# ---------------------------------------------------------------------------
+
+
+def bucket_dedup(ds: "ray.data.Dataset", subset: list[str],
+                 num_buckets: int = 64, sort_by: str | None = None):
+    """Exact dedup on ``subset`` columns via hash-bucket co-location.
+
+    ``groupby(key).map_groups(head(1))`` pays one pandas call per
+    DISTINCT key — ruinous when keys are nearly unique (e.g. 81k sample
+    points → 81k groups).  Duplicates necessarily share a bucket, so
+    ``groupby(bucket)`` (num_buckets groups) + a vectorized
+    ``drop_duplicates`` per bucket is equivalent and O(num_buckets)
+    pandas calls.  ``sort_by`` picks the surviving row deterministically
+    (min of that column), matching GROUP BY → min() oracles."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for col in subset:
+            vals = pd.util.hash_pandas_object(
+                pd.Series(batch.column(col).to_pylist()), index=False
+            ).to_numpy()
+            h = h * np.uint64(1099511628211) + vals
+        return batch.append_column(
+            "__dedup_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if sort_by is not None:
+            g = g.sort_values(sort_by, kind="stable")
+        return g.drop_duplicates(subset=subset).drop(columns="__dedup_bucket")
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__dedup_bucket")
+        .map_groups(drop_dups, batch_format="pandas")
     )

@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) column stages.
+
+The interleaved documents carry ``kind="media"`` spans whose
+``media_ref`` points into a blob store (``tile://band/tix_tiy`` for
+raster tiles, ``img://id`` for imagery).  These stages treat media as
+opaque ``binary`` columns with typed metadata and run decode /
+feature-extract / resize / frame-sample as actor-pool ``map_batches``
+stages.
+
+The image/audio codec libraries are NOT in this container, so the codec
+boundary is stubbed exactly as the task prescribes: ``DecodeImage`` with
+``strict=True`` raises ``NotImplementedError`` at the decode call, and
+the default deterministic fake produces a stable pseudo-image from the
+payload bytes so the Ray-side plumbing (schema, batch size, actor
+signature, output layout) is real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def extract_media_refs_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, media_ref) rows for every media span
+    (vectorized list-column flatten, no python row loop)."""
+    import pyarrow.compute as pc
+
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    is_media = np.asarray(pc.equal(flat.field("kind"), "media").to_numpy(
+        zero_copy_only=False), dtype=bool)
+    pos = np.flatnonzero(is_media)
+    parents = np.searchsorted(offsets, pos, side="right") - 1
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").take(pa.array(parents)),
+            "media_ref": flat.field("media_ref").take(pa.array(pos)),
+        }
+    )
+
+
+class FetchMedia:
+    """Actor stage: media_ref → payload bytes (binary column).
+
+    ``tile://`` refs resolve against the tile store parquet;
+    ``img://`` refs synthesize a deterministic payload (the sandbox has
+    no real blob store).  Payloads are opaque binary — large rows, so
+    callers use a small ``batch_size``."""
+
+    def __init__(self, tile_root: str | None = None):
+        from ..state.tiles import TileStore
+
+        self.store = TileStore(tile_root) if tile_root else None
+
+    def _fetch(self, ref: str) -> bytes:
+        if ref.startswith("tile://") and self.store is not None:
+            _, _, rest = ref.partition("tile://")
+            band, _, tile = rest.partition("/")
+            tix, _, tiy = tile.partition("_")
+            arr = self.store.get(band, int(tix), int(tiy))
+            return arr.tobytes() if arr is not None else b""
+        return hashlib.blake2b(ref.encode(), digest_size=32).digest() * 64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        return batch.append_column(
+            "payload", pa.array([self._fetch(r) for r in refs], pa.binary())
+        )
+
+
+class DecodeImage:
+    """Actor stage: payload bytes → decoded (H, W, 3) uint8 image.
+
+    STUB: no image codec is available in this container.
+    ``strict=True`` raises ``NotImplementedError`` (the marked codec
+    boundary); the default fake decodes deterministically from the
+    payload hash so downstream stages (resize, feature extract) are
+    exercised for real."""
+
+    def __init__(self, height: int = 64, width: int = 96, strict: bool = False):
+        self.h = height
+        self.w = width
+        self.strict = strict
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "image codec not available in this environment; plug a real "
+                "decoder (PIL/libjpeg) here on a full cluster"
+            )
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (self.h, self.w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        imgs = [self.decode(p or b"") for p in payloads]
+        flat = np.stack(imgs).reshape(len(imgs), -1)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.reshape(-1), pa.uint8()), self.h * self.w * 3
+        )
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("image", col)
+        out = out.append_column("img_h", pa.array([self.h] * len(imgs), pa.int32()))
+        out = out.append_column("img_w", pa.array([self.w] * len(imgs), pa.int32()))
+        return out
+
+
+class ImageFeatures:
+    """Actor stage: decoded image → small feature vector (channel means,
+    stds, gradient energy) — a stand-in for a vision-model embedding
+    with the same actor/batch shape."""
+
+    def __init__(self, height: int = 64, width: int = 96):
+        self.h = height
+        self.w = width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        img_col = batch.column("image")
+        if isinstance(img_col, pa.ChunkedArray):
+            img_col = img_col.combine_chunks()
+        flat = img_col.flatten().to_numpy(zero_copy_only=False)
+        imgs = flat.reshape(-1, self.h, self.w, 3).astype(np.float64)
+        means = imgs.mean(axis=(1, 2))
+        stds = imgs.std(axis=(1, 2))
+        grad = np.abs(np.diff(imgs, axis=2)).mean(axis=(1, 2))
+        feats = np.concatenate([means, stds, grad], axis=1)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1)), feats.shape[1]
+        )
+        return batch.drop_columns(["image"]).append_column("features", col)

@@ -1,0 +1,376 @@
+"""Visibility pillar stages: viewshed GVI + streetview GVI.
+
+Viewshed path (``GreenExp/visibility.py:50-293``):
+  poi → sample points on road edges within buffer (M19, :568-589)
+      → ViewshedGVI actor pool (M21/M22 kernel with DSM/DTM/green tile
+        cache; the lineOfSight argument swap is replicated — see
+        state/viewshed.py) → per-PoI mean/count rollup (:564).
+
+Streetview path (``visibility.py:296-437``):
+  road edges → points every N m (M20, :624-650, dedup on geometry)
+      → semi-join against PoI buffers (J6, :653-660)
+      → nearest image feature within 100 m (J7, :706-717)
+      → segmentation scorer actor (M23-M26) — the Mask2Former model is
+        NOT available in this environment; ``FakeSegmentation`` is a
+        clearly-marked deterministic stub with the real interface
+        (image decode → per-pixel classes); the panorama crop / road
+        centre (RLE + peaks) / green-ratio plumbing is real
+      → per-PoI mean/count rollup (J8, :1036-1056).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..sources import synth
+from ..state.index import GridIndex
+from ..state.tiles import TileStore
+from ..state.viewshed import ViewshedKernel
+
+
+def _resolve(ref):
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+# ---------------------------------------------------------------------------
+# Sample-point generation
+# ---------------------------------------------------------------------------
+
+
+class SamplePointsViewshed:
+    """map_batches actor: per PoI, road sample points at ``sample_dist``
+    intervals on edges intersecting the PoI buffer
+    (get_network_sample_points, visibility.py:568-589).
+
+    Edge table (ax, ay, bx, by, length) is broadcast; an edge-midpoint
+    grid index prunes candidates; edges shorter than ``sample_dist``
+    contribute their midpoint, others ``linspace(0, len, n)`` points
+    (duplicates across edges intentionally kept — the reference does not
+    dedup in this path)."""
+
+    def __init__(self, edges_ref, buffer_dist: float, sample_dist: float,
+                 key_col: str = "doc_id"):
+        e = _resolve(edges_ref)
+        self.ax = e.column("ax").to_numpy(zero_copy_only=False)
+        self.ay = e.column("ay").to_numpy(zero_copy_only=False)
+        self.bx = e.column("bx").to_numpy(zero_copy_only=False)
+        self.by = e.column("by").to_numpy(zero_copy_only=False)
+        self.length = e.column("length").to_numpy(zero_copy_only=False)
+        self.midx = (self.ax + self.bx) / 2.0
+        self.midy = (self.ay + self.by) / 2.0
+        self.index = GridIndex(self.midx, self.midy, cell_size=500.0)
+        self.margin = float(self.length.max()) / 2.0 if len(self.length) else 0.0
+        self.buffer_dist = float(buffer_dist)
+        self.sample_dist = float(sample_dist)
+        self.key_col = key_col
+
+    def _edge_candidates(self, x: float, y: float) -> np.ndarray:
+        _, pj, _ = self.index.within(np.array([x]), np.array([y]),
+                                     self.buffer_dist + self.margin)
+        if not len(pj):
+            return pj
+        dx = self.bx[pj] - self.ax[pj]
+        dy = self.by[pj] - self.ay[pj]
+        len2 = dx * dx + dy * dy
+        qx = x - self.ax[pj]
+        qy = y - self.ay[pj]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(len2 > 0, (qx * dx + qy * dy) / len2, 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        d2 = (qx - t * dx) ** 2 + (qy - t * dy) ** 2
+        return pj[d2 <= self.buffer_dist * self.buffer_dist]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        keys = batch.column(self.key_col)
+        out_idx, out_x, out_y = [], [], []
+        for i in range(len(x)):
+            ej = self._edge_candidates(x[i], y[i])
+            for j in ej:
+                L = self.length[j]
+                if L < self.sample_dist:
+                    out_idx.append(i)
+                    out_x.append(self.midx[j])
+                    out_y.append(self.midy[j])
+                else:
+                    n = int(L / self.sample_dist) + 1  # visibility.py:584
+                    t = np.linspace(0.0, 1.0, n)
+                    out_idx.extend([i] * n)
+                    out_x.extend((self.ax[j] + (self.bx[j] - self.ax[j]) * t).tolist())
+                    out_y.extend((self.ay[j] + (self.by[j] - self.ay[j]) * t).tolist())
+        idx = np.array(out_idx, dtype=np.int64)
+        return pa.table(
+            {
+                self.key_col: keys.take(pa.array(idx)) if len(idx) else keys.slice(0, 0),
+                "sp_x": pa.array(np.array(out_x)),
+                "sp_y": pa.array(np.array(out_y)),
+            }
+        )
+
+
+def streetview_sample_batch(batch: pa.Table, interval: float = 50.0) -> pa.Table:
+    """Points every ``interval`` m along each edge
+    (select_points_on_road_network, visibility.py:624-650:
+    ``range(0, int(len), N)`` — start included, far end excluded).
+    Exact dedup on geometry happens downstream via groupby."""
+    ax = batch.column("ax").to_numpy(zero_copy_only=False)
+    ay = batch.column("ay").to_numpy(zero_copy_only=False)
+    bx = batch.column("bx").to_numpy(zero_copy_only=False)
+    by = batch.column("by").to_numpy(zero_copy_only=False)
+    length = batch.column("length").to_numpy(zero_copy_only=False)
+    out_x, out_y = [], []
+    for j in range(len(ax)):
+        # range(0, int(len), N): start included, far end excluded; an
+        # edge shorter than 1 m yields no points (visibility.py:633)
+        ds = np.arange(0, int(length[j]), int(interval), dtype=np.float64)
+        if not len(ds):
+            continue
+        t = ds / length[j]
+        out_x.append(ax[j] + (bx[j] - ax[j]) * t)
+        out_y.append(ay[j] + (by[j] - ay[j]) * t)
+    px = np.concatenate(out_x) if out_x else np.empty(0)
+    py = np.concatenate(out_y) if out_y else np.empty(0)
+    return pa.table({"sp_x": pa.array(px), "sp_y": pa.array(py)})
+
+
+# ---------------------------------------------------------------------------
+# Viewshed GVI actor
+# ---------------------------------------------------------------------------
+
+
+class ViewshedGVI:
+    """Actor-pool stage: GVI per sample point.
+
+    Kernel + rays precomputed in ``__init__``; DSM/DTM/green fetched as
+    stitched windows from the per-actor tile cache.  Emits one row per
+    sample point (key, sp_x, sp_y, GVI)."""
+
+    def __init__(self, tile_root: str, viewing_dist: float,
+                 observer_height: float = 1.7, key_col: str = "doc_id",
+                 replicate_arg_swap: bool = True, cache_tiles: int = 256):
+        res = synth.RASTER_RES
+        self.kernel = ViewshedKernel(
+            radius_px=int(viewing_dist // res), resolution=res,
+            observer_height=observer_height,
+            replicate_arg_swap=replicate_arg_swap,
+        )
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.key_col = key_col
+        self.res = res
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("sp_x").to_numpy(zero_copy_only=False)
+        y = batch.column("sp_y").to_numpy(zero_copy_only=False)
+        R = self.kernel.R
+        gvis = np.empty(len(x))
+        for i in range(len(x)):
+            r0 = int(np.floor(y[i] / self.res))
+            c0 = int(np.floor(x[i] / self.res))
+            dsm = self.store.window("dsm", r0 - R, c0 - R, 2 * R + 1, 2 * R + 1)
+            dtm = self.store.window("dtm", r0 - R, c0 - R, 2 * R + 1, 2 * R + 1)
+            green = self.store.window("green", r0 - R, c0 - R, 2 * R + 1, 2 * R + 1)
+            gvis[i] = self.kernel.gvi(dsm, dtm, green)
+        return batch.append_column("GVI", pa.array(gvis))
+
+
+# ---------------------------------------------------------------------------
+# Streetview: nearest image feature + segmentation scorer (stubbed model)
+# ---------------------------------------------------------------------------
+
+
+class NearestImageFeature:
+    """map_batches actor: nearest image feature within 100 m (J7,
+    visibility.py:706-717); misses get image_id "" / distance null."""
+
+    def __init__(self, features_ref, max_distance: float = 100.0):
+        t = _resolve(features_ref)
+        self.index = GridIndex(
+            t.column("x").to_numpy(zero_copy_only=False),
+            t.column("y").to_numpy(zero_copy_only=False),
+            cell_size=500.0,
+        )
+        self.image_ids = t.column("image_id").to_pylist()
+        self.is_pano = t.column("is_panoramic").to_numpy(zero_copy_only=False)
+        self.max_distance = float(max_distance)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("sp_x").to_numpy(zero_copy_only=False)
+        y = batch.column("sp_y").to_numpy(zero_copy_only=False)
+        d, idx = self.index.nearest(x, y, max_dist=self.max_distance)
+        hit = idx >= 0
+        ids = [self.image_ids[j] if h else "" for j, h in zip(idx, hit)]
+        pano = np.where(hit, self.is_pano[np.maximum(idx, 0)], False)
+        dist = np.where(hit, d, np.nan)
+        return (
+            batch.append_column("image_id", pa.array(ids, pa.string()))
+            .append_column("is_panoramic", pa.array(pano.astype(bool)))
+            .append_column("feature_distance", pa.array(dist))
+        )
+
+
+def run_length_encoding(arr: np.ndarray):
+    """RLE of a 1-D bool array → (starts, lengths, values)
+    (visibility.py:747-756)."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, bool)
+    change = np.flatnonzero(arr[1:] != arr[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    lengths = np.diff(np.concatenate([starts, [n]]))
+    return starts, lengths, arr[starts]
+
+
+def find_peaks_1d(x: np.ndarray, distance: int, prominence: float) -> np.ndarray:
+    """Minimal find_peaks (local maxima with min distance + prominence)
+    — scipy is absent; semantics follow scipy.signal.find_peaks for the
+    subset of parameters the reference uses (visibility.py:769-773)."""
+    n = len(x)
+    cand = [i for i in range(1, n - 1) if x[i] > x[i - 1] and x[i] >= x[i + 1]]
+    peaks = []
+    for i in cand:
+        left_min = x[:i].min() if i > 0 else x[i]
+        right_min = x[i + 1 :].min() if i < n - 1 else x[i]
+        prom = x[i] - max(left_min, right_min)
+        if prom >= prominence:
+            peaks.append((x[i], i))
+    peaks.sort(reverse=True)
+    chosen: list[int] = []
+    for _, i in peaks:
+        if all(abs(i - j) >= distance for j in chosen):
+            chosen.append(i)
+    return np.array(sorted(chosen), dtype=np.int64)
+
+
+def find_road_centres(seg: np.ndarray, road_class: int = 0) -> np.ndarray:
+    """Road-centre columns from a segmentation array: per-column road
+    run lengths → peaks (M24, visibility.py:759-782)."""
+    road = seg == road_class
+    col_runs = np.zeros(seg.shape[1])
+    for c in range(seg.shape[1]):
+        _, lengths, values = run_length_encoding(road[:, c])
+        runs = lengths[values]
+        col_runs[c] = runs.max() if len(runs) else 0
+    dist = max(seg.shape[1] // 4, 1)
+    return find_peaks_1d(col_runs, distance=dist, prominence=seg.shape[0] * 0.1)
+
+
+class FakeSegmentation:
+    """DETERMINISTIC STUB for the Mask2Former semantic segmentation
+    (M23, visibility.py:738-744,876-889) — torch/transformers are not in
+    this environment.
+
+    Interface-compatible with a real scorer actor: ``media_ref →
+    (H, W) uint8 class array`` (cityscapes ids; 8 = vegetation,
+    0 = road).  The array is generated from a hash of the image id so
+    results are stable across actors and runs.  Swap this class for a
+    real model-backed scorer on a GPU cluster; nothing else changes.
+    """
+
+    H, W = 96, 192
+
+    def segment(self, image_id: str) -> np.ndarray:
+        seed = np.frombuffer(
+            image_id.encode().ljust(8, b"\0")[:8], dtype=np.uint64
+        )[0]
+        rng = np.random.default_rng(int(seed))
+        veg_p = 0.05 + (int(seed) % 40) / 100.0
+        seg = rng.choice(
+            np.array([0, 1, 2, 8, 11], dtype=np.uint8),
+            size=(self.H, self.W),
+            p=[0.3, 0.15, 0.2, veg_p, 0.35 - veg_p],
+        )
+        # a road band near the bottom so road-centre detection has signal
+        seg[int(self.H * 0.75) :, :] = 0
+        return seg
+
+
+class SegmentationGVI:
+    """Actor-pool scorer: image → green-pixel fraction (M25/M26).
+
+    Real plumbing, stubbed decode: panoramic images get the reference's
+    crop flow (drop bottom 20 %, wrap first 25 %, 4:3 crops around road
+    centres, visibility.py:785-873); flat images are scored whole.  GVI
+    = fraction of vegetation pixels over all crops (:892-903)."""
+
+    VEGETATION = 8
+
+    def __init__(self, model: type = FakeSegmentation):
+        self.model = model()  # loaded once per actor
+
+    def _gvi_pano(self, seg: np.ndarray) -> float:
+        h, w = seg.shape
+        seg = seg[: int(h * 0.8), :]                      # drop bottom 20%
+        seg = np.concatenate([seg, seg[:, : w // 4]], 1)  # wrap-around widen
+        centres = find_road_centres(seg)
+        hh, ww = seg.shape
+        crop_w = int(hh * 4 / 3)
+        crops = []
+        if len(centres) == 0:
+            crops.append(seg)
+        for c in centres:
+            lo = c - crop_w // 2
+            hi = lo + crop_w
+            if lo < 0:
+                crops.append(np.concatenate([seg[:, lo % ww :], seg[:, :hi]], 1))
+            elif hi > ww:
+                crops.append(np.concatenate([seg[:, lo:], seg[:, : hi - ww]], 1))
+            else:
+                crops.append(seg[:, lo:hi])
+        tot = sum(c.size for c in crops)
+        green = sum(int((c == self.VEGETATION).sum()) for c in crops)
+        return green / tot if tot else float("nan")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        pano = batch.column("is_panoramic").to_numpy(zero_copy_only=False)
+        gvi = np.empty(len(ids))
+        for i, img in enumerate(ids):
+            if not img:
+                gvi[i] = np.nan  # no image within 100 m → missing GVI
+                continue
+            seg = self.model.segment(img)
+            if pano[i]:
+                gvi[i] = self._gvi_pano(seg)
+            else:
+                gvi[i] = float((seg == self.VEGETATION).mean())
+        return batch.append_column("GVI", pa.array(gvi))
+
+
+class PointsToPoi:
+    """map_batches actor: assign sample points to every PoI whose buffer
+    contains them (J6/J8 semi-join, broadcast PoI side).  Emits one row
+    per (point, poi).
+
+    With ``semi=True`` it instead FILTERS the batch to points inside at
+    least one buffer without duplication (the reference's
+    ``select_points_within_buffers`` unique-point semi-join,
+    visibility.py:653-660)."""
+
+    def __init__(self, poi_ref, buffer_dist: float, key_col: str = "doc_id",
+                 semi: bool = False):
+        t = _resolve(poi_ref)
+        self.index = GridIndex(
+            t.column("x").to_numpy(zero_copy_only=False),
+            t.column("y").to_numpy(zero_copy_only=False),
+            cell_size=max(500.0, buffer_dist),
+        )
+        self.keys = t.column(key_col).to_pylist()
+        self.buffer_dist = float(buffer_dist)
+        self.key_col = key_col
+        self.semi = semi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("sp_x").to_numpy(zero_copy_only=False)
+        y = batch.column("sp_y").to_numpy(zero_copy_only=False)
+        qi, pj, _ = self.index.within(x, y, self.buffer_dist)
+        if self.semi:
+            keep = np.unique(qi)
+            return batch.take(pa.array(keep))
+        tbl = batch.take(pa.array(qi))
+        keys = pa.array([self.keys[j] for j in pj])
+        return tbl.append_column(self.key_col, keys)

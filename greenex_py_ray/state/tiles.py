@@ -51,6 +51,37 @@ class TileStore:
             self._cache.popitem(last=False)
         return arr
 
+    def window(self, band: str, row0: int, col0: int, h: int, w: int,
+               fill=np.nan) -> np.ndarray:
+        """Stitched dense window in GLOBAL pixel coordinates
+        (row = floor(y/res), col = floor(x/res)); pixels outside the
+        stored extent are ``fill``.  Used by kernels that need a local
+        dense raster (viewshed window, isochrone mask) without ever
+        materializing the full raster (vs the reference loading whole
+        rasters into driver RAM, visibility.py:113-216)."""
+        from ..sources import synth
+
+        px = synth.TILE_PX
+        dtype = synth.BAND_DTYPE[band]
+        out = np.full((h, w), fill, dtype=np.float64 if dtype != np.int16 else np.float64)
+        t0r, t1r = row0 // px, (row0 + h - 1) // px
+        t0c, t1c = col0 // px, (col0 + w - 1) // px
+        for tiy in range(t0r, t1r + 1):
+            for tix in range(t0c, t1c + 1):
+                arr = self.get(band, tix, tiy)
+                if arr is None:
+                    continue
+                gr0 = max(row0, tiy * px)
+                gr1 = min(row0 + h, (tiy + 1) * px)
+                gc0 = max(col0, tix * px)
+                gc1 = min(col0 + w, (tix + 1) * px)
+                if gr1 <= gr0 or gc1 <= gc0:
+                    continue
+                out[gr0 - row0 : gr1 - row0, gc0 - col0 : gc1 - col0] = arr[
+                    gr0 - tiy * px : gr1 - tiy * px, gc0 - tix * px : gc1 - tix * px
+                ]
+        return out
+
     def _read(self, band: str, tix: int, tiy: int) -> np.ndarray:
         path = os.path.join(self.root, f"tiles_{band}.parquet")
         t = pq.read_table(

@@ -1,0 +1,189 @@
+"""Dedup / text / similarity / multimodal / lineage operator tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from greenex_py_ray.stages import dedup, multimodal, similarity, text
+
+
+def _docs_ds(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_exact_dedup_matches_pandas(sf_dir):
+    got = dedup.exact_dedup(_docs_ds(sf_dir)).to_pandas()
+    src = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    exp = src.groupby("text", as_index=False)["doc_id"].min()
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_token_count_matches_python(sf_dir):
+    import re
+
+    got = (
+        _docs_ds(sf_dir)
+        .map_batches(text.token_count_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["n_tokens"]
+    )
+    src = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    for _, row in src.head(50).iterrows():
+        assert got[row.doc_id] == len(re.split(r"\s+", row.text.strip()))
+
+
+def test_fingerprint_deterministic_and_distinct(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    fp1 = text.fingerprint64(t.column("text").to_pylist()[:100])
+    fp2 = text.fingerprint64(t.column("text").to_pylist()[:100])
+    assert np.array_equal(fp1, fp2)
+    texts = t.column("text").to_pylist()[:100]
+    assert len(set(fp1.tolist())) == len(set(texts))
+
+
+def test_fingerprint_order_sensitivity():
+    a, b = text.fingerprint64(["ab", "ba"])
+    assert a != b
+
+
+def test_minhash_candidates_contain_high_jaccard_pairs():
+    """Plant near-duplicates; LSH must surface them as candidates and the
+    Jaccard verifier must confirm."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [base, base[:-10] + " extra tail", "completely different text about rays",
+             base.replace("quick", "quik"), "another unrelated document entirely"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl)
+    cand = dedup.minhash_lsh_candidates(ds, key_col="doc_id", concurrency=2).to_pandas()
+    pairs = set(map(tuple, cand[["key_a", "key_b"]].to_numpy()))
+    assert (0, 1) in pairs and (0, 3) in pairs
+    ver = rd.from_pandas(cand).map_batches(
+        dedup.JaccardVerifier,
+        fn_constructor_kwargs=dict(texts_ref=ray.put(tbl), threshold=0.6),
+        batch_format="pyarrow", concurrency=1, num_cpus=1,
+    ).to_pandas()
+    confirmed = ver[ver["is_dup"]]
+    assert {(0, 1), (0, 3)} <= set(map(tuple, confirmed[["key_a", "key_b"]].to_numpy()))
+    assert ((ver["jaccard"] >= 0) & (ver["jaccard"] <= 1)).all()
+
+
+def test_simhash_near_for_similar_texts():
+    h = dedup.SimHasher()
+    t1 = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                   "text": pa.array([
+                       "the quick brown fox jumps over the lazy dog again and again",
+                       "the quick brown fox jumps over the lazy dog again and once",
+                       "entirely different words about distributed raster processing",
+                   ])})
+    out = h(t1).column("simhash").to_pylist()
+    d01 = bin(out[0] ^ out[1]).count("1")
+    d02 = bin(out[0] ^ out[2]).count("1")
+    assert d01 < d02
+
+
+def test_bruteforce_topk_matches_numpy(sf_dir):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    V = emb.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).reshape(-1, 64).astype(np.float64)
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    queries = {"query_id": [int(ids[0])], "vectors": V[:1]}
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = similarity.brute_force_topk(ds, queries, 5, 64, concurrency=2).to_pandas()
+    n = np.linalg.norm(V, axis=1)
+    n[n == 0] = 1
+    Vn = V / n[:, None]
+    sims = Vn @ Vn[0]
+    exp = ids[np.argsort(-sims)[:5]]
+    assert set(got["vec_id"]) == set(exp.tolist())
+
+
+def test_ivf_recall_reasonable(sf_dir):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    V = emb.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).reshape(-1, 64).astype(np.float64)
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    queries = {"query_id": [int(ids[0]), int(ids[1])], "vectors": V[:2]}
+    cents = similarity.train_centroids(V[:500], n_centroids=8)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = similarity.brute_force_topk(ds, queries, 10, 64, concurrency=2).to_pandas()
+    approx = similarity.ivf_topk(ds, queries, cents, 10, 64, nprobe=4,
+                                 concurrency=2).to_pandas()
+    for qid in queries["query_id"]:
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        assert len(e & a) / len(e) >= 0.5  # recall@10 with nprobe=4/8 cells
+
+
+def test_langid_predicts_english():
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array(["the cat and the dog sat in the house of a king"])})
+    out = rd.from_arrow(tbl).map_batches(
+        text.LangId, batch_format="pandas", concurrency=1, num_cpus=1
+    ).to_pandas()
+    assert out["lang_pred"][0] == "en"
+
+
+def test_multimodal_pipeline(world):
+    docs = rd.read_parquet(world["documents"])
+    refs = docs.map_batches(multimodal.extract_media_refs_batch,
+                            batch_format="pyarrow")
+    fetched = refs.limit(32).map_batches(
+        multimodal.FetchMedia,
+        fn_constructor_kwargs=dict(tile_root=world["tiles"]),
+        batch_format="pyarrow", batch_size=8, concurrency=1, num_cpus=1,
+    )
+    decoded = fetched.map_batches(
+        multimodal.DecodeImage, batch_format="pyarrow", batch_size=8,
+        concurrency=1, num_cpus=1,
+    )
+    feats = decoded.map_batches(
+        multimodal.ImageFeatures, batch_format="pyarrow", batch_size=8,
+        concurrency=1, num_cpus=1,
+    ).to_pandas()
+    assert len(feats) == 32
+    assert len(feats["features"][0]) == 9
+    # determinism: same ref → same features
+    f2 = decoded.map_batches(
+        multimodal.ImageFeatures, batch_format="pyarrow", batch_size=8,
+        concurrency=1, num_cpus=1,
+    ).to_pandas()
+    a = feats.sort_values("media_ref")["features"].tolist()
+    b = f2.sort_values("media_ref")["features"].tolist()
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_decode_strict_raises():
+    import pytest
+
+    d = multimodal.DecodeImage(strict=True)
+    with pytest.raises(NotImplementedError):
+        d.decode(b"payload")
+
+
+def test_lineage_resume(tmp_path, sf_dir):
+    from greenex_py_ray import lineage
+
+    out_dir = str(tmp_path / "out")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    m1 = lineage.resumable_write(ds, out_dir, key="doc_id", num_partitions=8)
+    assert len(m1) == 8
+    assert sum(r["row_count"] for r in m1) == ds.count()
+    # simulate a partial failure: delete 3 partitions + their manifests
+    import os
+
+    for p in (1, 4, 6):
+        os.remove(os.path.join(out_dir, f"part-{p:05d}.parquet"))
+        os.remove(os.path.join(out_dir, "_manifest", f"partition-{p}.json"))
+    checks_before = {r["partition_id"]: r["checksum"] for r in m1}
+    m2 = lineage.resumable_write(ds, out_dir, key="doc_id", num_partitions=8)
+    assert len(m2) == 8
+    # re-done partitions byte-identical to the first run
+    for r in m2:
+        assert r["checksum"] == checks_before[r["partition_id"]]

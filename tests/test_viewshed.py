@@ -1,0 +1,130 @@
+"""Viewshed kernel parity vs a straight-line reimplementation of the
+reference's loops (visibility.py:460-564), including the argument-swap
+quirk and the asymmetric [r-R:r+R) GVI windows."""
+
+import numpy as np
+
+from greenex_py_ray.state.viewshed import (
+    ViewshedKernel,
+    circle_perimeter_offsets,
+    line_offsets,
+)
+
+
+def oracle_line(r0, c0, r1, c1):
+    """skimage.draw.line algorithm, straight Python port."""
+    r, c = r0, c0
+    dr, dc = abs(r1 - r0), abs(c1 - c0)
+    sr = 1 if (r1 - r) > 0 else -1
+    sc = 1 if (c1 - c) > 0 else -1
+    steep = dr > dc
+    if steep:
+        r, c = c, r
+        dr, dc = dc, dr
+        sr, sc = sc, sr
+    d = (2 * dr) - dc
+    pts = []
+    for _ in range(dc):
+        pts.append((c, r) if steep else (r, c))
+        while d >= 0:
+            r += sr
+            d -= 2 * dc
+        c += sc
+        d += 2 * dr
+    pts.append((r1, c1))
+    return pts
+
+
+def oracle_viewshed(r0, c0, radius_px, resolution, observer_height, dsm, dtm):
+    """Reference viewshed with the :475 argument swap: lineOfSight
+    receives (resolution, observerHeight) into (observer_height,
+    resolution)."""
+    out = np.zeros(dtm.shape)
+    out[r0, c0] = 1
+    swapped_observer = resolution
+    swapped_resolution = observer_height
+    for dr, dc in circle_perimeter_offsets(radius_px):
+        pixels = oracle_line(r0, c0, r0 + int(dr), c0 + int(dc))[1:]
+        max_dydx = 0.0
+        height0 = dtm[r0, c0] + swapped_observer
+        for r, c in pixels:
+            dist = np.hypot(c0 - c, r0 - r)
+            cur = (dsm[r, c] - height0) / (dist * swapped_resolution)
+            if cur > max_dydx:
+                max_dydx = cur
+                out[r, c] = 1
+    return out
+
+
+def test_line_offsets_match_oracle():
+    for r1, c1 in [(5, 2), (-3, 7), (0, 4), (6, 0), (-5, -5), (2, -6)]:
+        got = line_offsets(r1, c1).tolist()
+        exp = [list(p) for p in oracle_line(0, 0, r1, c1)[1:]]
+        assert got == exp, (r1, c1, got, exp)
+
+
+def test_viewshed_matches_oracle():
+    rng = np.random.default_rng(21)
+    R = 12
+    n = 2 * R + 1
+    dtm = rng.uniform(0, 5, (n, n))
+    dsm = dtm + np.where(rng.random((n, n)) < 0.2, rng.uniform(3, 15, (n, n)), 0.0)
+    kern = ViewshedKernel(R, resolution=10.0, observer_height=1.7)
+    got = kern.viewshed(dsm, dtm)
+    exp = oracle_viewshed(R, R, R, 10.0, 1.7, dsm, dtm).astype(bool)
+    assert np.array_equal(got, exp)
+
+
+def test_gvi_matches_oracle():
+    rng = np.random.default_rng(22)
+    R = 10
+    n = 2 * R + 1
+    dtm = rng.uniform(0, 3, (n, n))
+    dsm = dtm + np.where(rng.random((n, n)) < 0.25, rng.uniform(2, 12, (n, n)), 0.0)
+    green = (rng.random((n, n)) < 0.4).astype(float)
+    res = 10.0
+    kern = ViewshedKernel(R, resolution=res, observer_height=1.7)
+    got = kern.gvi(dsm, dtm, green)
+
+    # oracle GVI (visibility.py:531-561)
+    out = oracle_viewshed(R, R, R, res, 1.7, dsm, dtm)
+    w = np.zeros((2 * R, 2 * R))
+    for r in range(2 * R):
+        for c in range(2 * R):
+            d = np.hypot(R - c, R - r)
+            if d <= R:
+                w[r, c] = np.exp(-0.0003 * d * res)
+    visible = out[0 : 2 * R, 0 : 2 * R] * w
+    visible_green = visible * (green[0 : 2 * R, 0 : 2 * R] * w)
+    exp = visible_green.sum() / visible.sum()
+    assert abs(got - exp) < 1e-12
+
+
+def test_viewshed_pipeline_smoke(world):
+    import pyarrow.parquet as pq
+
+    from greenex_py_ray.pipelines import visibility as vpipe
+
+    rollup, per_point = vpipe.get_viewshed_gvi_documents(
+        world["documents"], world, buffer_dist=100.0, viewing_dist=150.0,
+        sample_dist=50.0, concurrency=2,
+    )
+    df = rollup.to_pandas()
+    n_docs = pq.read_metadata(world["documents"]).num_rows
+    assert 0 < len(df) <= n_docs
+    assert set(df.columns) == {"doc_id", "GVI", "nr_of_points"}
+    ok = df["GVI"].dropna()
+    assert ((ok >= 0) & (ok <= 1)).all()
+    assert (df["nr_of_points"] > 0).all()
+
+
+def test_streetview_pipeline_smoke(world):
+    from greenex_py_ray.pipelines import visibility as vpipe
+
+    rollup, per_point = vpipe.get_streetview_gvi_documents(
+        world["documents"], world, buffer_dist=100.0, concurrency=2
+    )
+    df = rollup.to_pandas()
+    assert len(df) > 0
+    ok = df["GVI"].dropna()
+    assert ((ok >= 0) & (ok <= 1)).all()
