@@ -57,6 +57,11 @@ def consume(res) -> int:
 def run_suite() -> dict:
     import ray
 
+    # bench-scale synthetic world (gate keeps the small default)
+    os.environ.setdefault("GREENEX_WORLD_DOCS", "20000")
+    os.environ.setdefault("GREENEX_VIEWSHED_POIS", "2000")
+    os.environ.setdefault("GREENEX_NETDIST_POIS", "2000")
+
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext

@@ -54,11 +54,17 @@ _CELL = dt.SQL_CELL.format(k="doc_id", cs=CELL_SIZE)
 _NPIX = 8 * synth.TILE_PX - 1
 
 
+def _world_docs_n() -> int:
+    """Synthetic-world size knob: the correctness gate uses the small
+    default; bench.py raises it via env to exercise parallelism."""
+    return int(os.environ.get("GREENEX_WORLD_DOCS", "2000"))
+
+
 def _world_tiles_root() -> str:
     """Lazily materialize the shared synthetic tile store under /tmp
     (idempotent, driver-side, ~30 MB/band)."""
-    root = "/tmp/greenex_world"
-    synth.ensure_world(root, n_docs=2000, seed=42)
+    root = f"/tmp/greenex_world_{_world_docs_n()}"
+    synth.ensure_world(root, n_docs=_world_docs_n(), seed=42)
     return os.path.join(root, "tiles")
 
 
@@ -117,6 +123,21 @@ def q_pip_count(sf_dir: str):
     pairs = ds.map_batches(
         PointsInRects, fn_constructor_kwargs=dict(rects_ref=ref),
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5,
+    )
+    return pairs.groupby("gs_id").aggregate(Count(alias_name="n_docs"))
+
+
+def q_pip_count_shuffle(sf_dir: str):
+    """Same join as q_pip_count but via the salted groupby-cell SHUFFLE
+    path (stages/spatial_join.cell_pip_join) — thresholds forced low so
+    the salting machinery actually engages at gate scale; the SQL oracle
+    is identical to q_pip_count's."""
+    from ..stages.spatial_join import cell_pip_join
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    pairs = cell_pip_join(
+        ds.select_columns(["doc_id", "x", "y"]), _rects_from_part(sf_dir),
+        cell_size=CELL_SIZE, hot_threshold=20, target_per_salt=10,
     )
     return pairs.groupby("gs_id").aggregate(Count(alias_name="n_docs"))
 
@@ -371,6 +392,22 @@ ORACLE_SQL: dict[str, str] = {
                gs_id AS nearest_gs_id
         FROM d WHERE rn = 1
     """,
+    "pip_count_shuffle": f"""
+        WITH docs AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+        rects AS (
+          SELECT p_partkey AS gs_id,
+                 {_GX} - (100.0 + (p_partkey * 13) % 400) AS x0,
+                 {_GX} + (100.0 + (p_partkey * 13) % 400) AS x1,
+                 {_GY} - (100.0 + (p_partkey * 29) % 500) AS y0,
+                 {_GY} + (100.0 + (p_partkey * 29) % 500) AS y1
+          FROM part
+        )
+        SELECT gs_id, count(*) AS n_docs
+        FROM rects JOIN docs
+          ON docs.x >= rects.x0 AND docs.x <= rects.x1
+         AND docs.y >= rects.y0 AND docs.y <= rects.y1
+        GROUP BY gs_id
+    """,
     "pip_count": f"""
         WITH docs AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
         rects AS (
@@ -458,8 +495,8 @@ ORACLE_SQL: dict[str, str] = {
 
 
 def _world_paths() -> dict:
-    root = "/tmp/greenex_world"
-    return synth.ensure_world(root, n_docs=2000, seed=42)
+    n = _world_docs_n()
+    return synth.ensure_world(f"/tmp/greenex_world_{n}", n_docs=n, seed=42)
 
 
 def _world_poi(limit: int | None = None):
@@ -482,7 +519,7 @@ def q_spans_mean_ndvi(sf_dir: str):
 def q_viewshed_gvi(sf_dir: str):
     from . import visibility as vpipe
 
-    poi, w = _world_poi(limit=300)
+    poi, w = _world_poi(limit=int(os.environ.get("GREENEX_VIEWSHED_POIS", "300")))
     edges = vpipe.edge_coords_table(w["network_nodes"], w["network_edges"])
     rollup, _ = vpipe.viewshed_gvi(
         poi, edges, w["tiles"], buffer_dist=100.0, viewing_dist=250.0,
@@ -521,7 +558,7 @@ def q_greenspace_pct(sf_dir: str):
 def q_network_distance(sf_dir: str):
     from . import accessibility as apipe
 
-    poi, w = _world_poi(limit=300)
+    poi, w = _world_poi(limit=int(os.environ.get("GREENEX_NETDIST_POIS", "300")))
     return apipe.network_distance_greenspace(
         poi, pq.read_table(w["network_nodes"]), pq.read_table(w["network_edges"]),
         pq.read_table(w["greenspace"]), target_dist=600.0, concurrency=4,
@@ -579,6 +616,7 @@ QUERIES = {
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,
     "pip_count": q_pip_count,
+    "pip_count_shuffle": q_pip_count_shuffle,
     "zonal_mean_ndvi": q_zonal_mean_ndvi,
     "landcover_pct": q_landcover_pct,
     "dedup_exact": q_dedup_exact,
