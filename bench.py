@@ -76,10 +76,12 @@ def run_suite() -> dict:
     from greenex_py_ray.pipelines.driver_queries import _world_paths
 
     _world_paths()
+    only = os.environ.get("GREENEX_BENCH_ONLY")
+    names = only.split(",") if only else BENCH_QUERIES
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     t_total0 = time.time()
-    for name in BENCH_QUERIES:
+    for name in names:
         t0 = time.time()
         n = consume(qs[name](SF_DIR))
         timings[name] = round(time.time() - t0, 3)
@@ -103,7 +105,12 @@ def run_suite() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling criterion: the flagship pipeline only — per-query fixed
+        # scheduling overhead (~1 s) would otherwise mask the signal on
+        # the many small suite entries
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GREENEX_BENCH_ONLY=os.environ.get(
+                       "GREENEX_BENCH_ONLY", "spans_mean_ndvi,viewshed_gvi"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

@@ -88,3 +88,64 @@ class DecodeGeom:
 
 def decode_geom(ds: "ray.data.Dataset", cell_size: float = cells.DEFAULT_CELL_SIZE):
     return ds.map_batches(DecodeGeom(cell_size), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def geometry_kinds(ds: "ray.data.Dataset") -> set[str]:
+    """Distinct geometry types among the rows' first geom spans
+    (M1 homogeneity check, accessibility.py:34-37: per-batch type set +
+    tiny global distinct aggregate — no driver-side row scan)."""
+
+    def kinds(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        is_geom = np.asarray(
+            pc.equal(flat.field("kind"), "geom").to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        texts = flat.field("text").to_pylist()
+        seen = {t.split("(", 1)[0] for t, g in zip(texts, is_geom) if g}
+        return pa.table({"geom_kind": pa.array(sorted(seen), pa.string())})
+
+    out = ds.map_batches(kinds, batch_format="pyarrow").unique("geom_kind")
+    return set(out)
+
+
+def validate_geometry_homogeneous(ds: "ray.data.Dataset") -> str:
+    """Raise TypeError unless all PoIs share one geometry type
+    (reference: 'geometries must be of the same type',
+    accessibility.py:34-37)."""
+    kinds = geometry_kinds(ds)
+    if len(kinds) != 1:
+        raise TypeError(
+            f"geometries must all be of the same type, found {sorted(kinds)}"
+        )
+    return next(iter(kinds))
+
+
+def validate_within_bounds(ds: "ray.data.Dataset", x0: float, y0: float,
+                           x1: float, y1: float, strict: bool = True) -> bool:
+    """M13 containment validator (availability.py:219-226): all decoded
+    points inside the raster/vector bounds box.  Global boolean
+    aggregate over per-batch bounds checks; ``strict`` raises (points
+    path) vs warns (polygons path)."""
+    from ray.data.aggregate import Min
+
+    checked = ds.map_batches(
+        lambda b: pa.table({"ok": pa.array(
+            (
+                (b.column("x").to_numpy(zero_copy_only=False) >= x0)
+                & (b.column("x").to_numpy(zero_copy_only=False) <= x1)
+                & (b.column("y").to_numpy(zero_copy_only=False) >= y0)
+                & (b.column("y").to_numpy(zero_copy_only=False) <= y1)
+            ).astype(np.int8)
+        )}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    all_ok = bool(checked.aggregate(Min("ok", alias_name="m"))["m"])
+    if not all_ok and strict:
+        raise ValueError("not all PoIs fall within the provided bounds")
+    return all_ok

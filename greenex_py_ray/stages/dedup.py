@@ -370,3 +370,93 @@ def bucket_dedup(ds: "ray.data.Dataset", subset: list[str],
         .groupby("__dedup_bucket")
         .map_groups(drop_dups, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# undirected edge dedup (D3) + near-dup connected components
+# ---------------------------------------------------------------------------
+
+
+def dedup_undirected_edges(ds: "ray.data.Dataset", u_col: str = "u",
+                           v_col: str = "v") -> "ray.data.Dataset":
+    """Remove duplicate road segments listed both as (u,v) and (v,u)
+    (visibility.py:596-612): normalize to (min, max) then exact dedup."""
+    def normalize(batch: pa.Table) -> pa.Table:
+        u = batch.column(u_col).to_numpy(zero_copy_only=False)
+        v = batch.column(v_col).to_numpy(zero_copy_only=False)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        out = batch.drop_columns([u_col, v_col])
+        return out.append_column(u_col, pa.array(lo)).append_column(v_col, pa.array(hi))
+
+    return bucket_dedup(ds.map_batches(normalize, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        subset=[u_col, v_col])
+
+
+def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 20,
+                         a_col: str = "key_a", b_col: str = "key_b") -> "ray.data.Dataset":
+    """Near-dup clusters from a candidate-pair table: iterative min-label
+    propagation, each round a groupby (no driver-side union-find, so it
+    scales to pair tables that don't fit one machine).
+
+    Returns (key, component) where component = min key in the cluster —
+    the canonical representative for keep-one-per-cluster dedup."""
+    import ray.data as rd
+    from ray.data.aggregate import Min as _Min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        return pa.table({
+            "key": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+                                     b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
+            "nbr": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
+                                     a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
+        })
+
+    edges = pairs.map_batches(explode, batch_format="pyarrow")
+    # label(key) = min(key, min neighbor labels); iterate to fixpoint.
+    labels = edges.groupby("key").aggregate(_Min("nbr", alias_name="label"))
+    labels = labels.map_batches(
+        lambda b: pa.table({
+            "key": b.column("key"),
+            "label": pa.array(np.minimum(
+                b.column("key").to_numpy(zero_copy_only=False),
+                b.column("label").to_numpy(zero_copy_only=False),
+            )),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(max_rounds):
+        # propagate: new_label(key) = min over neighbors of label(nbr)
+        joined = edges.join(labels.map_batches(
+            lambda b: pa.table({"nbr": b.column("key"),
+                                "nbr_label": b.column("label")}),
+            batch_format="pyarrow",
+        ), join_type="inner", num_partitions=4, on=("nbr",))
+        new_labels = joined.groupby("key").aggregate(_Min("nbr_label", alias_name="prop"))
+        merged = labels.join(new_labels, join_type="left_outer", num_partitions=4,
+                             on=("key",))
+
+        def take_min(batch: pa.Table) -> pa.Table:
+            lab = batch.column("label").to_numpy(zero_copy_only=False)
+            prop = batch.column("prop").to_numpy(zero_copy_only=False)
+            prop = np.where(np.isnan(prop.astype(np.float64)), lab, prop).astype(lab.dtype)
+            return pa.table({
+                "key": batch.column("key"),
+                "label": pa.array(np.minimum(lab, prop)),
+                "changed": pa.array((np.minimum(lab, prop) != lab).astype(np.int8)),
+            })
+
+        stepped = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+        from ray.data.aggregate import Max as _Max
+
+        changed = stepped.aggregate(_Max("changed", alias_name="c"))["c"]
+        labels = stepped.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+    return labels.map_batches(
+        lambda b: pa.table({"key": b.column("key"), "component": b.column("label")}),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,70 @@
+"""M1/M13 validators, D3 edge dedup, near-dup connected components."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from greenex_py_ray.sources import documents as doc_src
+from greenex_py_ray.sources.synth import DOC_SCHEMA, SPAN_TYPE
+from greenex_py_ray.stages import dedup
+
+
+def _docs_table(geoms):
+    spans = [
+        [{"kind": "geom", "text": g, "media_ref": "", "offset": 0}] for g in geoms
+    ]
+    return pa.table(
+        {"doc_id": pa.array([f"d{i}" for i in range(len(geoms))], pa.string()),
+         "spans": pa.array(spans, pa.list_(SPAN_TYPE))},
+        schema=DOC_SCHEMA,
+    )
+
+
+def test_geometry_homogeneity_ok():
+    ds = rd.from_arrow(_docs_table(["POINT(1 2)", "POINT(3 4)"]))
+    assert doc_src.validate_geometry_homogeneous(ds) == "POINT"
+
+
+def test_geometry_homogeneity_mixed_raises():
+    ds = rd.from_arrow(_docs_table(["POINT(1 2)", "POLYGON((0 0,1 0,1 1))"]))
+    with pytest.raises(TypeError, match="same type"):
+        doc_src.validate_geometry_homogeneous(ds)
+
+
+def test_bounds_validator():
+    ds = doc_src.decode_geom(rd.from_arrow(_docs_table(["POINT(5 5)", "POINT(9 9)"])))
+    assert doc_src.validate_within_bounds(ds, 0, 0, 10, 10)
+    with pytest.raises(ValueError, match="bounds"):
+        doc_src.validate_within_bounds(ds, 0, 0, 6, 6)
+    assert doc_src.validate_within_bounds(ds, 0, 0, 6, 6, strict=False) is False
+
+
+def test_dedup_undirected_edges():
+    t = pa.table({"u": pa.array([1, 2, 5, 7], pa.int64()),
+                  "v": pa.array([2, 1, 6, 7], pa.int64()),
+                  "w": pa.array([1.0, 1.0, 2.0, 3.0])})
+    out = dedup.dedup_undirected_edges(rd.from_arrow(t)).to_pandas()
+    got = sorted(map(tuple, out[["u", "v"]].to_numpy()))
+    assert got == [(1, 2), (5, 6), (7, 7)]
+
+
+def test_connected_components():
+    pairs = pa.table({"key_a": pa.array([1, 2, 5, 8], pa.int64()),
+                      "key_b": pa.array([2, 3, 6, 9], pa.int64())})
+    out = dedup.connected_components(rd.from_arrow(pairs)).to_pandas()
+    comp = dict(zip(out["key"], out["component"]))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[8] == comp[9] == 8
+
+
+def test_connected_components_chain():
+    # long chain exercises multi-round propagation
+    n = 12
+    pairs = pa.table({"key_a": pa.array(list(range(n - 1)), pa.int64()),
+                      "key_b": pa.array(list(range(1, n)), pa.int64())})
+    out = dedup.connected_components(rd.from_arrow(pairs)).to_pandas()
+    assert set(out["component"]) == {0}
+    assert len(out) == n
