@@ -71,7 +71,7 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
                   network_edges_file: str | None = None,
                   travel_speed: float | None = None,
                   trip_time: float | None = None,
-                  concurrency: int = 8) -> "ray.data.Dataset":
+                  concurrency: int | None = None) -> "ray.data.Dataset":
     """availability.get_mean_NDVI (availability.py:41-342)."""
     if buffer_type not in ("euclidean", "network"):
         raise TypeError("buffer_type must be 'euclidean' or 'network'")
@@ -91,7 +91,7 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
 def get_landcover_percentages(poi, landcover_tile_dir: str,
                               buffer_dist: float = 500.0,
                               stringify: bool = True,
-                              concurrency: int = 8) -> "ray.data.Dataset":
+                              concurrency: int | None = None) -> "ray.data.Dataset":
     """availability.get_landcover_percentages (availability.py:344-597)."""
     _validate_positive("buffer_dist", buffer_dist)
     docs = _poi(poi)
@@ -105,7 +105,7 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
 
 def get_canopy_percentage(poi, canopy_vector_file: str,
                           buffer_dist: float = 250.0, stringify: bool = True,
-                          concurrency: int = 8) -> "ray.data.Dataset":
+                          concurrency: int | None = None) -> "ray.data.Dataset":
     """availability.get_canopy_percentage (availability.py:600-780)."""
     _validate_positive("buffer_dist", buffer_dist)
     docs = _poi(poi)
@@ -122,7 +122,7 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
                               travel_speed: float | None = None,
                               trip_time: float | None = None,
                               stringify: bool = True,
-                              concurrency: int = 8) -> "ray.data.Dataset":
+                              concurrency: int | None = None) -> "ray.data.Dataset":
     """availability.get_greenspace_percentage (availability.py:783-1010)."""
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
@@ -140,7 +140,7 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
                                      destination: str = "centroids",
                                      network_nodes_file: str | None = None,
                                      network_edges_file: str | None = None,
-                                     concurrency: int = 8) -> "ray.data.Dataset":
+                                     concurrency: int | None = None) -> "ray.data.Dataset":
     """accessibility.get_shortest_distance_greenspace
     (accessibility.py:24-223)."""
     if distance_type not in ("euclidean", "network"):
@@ -180,7 +180,7 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
                      network_nodes_file: str, network_edges_file: str,
                      buffer_dist: float = 100.0, viewing_dist: float = 250.0,
                      sample_dist: float = 50.0, observer_height: float = 1.7,
-                     concurrency: int = 8):
+                     concurrency: int | None = None):
     """visibility.get_viewshed_GVI (visibility.py:50-293).  Returns
     (poi-with-metrics Dataset, per-sample-point Dataset)."""
     for n, v in [("buffer_dist", buffer_dist), ("viewing_dist", viewing_dist),
@@ -199,7 +199,7 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
 
 def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
                        image_features_file: str, buffer_dist: float = 100.0,
-                       concurrency: int = 8):
+                       concurrency: int | None = None):
     """visibility.get_streetview_GVI (visibility.py:296-437) with the
     deterministic segmentation stub.  Returns (poi-with-metrics Dataset,
     per-point Dataset)."""

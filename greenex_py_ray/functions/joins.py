@@ -120,4 +120,10 @@ def as_pool(concurrency) -> tuple[int, int]:
     resources."""
     if isinstance(concurrency, tuple):
         return concurrency
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        return (1, max(2, cpus - 2))
     return (1, max(1, int(concurrency)))

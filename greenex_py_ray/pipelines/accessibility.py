@@ -23,7 +23,7 @@ def nearest_greenspace(
     centroids: "pa.Table",
     target_dist: float,
     key_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
     batch_size: int = 8192,
     dist_name: str = "distance_to_greenspace",
     flag_name: str = "greenspace_within_target",
@@ -48,7 +48,7 @@ def get_shortest_distance_greenspace_documents(
     documents_path: str,
     greenspace_path: str,
     target_dist: float = 300.0,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     num_join_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Spans documents + greenspace table → documents + distance/flag
@@ -79,7 +79,7 @@ def network_distance_greenspace(
     target_dist: float = 300.0,
     destination: str = "centroids",
     key_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """Network branch of get_shortest_distance_greenspace
     (accessibility.py:226-273): GraphActor pool with broadcast graph +

@@ -32,7 +32,7 @@ def mean_ndvi(
     tile_root: str,
     radius: float,
     key_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
     batch_size: int = 4096,
     locality_sort: bool = False,
 ) -> "ray.data.Dataset":
@@ -71,7 +71,7 @@ def landcover_percentages(
     radius: float,
     key_col: str = "doc_id",
     classmap: dict[int, str] | None = None,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     batch_size: int = 4096,
     stringify: bool = False,
     locality_sort: bool = False,
@@ -111,7 +111,7 @@ def landcover_percentages(
 
 def get_mean_ndvi_documents(
     documents_path: str, tile_root: str, buffer_dist: float = 300.0,
-    concurrency: int = 4, num_join_partitions: int | None = None,
+    concurrency: int | None = None, num_join_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Flagship pipeline: spans documents → decode geom → zonal NDVI →
     join metrics back onto the untouched documents (span passthrough)."""
@@ -125,7 +125,7 @@ def get_mean_ndvi_documents(
 
 def get_landcover_percentages_documents(
     documents_path: str, tile_root: str, buffer_dist: float = 500.0,
-    concurrency: int = 4, num_join_partitions: int | None = None, stringify: bool = True,
+    concurrency: int | None = None, num_join_partitions: int | None = None, stringify: bool = True,
 ) -> "ray.data.Dataset":
     docs = doc_src.read_documents(documents_path)
     poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
@@ -142,7 +142,7 @@ def canopy_percentage(
     canopy: "pa.Table",
     buffer_dist: float = 250.0,
     key_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
     stringify: bool = False,
     name: str = "canopy_cover",
 ) -> "ray.data.Dataset":
@@ -170,7 +170,7 @@ def greenspace_percentage(
     greenspace: "pa.Table",
     buffer_dist: float = 300.0,
     key_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
     stringify: bool = False,
 ) -> "ray.data.Dataset":
     """get_greenspace_percentage (availability.py:783-1010): same
@@ -188,7 +188,7 @@ def mean_ndvi_isochrone(
     tile_root: str,
     buffer_dist: float = 500.0,
     key_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """get_mean_NDVI with buffer_type='network' (availability.py:263-275):
     per-PoI isochrone AoI from the street graph, zonal stats inside the

@@ -512,7 +512,7 @@ def q_spans_mean_ndvi(sf_dir: str):
     """Flagship: spans documents → zonal NDVI → span-preserving join."""
     w = _world_paths()
     return availability.get_mean_ndvi_documents(
-        w["documents"], w["tiles"], buffer_dist=300.0, concurrency=4
+        w["documents"], w["tiles"], buffer_dist=300.0, concurrency=None
     )
 
 
@@ -523,7 +523,7 @@ def q_viewshed_gvi(sf_dir: str):
     edges = vpipe.edge_coords_table(w["network_nodes"], w["network_edges"])
     rollup, _ = vpipe.viewshed_gvi(
         poi, edges, w["tiles"], buffer_dist=100.0, viewing_dist=250.0,
-        sample_dist=50.0, concurrency=4,
+        sample_dist=50.0, concurrency=None,
     )
     return rollup
 
@@ -536,7 +536,7 @@ def q_streetview_gvi(sf_dir: str):
     edges = vpipe.edge_coords_table(w["network_nodes"], w["network_edges"])
     features = pq.read_table(w["image_features"])
     rollup, _ = vpipe.streetview_gvi(
-        poi_tbl, edges, features, buffer_dist=100.0, concurrency=4
+        poi_tbl, edges, features, buffer_dist=100.0, concurrency=None
     )
     return rollup
 
@@ -545,14 +545,14 @@ def q_canopy_pct(sf_dir: str):
     poi, w = _world_poi(limit=500)
     canopy = pq.read_table(w["canopy"])
     return availability.canopy_percentage(poi, canopy, buffer_dist=250.0,
-                                          concurrency=4)
+                                          concurrency=None)
 
 
 def q_greenspace_pct(sf_dir: str):
     poi, w = _world_poi(limit=500)
     gs = pq.read_table(w["greenspace"])
     return availability.greenspace_percentage(poi, gs, buffer_dist=300.0,
-                                              concurrency=4)
+                                              concurrency=None)
 
 
 def q_network_distance(sf_dir: str):
@@ -561,7 +561,7 @@ def q_network_distance(sf_dir: str):
     poi, w = _world_poi(limit=int(os.environ.get("GREENEX_NETDIST_POIS", "300")))
     return apipe.network_distance_greenspace(
         poi, pq.read_table(w["network_nodes"]), pq.read_table(w["network_edges"]),
-        pq.read_table(w["greenspace"]), target_dist=600.0, concurrency=4,
+        pq.read_table(w["greenspace"]), target_dist=600.0, concurrency=None,
     )
 
 
@@ -569,7 +569,7 @@ def q_isochrone_ndvi(sf_dir: str):
     poi, w = _world_poi(limit=200)
     return availability.mean_ndvi_isochrone(
         poi, pq.read_table(w["network_nodes"]), pq.read_table(w["network_edges"]),
-        w["tiles"], buffer_dist=500.0, concurrency=4,
+        w["tiles"], buffer_dist=500.0, concurrency=None,
     )
 
 

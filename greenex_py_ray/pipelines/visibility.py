@@ -67,7 +67,7 @@ def viewshed_gvi(
     sample_dist: float = 50.0,
     observer_height: float = 1.7,
     key_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
     batch_size: int = 512,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """poi(key,x,y) → (per-PoI rollup, per-sample-point GVI rows).
@@ -108,7 +108,7 @@ def streetview_gvi(
     buffer_dist: float = 100.0,
     interval: float = 50.0,
     key_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Streetview GVI with the stubbed segmentation scorer.
 
@@ -188,7 +188,7 @@ def streetview_gvi(
 def get_viewshed_gvi_documents(
     documents_path: str, world_paths: dict, buffer_dist: float = 100.0,
     viewing_dist: float = 250.0, sample_dist: float = 50.0,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ):
     docs = doc_src.read_documents(documents_path)
     poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
@@ -202,7 +202,7 @@ def get_viewshed_gvi_documents(
 
 def get_streetview_gvi_documents(
     documents_path: str, world_paths: dict, buffer_dist: float = 100.0,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ):
     docs = doc_src.read_documents(documents_path)
     # the PoI side is broadcast into the semi-join/rollup actors; at

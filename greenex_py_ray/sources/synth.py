@@ -387,7 +387,8 @@ def ensure_world(root: str, n_docs: int = 2000, seed: int = 42) -> dict[str, str
     if os.path.exists(marker):
         return paths
     os.makedirs(root, exist_ok=True)
-    pq.write_table(make_documents(n_docs, seed), paths["documents"])
+    pq.write_table(make_documents(n_docs, seed), paths["documents"],
+                   row_group_size=2048)  # row-group-granular parallel reads
     pq.write_table(make_greenspace(), paths["greenspace"])
     pq.write_table(make_canopy(), paths["canopy"])
     nodes, edges = make_network()
