@@ -243,3 +243,46 @@ def segments_intersect_circle(
     px = ax + t * dx
     py = ay + t * dy
     return px * px + py * py <= r * r
+
+
+# ---------------------------------------------------------------------------
+# Mixed WKT parsing (POINT + POLYGON exterior rings)
+# ---------------------------------------------------------------------------
+
+
+def parse_wkt_geoms(wkt: "list[str]"):
+    """Parse POINT / POLYGON WKT strings.
+
+    Returns (x, y, kinds, rings): x/y are the point coords or the
+    polygon centroid (the reference converts polygon PoIs to centroids
+    before point ops — M3, accessibility.py:53-56); ``rings[i]`` is the
+    exterior ring ``(N, 2)`` array for polygons, None for points.
+    """
+    n = len(wkt)
+    x = np.full(n, np.nan)
+    y = np.full(n, np.nan)
+    kinds: list[str] = [""] * n
+    rings: list = [None] * n
+    for i, w in enumerate(wkt):
+        if w.startswith("POINT"):
+            body = w[w.index("(") + 1 : w.rindex(")")]
+            px, py = body.split()
+            x[i] = float(px)
+            y[i] = float(py)
+            kinds[i] = "POINT"
+        elif w.startswith("POLYGON"):
+            body = w[w.index("((") + 2 : w.index("))")]
+            pts = np.array(
+                [[float(a) for a in p.split()] for p in body.split(",")],
+                dtype=np.float64,
+            )
+            if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+                pts = pts[:-1]
+            rings[i] = pts
+            cx, cy = polygon_centroid(pts)
+            x[i] = cx
+            y[i] = cy
+            kinds[i] = "POLYGON"
+        else:
+            kinds[i] = w.split("(", 1)[0]
+    return x, y, kinds, rings

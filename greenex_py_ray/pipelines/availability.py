@@ -206,3 +206,29 @@ def mean_ndvi_isochrone(
         batch_format="pyarrow", batch_size=256,
         concurrency=as_pool(concurrency), num_cpus=0.5,
     )
+
+
+def mean_ndvi_polygon_aoi(
+    poi_polygons: "ray.data.Dataset",
+    tile_root: str,
+    key_col: str = "doc_id",
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """get_mean_NDVI with POLYGON PoIs and ``buffer_type=None`` — the AoI
+    is each row's own polygon (availability.py:230-234).  Input must
+    carry ``ring_x``/``ring_y`` columns (DecodeGeom(parse_polygons=True))."""
+    cov = poi_polygons.select_columns([key_col, "ring_x", "ring_y"]).map_batches(
+        lambda b: zonal.polygon_tile_cover_batch(b, key_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    part = cov.map_batches(
+        zonal.PolygonZonalPartial,
+        fn_constructor_kwargs=dict(tile_root=tile_root, band="ndvi", key_col=key_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=as_pool(concurrency), num_cpus=0.5,
+    )
+    agg = part.groupby(key_col).aggregate(Sum("psum"), Sum("psumsq"), Sum("pcount"))
+    return agg.map_batches(
+        lambda b: zonal.finish_mean_std(b, key_col), batch_format="pyarrow"
+    )

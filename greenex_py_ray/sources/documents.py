@@ -66,24 +66,63 @@ class DecodeGeom:
     """map_batches stage: documents → documents + (x, y, cell).
 
     Stateless but kept as a class for a compiled fast path and to carry
-    config (cell size).  Use as
-    ``ds.map_batches(DecodeGeom(cell_size), batch_format="pyarrow")``.
+    config (cell size).  With ``parse_polygons=True`` it also handles
+    POLYGON geom spans: (x, y) become the polygon centroid (the
+    reference's M3 centroid conversion, accessibility.py:53-56) and the
+    exterior ring is exposed as ``ring_x``/``ring_y`` list columns plus
+    a ``geom_kind`` column for downstream polygon-AoI stages.
     """
 
-    def __init__(self, cell_size: float = cells.DEFAULT_CELL_SIZE):
+    def __init__(self, cell_size: float = cells.DEFAULT_CELL_SIZE,
+                 parse_polygons: bool = False):
         self.cell_size = cell_size
+        self.parse_polygons = parse_polygons
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
-        x, y = _first_geom_texts(spans)
+        if not self.parse_polygons:
+            x, y = _first_geom_texts(spans)
+            cell = cells.cell_of(x, y, self.cell_size)
+            return (
+                batch.append_column("x", pa.array(x, pa.float64()))
+                .append_column("y", pa.array(y, pa.float64()))
+                .append_column("cell", pa.array(cell, pa.int64()))
+            )
+        texts = _first_geom_span_texts(spans)
+        x, y, kinds, rings = geom.parse_wkt_geoms(texts)
         cell = cells.cell_of(x, y, self.cell_size)
+        ring_x = [r[:, 0].tolist() if r is not None else [] for r in rings]
+        ring_y = [r[:, 1].tolist() if r is not None else [] for r in rings]
         return (
             batch.append_column("x", pa.array(x, pa.float64()))
             .append_column("y", pa.array(y, pa.float64()))
             .append_column("cell", pa.array(cell, pa.int64()))
+            .append_column("geom_kind", pa.array(kinds, pa.string()))
+            .append_column("ring_x", pa.array(ring_x, pa.list_(pa.float64())))
+            .append_column("ring_y", pa.array(ring_y, pa.list_(pa.float64())))
         )
+
+
+def _first_geom_span_texts(spans: pa.ListArray) -> list[str]:
+    """Raw WKT text of each row's first geom span ('' if absent)."""
+    import pyarrow.compute as pc
+
+    n = len(spans)
+    flat = spans.flatten()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    is_geom = np.asarray(pc.equal(flat.field("kind"), "geom").to_numpy(
+        zero_copy_only=False), dtype=bool)
+    pos = np.flatnonzero(is_geom)
+    out = [""] * n
+    if len(pos):
+        parents = np.searchsorted(offsets, pos, side="right") - 1
+        uniq_parents, first_idx = np.unique(parents, return_index=True)
+        texts = flat.field("text").take(pa.array(pos[first_idx])).to_pylist()
+        for p, t in zip(uniq_parents, texts):
+            out[p] = t
+    return out
 
 
 def decode_geom(ds: "ray.data.Dataset", cell_size: float = cells.DEFAULT_CELL_SIZE):

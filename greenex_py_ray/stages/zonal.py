@@ -247,3 +247,104 @@ def finish_landcover(batch: pa.Table, names: list[str], key_col: str = "doc_id",
         else:
             cols[name] = pa.array(pct)
     return pa.table(cols)
+
+
+class PolygonZonalPartial:
+    """Zonal partials where the AoI is each row's own POLYGON geometry
+    (aoi_kind='polygon', availability.py:230-234) instead of a buffer.
+
+    Expects flattened ring columns ``ring_x: list<double>,
+    ring_y: list<double>`` plus ``tile_key``; the pixel membership test
+    is center-in-polygon (rio.clip all_touched=False semantics)."""
+
+    def __init__(self, tile_root: str, band: str, key_col: str = "doc_id",
+                 clamp_min: float | None = 0.0, cache_tiles: int = 256):
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.key_col = key_col
+        self.clamp_min = clamp_min
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import geom as _geom
+
+        rx = batch.column("ring_x").to_pylist()
+        ry = batch.column("ring_y").to_pylist()
+        tk = batch.column("tile_key").to_numpy(zero_copy_only=False)
+        n = len(rx)
+        psum = np.zeros(n)
+        psumsq = np.zeros(n)
+        pcount = np.zeros(n, dtype=np.int64)
+        res = synth.RASTER_RES
+        for i in range(n):
+            ring = np.column_stack([rx[i], ry[i]])
+            tile = int(tk[i])
+            tix = tile // TILE_KEY_STRIDE
+            tiy = tile - tix * TILE_KEY_STRIDE
+            arr = self.store.get(self.band, tix, tiy)
+            if arr is None:
+                continue
+            h, w = arr.shape
+            x0t = tix * synth.TILE_SIZE
+            y0t = tiy * synth.TILE_SIZE
+            bx0, by0, bx1, by1 = _geom.rings_bbox(ring)
+            c0 = max(int(np.floor((bx0 - x0t) / res)), 0)
+            c1 = min(int(np.floor((bx1 - x0t) / res)), w - 1)
+            r0 = max(int(np.floor((by0 - y0t) / res)), 0)
+            r1 = min(int(np.floor((by1 - y0t) / res)), h - 1)
+            if c1 < c0 or r1 < r0:
+                continue
+            px = x0t + (np.arange(c0, c1 + 1, dtype=np.float64) + 0.5) * res
+            py = y0t + (np.arange(r0, r1 + 1, dtype=np.float64) + 0.5) * res
+            gx, gy = np.meshgrid(px, py, indexing="xy")
+            mask = _geom.points_in_polygon(gx.ravel(), gy.ravel(), ring).reshape(gx.shape)
+            if not mask.any():
+                continue
+            vals = arr[r0 : r1 + 1, c0 : c1 + 1][mask]
+            if self.clamp_min is not None:
+                vals = np.maximum(vals, self.clamp_min)
+            psum[i] = vals.sum()
+            psumsq[i] = (vals * vals).sum()
+            pcount[i] = vals.size
+        return pa.table(
+            {
+                self.key_col: batch.column(self.key_col),
+                "psum": pa.array(psum),
+                "psumsq": pa.array(psumsq),
+                "pcount": pa.array(pcount),
+            }
+        )
+
+
+def polygon_tile_cover_batch(batch: pa.Table, key_col: str) -> pa.Table:
+    """Cover expansion for polygon-AoI rows: one output row per
+    (row, tile overlapped by the ring bbox), carrying the ring along."""
+    rx = batch.column("ring_x")
+    ry = batch.column("ring_y")
+    if isinstance(rx, pa.ChunkedArray):
+        rx = rx.combine_chunks()
+    if isinstance(ry, pa.ChunkedArray):
+        ry = ry.combine_chunks()
+    rx_list = rx.to_pylist()
+    ry_list = ry.to_pylist()
+    ts = synth.TILE_SIZE
+    out_idx, out_tk = [], []
+    for i in range(len(rx_list)):
+        xs = np.asarray(rx_list[i])
+        ys = np.asarray(ry_list[i])
+        ix0 = int(np.floor(xs.min() / ts))
+        ix1 = int(np.floor(xs.max() / ts))
+        iy0 = int(np.floor(ys.min() / ts))
+        iy1 = int(np.floor(ys.max() / ts))
+        for tx in range(ix0, ix1 + 1):
+            for ty in range(iy0, iy1 + 1):
+                out_idx.append(i)
+                out_tk.append(tx * TILE_KEY_STRIDE + ty)
+    idx = pa.array(np.array(out_idx, dtype=np.int64))
+    return pa.table(
+        {
+            key_col: batch.column(key_col).take(idx),
+            "ring_x": rx.take(idx),
+            "ring_y": ry.take(idx),
+            "tile_key": pa.array(np.array(out_tk, dtype=np.int64)),
+        }
+    )
