@@ -105,14 +105,21 @@ def run_suite() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        # scaling criterion: the flagship pipeline only — per-query fixed
-        # scheduling overhead (~1 s) would otherwise mask the signal on
-        # the many small suite entries
+        # scaling criterion: the flagship per-point metric pipeline only —
+        # per-query fixed scheduling overhead would otherwise mask the
+        # signal on the many small suite entries.  The process is PINNED
+        # to ncpu physical cores (taskset): ray.init(num_cpus=n) limits
+        # only logical scheduling slots, and fractional-num_cpus actors
+        # would otherwise spill onto extra physical cores and understate
+        # the ratio.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GREENEX_BENCH_ONLY=os.environ.get(
-                       "GREENEX_BENCH_ONLY", "spans_mean_ndvi,viewshed_gvi"))
+                       "GREENEX_BENCH_ONLY", "spans_mean_ndvi_metrics,viewshed_gvi"),
+                   GREENEX_WORLD_DOCS=os.environ.get("GREENEX_SCALING_DOCS", "6000000"),
+                   GREENEX_VIEWSHED_POIS="4000")
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
+            ["taskset", "-c", f"0-{ncpu - 1}",
+             sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -121,12 +128,17 @@ def run_scaling() -> dict:
     r_lo = one(lo)
     r_hi = one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    per_query = {
+        q: round((r_lo["queries"][q] / r_hi["queries"][q]) / (hi / lo), 3)
+        for q in r_lo["queries"]
+    }
     return {
         "metric": "scaling_efficiency",
         "cpus": [lo, hi],
         "sec": [r_lo["value"], r_hi["value"]],
         "queries_sec": {"lo": r_lo["queries"], "hi": r_hi["queries"]},
         "scaling_efficiency": round(eff, 3),
+        "per_query_efficiency": per_query,
         "sf": SF_DIR,
     }
 

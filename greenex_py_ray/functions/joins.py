@@ -50,7 +50,7 @@ def stable_bucket(keys, num_buckets: int) -> np.ndarray:
 def _with_bucket_and_nulls(ds, key: str, num_buckets: int, side: int,
                            null_fields: list[pa.Field]):
     def add(batch: pa.Table) -> pa.Table:
-        b = stable_bucket(batch.column(key).to_pylist(), num_buckets)
+        b = stable_bucket(batch.column(key).to_pandas(), num_buckets)
         out = batch.append_column("__bucket", pa.array(b))
         out = out.append_column("__side", pa.array(np.full(len(b), side, dtype=np.int8)))
         for f in null_fields:
@@ -69,7 +69,9 @@ def bucket_join_attach(
     """Inner join attaching ``right``'s non-key columns to ``left``,
     supporting nested left payloads.  Requires unique keys on the right
     (metric tables are keyed by doc)."""
-    num_buckets = num_buckets or default_join_partitions(None) * 4
+    # more buckets than ~32 only adds shuffle overhead until the per-
+    # bucket payload is large; key-hash buckets don't need to match CPUs
+    num_buckets = num_buckets or min(32, default_join_partitions(None) * 2)
     lschema = left.schema()
     rschema = right.schema()
     lfields = [pa.field(n, t) for n, t in zip(lschema.names, lschema.types)]
@@ -95,8 +97,8 @@ def bucket_join_attach(
         ri = np.flatnonzero(side == 1)
         lt = tbl.take(pa.array(li))
         rt = tbl.take(pa.array(ri))
-        lk = pd.Index(lt.column(key).to_pylist())
-        rk = pd.Index(rt.column(key).to_pylist())
+        lk = pd.Index(lt.column(key).to_pandas())
+        rk = pd.Index(rt.column(key).to_pandas())
         pos = rk.get_indexer(lk)
         hit = pos >= 0
         lt = lt.take(pa.array(np.flatnonzero(hit)))
@@ -125,5 +127,28 @@ def as_pool(concurrency) -> tuple[int, int]:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
-        return (1, max(2, cpus - 2))
+        # a nonzero minimum matters: Ray's autoscaling pools ramp far
+        # too slowly to use a 32-CPU box within a short pipeline (we
+        # measured effective parallelism stuck at the pool minimum)
+        return (max(1, cpus // 8), max(2, cpus // 2))
     return (1, max(1, int(concurrency)))
+
+
+def heavy_pool(concurrency=None) -> dict:
+    """map_batches kwargs for THE dominant compute stage of a pipeline.
+
+    Fixed-size pool at ~full cluster width with a whole CPU per actor:
+    Ray's autoscaling pools stay at their minimum in practice (measured
+    parallelism == pool min), so the one stage that owns the wall-clock
+    gets all-but-two CPUs reserved up front.  Rule: at most ONE heavy
+    pool per pipeline — the two spare CPUs keep reads/shuffles moving.
+    """
+    if concurrency is not None and not isinstance(concurrency, tuple):
+        n = max(1, int(concurrency))
+        return dict(concurrency=(n, n), num_cpus=1)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n = max(1, min(cpus - 2, cpus * 3 // 4))
+    return dict(concurrency=(n, n), num_cpus=1)

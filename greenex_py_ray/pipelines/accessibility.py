@@ -13,7 +13,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.joins import as_pool, bucket_join_attach
+from ..functions.joins import as_pool, bucket_join_attach, heavy_pool
 from ..sources import documents as doc_src
 from ..stages.access import NearestGreenspace
 
@@ -40,7 +40,7 @@ def nearest_greenspace(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=as_pool(concurrency),
-        num_cpus=0.5,
+        num_cpus=0.25,
     )
 
 
@@ -96,5 +96,5 @@ def network_distance_greenspace(
             destination=destination, key_col=key_col,
         ),
         batch_format="pyarrow", batch_size=512,
-        concurrency=as_pool(concurrency), num_cpus=0.5,
+        **heavy_pool(concurrency),
     )

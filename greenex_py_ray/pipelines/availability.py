@@ -17,7 +17,7 @@ from __future__ import annotations
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..functions.joins import as_pool, bucket_join_attach
+from ..functions.joins import as_pool, bucket_join_attach, heavy_pool
 from ..sources import documents as doc_src
 from ..stages import zonal
 
@@ -33,35 +33,46 @@ def mean_ndvi(
     radius: float,
     key_col: str = "doc_id",
     concurrency: int | None = None,
-    batch_size: int = 4096,
+    batch_size: int = 8192,
     locality_sort: bool = False,
 ) -> "ray.data.Dataset":
     """poi(key,x,y) → (key, mean_NDVI, std_NDVI); semantics of
     availability.py:289 (clamp ≥0, population std, round 3).
 
-    ``locality_sort=True`` adds a sort on ``tile_key`` before the zonal
-    actor pool — an extra shuffle that pays off when the tile working
-    set exceeds the per-actor cache (large worlds); leave False when the
-    whole tile set fits in cache.
+    ``locality_sort=True`` switches to the partial+final path with a
+    ``tile_key`` co-location sort — for radii spanning many tiles or
+    when the tile working set exceeds the per-actor cache.  The default
+    is the FUSED local path (``ZonalStatsLocal``): a disk spans ≤4 tiles
+    at typical radii, so per-key aggregation is actor-local and the
+    pipeline has NO shuffle at all.
     """
-    cov = poi.map_batches(
-        zonal.TileCover(radius, key_col), batch_format="pyarrow", zero_copy_batch=True
-    )
     if locality_sort:
-        cov = cov.sort("tile_key")
-    part = cov.map_batches(
-        zonal.ZonalStatsPartial,
+        cov = poi.map_batches(
+            zonal.TileCover(radius, key_col), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sort("tile_key")
+        part = cov.map_batches(
+            zonal.ZonalStatsPartial,
+            fn_constructor_kwargs=dict(
+                tile_root=tile_root, band="ndvi", radius=radius, key_col=key_col
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=as_pool(concurrency),
+            num_cpus=0.25,
+        )
+        agg = part.groupby(key_col).aggregate(Sum("psum"), Sum("psumsq"), Sum("pcount"))
+        return agg.map_batches(
+            lambda b: zonal.finish_mean_std(b, key_col), batch_format="pyarrow"
+        )
+    return poi.map_batches(
+        zonal.ZonalStatsLocal,
         fn_constructor_kwargs=dict(
             tile_root=tile_root, band="ndvi", radius=radius, key_col=key_col
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=as_pool(concurrency),
-        num_cpus=0.5,
-    )
-    agg = part.groupby(key_col).aggregate(Sum("psum"), Sum("psumsq"), Sum("pcount"))
-    return agg.map_batches(
-        lambda b: zonal.finish_mean_std(b, key_col), batch_format="pyarrow"
+        **heavy_pool(concurrency),
     )
 
 
@@ -81,26 +92,36 @@ def landcover_percentages(
     reference's ``"12.345%"`` string columns)."""
     classmap = classmap or DEFAULT_CLASSMAP
     names = [classmap[c] for c in sorted(classmap)]
-    cov = poi.map_batches(
-        zonal.TileCover(radius, key_col), batch_format="pyarrow", zero_copy_batch=True
-    )
     if locality_sort:
-        cov = cov.sort("tile_key")
-    part = cov.map_batches(
-        zonal.LandcoverPartial,
+        cov = poi.map_batches(
+            zonal.TileCover(radius, key_col), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sort("tile_key")
+        part = cov.map_batches(
+            zonal.LandcoverPartial,
+            fn_constructor_kwargs=dict(
+                tile_root=tile_root, radius=radius, classmap=classmap, key_col=key_col
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=as_pool(concurrency),
+            num_cpus=0.25,
+        )
+        aggs = [Sum(f"cnt_{n}") for n in names] + [Sum("cnt_total")]
+        agg = part.groupby(key_col).aggregate(*aggs)
+        return agg.map_batches(
+            lambda b: zonal.finish_landcover(b, names, key_col, stringify=stringify),
+            batch_format="pyarrow",
+        )
+    return poi.map_batches(
+        zonal.LandcoverLocal,
         fn_constructor_kwargs=dict(
-            tile_root=tile_root, radius=radius, classmap=classmap, key_col=key_col
+            tile_root=tile_root, radius=radius, classmap=classmap, key_col=key_col,
+            stringify=stringify,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=as_pool(concurrency),
-        num_cpus=0.5,
-    )
-    aggs = [Sum(f"cnt_{n}") for n in names] + [Sum("cnt_total")]
-    agg = part.groupby(key_col).aggregate(*aggs)
-    return agg.map_batches(
-        lambda b: zonal.finish_landcover(b, names, key_col, stringify=stringify),
-        batch_format="pyarrow",
+        **heavy_pool(concurrency),
     )
 
 
@@ -161,7 +182,7 @@ def canopy_percentage(
             polys_ref=ref, buffer_dist=buffer_dist, key_col=key_col,
             name=name, stringify=stringify,
         ),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
 
 
@@ -197,6 +218,8 @@ def mean_ndvi_isochrone(
 
     from ..stages.netaccess import IsochroneZonal
 
+    from ..functions.joins import heavy_pool as _hp
+
     return poi.map_batches(
         IsochroneZonal,
         fn_constructor_kwargs=dict(
@@ -204,7 +227,7 @@ def mean_ndvi_isochrone(
             tile_root=tile_root, buffer_dist=buffer_dist, key_col=key_col,
         ),
         batch_format="pyarrow", batch_size=256,
-        concurrency=as_pool(concurrency), num_cpus=0.5,
+        **_hp(concurrency),
     )
 
 
@@ -226,7 +249,7 @@ def mean_ndvi_polygon_aoi(
         zonal.PolygonZonalPartial,
         fn_constructor_kwargs=dict(tile_root=tile_root, band="ndvi", key_col=key_col),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=as_pool(concurrency), num_cpus=0.5,
+        concurrency=as_pool(concurrency), num_cpus=0.25,
     )
     agg = part.groupby(key_col).aggregate(Sum("psum"), Sum("psumsq"), Sum("pcount"))
     return agg.map_batches(

@@ -99,7 +99,7 @@ def q_knn_greenspace(sf_dir: str):
     return ds.map_batches(
         NearestGreenspace,
         fn_constructor_kwargs=dict(centroids_ref=ref, target_dist=KNN_TARGET),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5,
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.25,
     )
 
 
@@ -122,7 +122,7 @@ def q_pip_count(sf_dir: str):
     ref = ray.put(_rects_from_part(sf_dir))
     pairs = ds.map_batches(
         PointsInRects, fn_constructor_kwargs=dict(rects_ref=ref),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5,
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.25,
     )
     return pairs.groupby("gs_id").aggregate(Count(alias_name="n_docs"))
 
@@ -192,7 +192,7 @@ def q_quality(sf_dir: str):
 
 def q_langid(sf_dir: str):
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(text.LangId, batch_format="pandas", concurrency=(1, 2), num_cpus=0.5)
+    out = ds.map_batches(text.LangId, batch_format="pandas", concurrency=(1, 2), num_cpus=0.25)
     return out.select_columns(["doc_id", "lang_pred", "lang_score"])
 
 
@@ -212,7 +212,7 @@ def q_minhash_lsh(sf_dir: str):
 def q_simhash(sf_dir: str):
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(dedup_stage.SimHasher, batch_format="pyarrow",
-                         concurrency=(1, 2), num_cpus=0.5)
+                         concurrency=(1, 2), num_cpus=0.25)
     return out.select_columns(["doc_id", "simhash"])
 
 
@@ -246,7 +246,7 @@ def q_embedding_near_dup(sf_dir: str):
     bucketed = ds.map_batches(
         dedup_stage.EmbeddingLSH,
         fn_constructor_kwargs=dict(dim=EMB_DIM, planes=10),
-        batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5,
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.25,
     )
     # driver embeddings are random gaussians (max pairwise cosine ≈ 0.48)
     # so the "near-dup" threshold here is set low enough to surface the
@@ -504,8 +504,14 @@ def _world_poi(limit: int | None = None):
 
     w = _world_paths()
     docs = doc_src.read_documents(w["documents"])
+    if limit:
+        # limit BEFORE decode so a large world doesn't decode rows the
+        # query then drops; repartition afterwards — a limit collapses
+        # the stream to a couple of blocks, which would feed the actor
+        # pools nearly serially
+        docs = docs.limit(limit).repartition(64)
     poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
-    return (poi.limit(limit) if limit else poi), w
+    return poi, w
 
 
 def q_spans_mean_ndvi(sf_dir: str):
@@ -514,6 +520,16 @@ def q_spans_mean_ndvi(sf_dir: str):
     return availability.get_mean_ndvi_documents(
         w["documents"], w["tiles"], buffer_dist=300.0, concurrency=None
     )
+
+
+def q_spans_mean_ndvi_metrics(sf_dir: str):
+    """Flagship zonal WITHOUT the span-attach join — the north-star
+    'per-point exposure-metric throughput' measurement (the join back
+    onto the document payload is output materialization, benchmarked
+    separately in q_spans_mean_ndvi)."""
+    poi, w = _world_poi()
+    return availability.mean_ndvi(poi, w["tiles"], 300.0, key_col="doc_id",
+                                  concurrency=None)
 
 
 def q_viewshed_gvi(sf_dir: str):
@@ -631,6 +647,7 @@ QUERIES = {
     "events_window": q_events_window,
     "pricing_summary": q_pricing_summary,
     "spans_mean_ndvi": q_spans_mean_ndvi,
+    "spans_mean_ndvi_metrics": q_spans_mean_ndvi_metrics,
     "viewshed_gvi": q_viewshed_gvi,
     "streetview_gvi": q_streetview_gvi,
     "canopy_pct": q_canopy_pct,

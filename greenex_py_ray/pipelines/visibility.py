@@ -9,7 +9,7 @@ the per-sample-point table.
 
 from __future__ import annotations
 
-from ..functions.joins import as_pool
+from ..functions.joins import as_pool, heavy_pool
 
 import numpy as np
 import pandas as pd
@@ -83,7 +83,8 @@ def viewshed_gvi(
             edges_ref=eref, buffer_dist=buffer_dist, sample_dist=sample_dist,
             key_col=key_col,
         ),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+        batch_format="pyarrow", batch_size=256,
+        concurrency=as_pool(concurrency), num_cpus=0.25,
     )
     scored = pts.map_batches(
         vis.ViewshedGVI,
@@ -92,12 +93,39 @@ def viewshed_gvi(
             observer_height=observer_height, key_col=key_col,
         ),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=as_pool(concurrency), num_cpus=0.5,
+        **heavy_pool(concurrency),
     )
-    agg = scored.groupby(key_col).aggregate(
-        Mean("GVI", alias_name="mean_gvi_raw"), Count(alias_name="nr_of_points")
+    # partial pre-aggregation: a PoI's sample points are generated
+    # contiguously, so per-batch (key, Σgvi, n) partials shrink the
+    # rollup shuffle from one row per sample point to ~one row per
+    # (PoI, block) — the Aggregate otherwise owns the pipeline tail
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        g = batch.column("GVI").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(len(uniq))
+        c = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, g)
+        np.add.at(c, inv, 1)
+        return pa.table({key_col: pa.array(uniq), "gvi_sum": pa.array(s),
+                         "gvi_n": pa.array(c)})
+
+    agg = scored.map_batches(partial, batch_format="pyarrow").groupby(key_col).aggregate(
+        Sum("gvi_sum", alias_name="s"), Sum("gvi_n", alias_name="n")
     )
-    rollup = agg.map_batches(lambda b: _finish_rollup(b, key_col), batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sv = batch.column("s").to_numpy(zero_copy_only=False)
+        nv = batch.column("n").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = sv / nv
+        return pa.table({
+            key_col: batch.column(key_col),
+            "GVI": pa.array(np.round(mean, 3)),  # visibility.py:564 round(3)
+            "nr_of_points": pa.array(nv),
+        })
+
+    rollup = agg.map_batches(finish, batch_format="pyarrow")
     return rollup, scored
 
 
@@ -131,23 +159,24 @@ def streetview_gvi(
         vis.PointsToPoi,
         fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
                                    key_col=key_col, semi=True),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
     fref = ray.put(features)
     pts = pts.map_batches(
         vis.NearestImageFeature,
         fn_constructor_kwargs=dict(features_ref=fref),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+        batch_format="pyarrow", batch_size=256,
+        concurrency=as_pool(concurrency), num_cpus=0.25,
     )
     scored = pts.map_batches(
         vis.SegmentationGVI, batch_format="pyarrow",
-        concurrency=as_pool(concurrency), num_cpus=0.5,
+        **heavy_pool(concurrency),
     )
     exploded = scored.map_batches(
         vis.PointsToPoi,
         fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
                                    key_col=key_col, semi=False),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
 
     def pre_rollup(batch: pa.Table) -> pa.Table:

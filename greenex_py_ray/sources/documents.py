@@ -52,13 +52,22 @@ def _first_geom_texts(spans: pa.ListArray) -> tuple[np.ndarray, np.ndarray]:
     x = np.full(n, np.nan)
     y = np.full(n, np.nan)
     if len(pos):
+        import pyarrow.compute as pc
+
         parents = np.searchsorted(offsets, pos, side="right") - 1
         # first geom span per parent (pos is ascending → first occurrence wins)
         uniq_parents, first_idx = np.unique(parents, return_index=True)
-        texts = flat.field("text").take(pa.array(pos[first_idx])).to_pylist()
-        px, py = geom.parse_wkt_points(texts)
-        x[uniq_parents] = px
-        y[uniq_parents] = py
+        texts = flat.field("text").take(pa.array(pos[first_idx]))
+        # Arrow-native POINT parse (C kernels; string→double cast is
+        # correct-rounding so repr'd coordinates round-trip exactly)
+        t = pc.replace_substring(texts, pattern="POINT(", replacement="")
+        t = pc.replace_substring(t, pattern=")", replacement="")
+        parts = pc.split_pattern(t, " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        nums = parts.flatten().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        x[uniq_parents] = nums[0::2]
+        y[uniq_parents] = nums[1::2]
     return x, y
 
 

@@ -214,6 +214,8 @@ def doc_coordinates(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def make_documents(n: int, seed: int = 42) -> pa.Table:
+    """Vectorized construction straight into Arrow (no per-row dicts —
+    generating the 10^5-doc bench world must stay cheap)."""
     x, y = doc_coordinates(n, seed)
     rng = np.random.default_rng(seed + 1)
     doc_ids = [f"doc-{i:012d}" for i in range(n)]
@@ -221,29 +223,42 @@ def make_documents(n: int, seed: int = 42) -> pa.Table:
     tix = np.minimum((x // TILE_SIZE).astype(np.int64), ntiles - 1)
     tiy = np.minimum((y // TILE_SIZE).astype(np.int64), ntiles - 1)
     n_text = rng.integers(1, 4, n)
-    word_idx = rng.integers(0, len(_WORDS), (n, 6))
-    spans: list[list[dict]] = []
-    for i in range(n):
-        s = [
-            {"kind": "geom", "text": f"POINT({x[i]!r} {y[i]!r})", "media_ref": "", "offset": 0}
-        ]
-        off = 1
-        for _ in range(int(n_text[i])):
-            txt = " ".join(_WORDS[j] for j in word_idx[i, off - 1 :: 2][:3])
-            s.append({"kind": "text", "text": txt, "media_ref": "", "offset": off})
-            off += 1
-        s.append(
-            {
-                "kind": "media",
-                "text": "",
-                "media_ref": f"tile://ndvi/{tix[i]}_{tiy[i]}",
-                "offset": off,
-            }
-        )
-        spans.append(s)
+    counts = n_text + 2  # geom + texts + media
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    total = int(offsets[-1])
+    # per-span local position within its document
+    starts = offsets[:-1].astype(np.int64)
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+    is_geom = local == 0
+    is_media = local == (counts[parent] - 1)
+    kinds = np.where(is_geom, "geom", np.where(is_media, "media", "text"))
+    geom_texts = [f"POINT({a!r} {b!r})" for a, b in zip(x.tolist(), y.tolist())]
+    word_idx = rng.integers(0, len(_WORDS) - 3, total)
+    texts = [""] * total
+    media = [""] * total
+    gpos = np.flatnonzero(is_geom)
+    for j, p in zip(gpos.tolist(), parent[gpos].tolist()):
+        texts[j] = geom_texts[p]
+    tpos = np.flatnonzero(~is_geom & ~is_media)
+    for j in tpos.tolist():
+        w = int(word_idx[j])
+        texts[j] = f"{_WORDS[w]} {_WORDS[w + 1]} {_WORDS[w + 2]}"
+    mpos = np.flatnonzero(is_media)
+    for j, p in zip(mpos.tolist(), parent[mpos].tolist()):
+        media[j] = f"tile://ndvi/{tix[p]}_{tiy[p]}"
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds.tolist(), pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(media, pa.string()),
+            pa.array(local.astype(np.int32), pa.int32()),
+        ],
+        fields=list(SPAN_TYPE),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
     return pa.table(
-        {"doc_id": pa.array(doc_ids, pa.string()), "spans": pa.array(spans, pa.list_(SPAN_TYPE))},
-        schema=DOC_SCHEMA,
+        {"doc_id": pa.array(doc_ids, pa.string()), "spans": spans}, schema=DOC_SCHEMA
     )
 
 
@@ -375,7 +390,7 @@ def ensure_world(root: str, n_docs: int = 2000, seed: int = 42) -> dict[str, str
     """Write the full synthetic world under ``root`` if absent; returns a
     path map.  Idempotent — used by tests, bench and queries()."""
     paths = {
-        "documents": os.path.join(root, "documents.parquet"),
+        "documents": os.path.join(root, "documents"),
         "greenspace": os.path.join(root, "greenspace.parquet"),
         "canopy": os.path.join(root, "canopy.parquet"),
         "network_nodes": os.path.join(root, "network_nodes.parquet"),
@@ -387,8 +402,18 @@ def ensure_world(root: str, n_docs: int = 2000, seed: int = 42) -> dict[str, str
     if os.path.exists(marker):
         return paths
     os.makedirs(root, exist_ok=True)
-    pq.write_table(make_documents(n_docs, seed), paths["documents"],
-                   row_group_size=2048)  # row-group-granular parallel reads
+    # documents are written as a DIRECTORY of fragment files (Lance-style
+    # fragment set): a single parquet file makes the Ray read one serial
+    # task that gates the whole fused read→decode→zonal chain
+    docs_tbl = make_documents(n_docs, seed)
+    os.makedirs(paths["documents"], exist_ok=True)
+    n_frag = max(1, min(32, n_docs // 8192))
+    frag_rows = (n_docs + n_frag - 1) // n_frag
+    for f in range(n_frag):
+        frag = docs_tbl.slice(f * frag_rows, frag_rows)
+        if frag.num_rows:
+            pq.write_table(frag, os.path.join(paths["documents"], f"frag-{f:05d}.parquet"),
+                           row_group_size=2048)
     pq.write_table(make_greenspace(), paths["greenspace"])
     pq.write_table(make_canopy(), paths["canopy"])
     nodes, edges = make_network()

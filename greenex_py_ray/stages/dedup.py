@@ -150,7 +150,7 @@ def minhash_lsh_candidates(
     LSH buckets, deduplicated across bands."""
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
     bands_ds = sigs.map_batches(
         lambda b: lsh_band_batch(b, num_perm, bands, key_col), batch_format="pyarrow"

@@ -83,7 +83,7 @@ def brute_force_topk(
     cand = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, dim=dim, key_col=key_col),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -138,7 +138,7 @@ def ivf_topk(
     cref = ray.put(centroids)
     assigned = ds.map_batches(
         IVFAssign, fn_constructor_kwargs=dict(centroids_ref=cref, dim=dim),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.5,
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
     Q = np.asarray(queries["vectors"], dtype=np.float64)
     d = -2.0 * (Q @ centroids.T) + (centroids * centroids).sum(1)[None, :]

@@ -348,3 +348,204 @@ def polygon_tile_cover_batch(batch: pa.Table, key_col: str) -> pa.Table:
             "tile_key": pa.array(np.array(out_tk, dtype=np.int64)),
         }
     )
+
+
+class ZonalStatsLocal:
+    """Fused zonal stage: poi(key, x, y) batches → FINAL per-key
+    mean/std, no shuffle.
+
+    A disk AoI spans at most ceil(2r/TILE_SIZE+1)² tiles (≤4 for
+    r≤1280 m), so each row's full aggregation is local to the actor via
+    the tile cache — strictly cheaper than partial+groupby at every
+    scale.  ``ZonalStatsPartial`` + groupby remains the path for radii
+    spanning many tiles.
+
+    Kernel: per-tile row-cumsum tables of (clamped value, value², count)
+    built once per actor; each point's disk reduces to per-row chord
+    segment sums.  Chord column bounds from sqrt are corrected by ±1
+    against the ORIGINAL inequality ``dx²+dy² ≤ r²`` so the included
+    pixel set is bit-identical to the direct mask (and to the SQL
+    oracle); only floating-point summation order differs.
+    """
+
+    def __init__(self, tile_root: str, band: str, radius: float,
+                 key_col: str = "doc_id", clamp_min: float | None = 0.0,
+                 mean_name: str = "mean_NDVI", std_name: str = "std_NDVI",
+                 cache_tiles: int = 256):
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.radius = radius
+        self.key_col = key_col
+        self.clamp_min = clamp_min
+        self.mean_name = mean_name
+        self.std_name = std_name
+        self._sat: dict[tuple[int, int], tuple] = {}
+
+    def _tile_sat(self, tix: int, tiy: int):
+        """(row-cumsum of clamped vals, of vals², width) or None."""
+        key = (tix, tiy)
+        if key in self._sat:
+            return self._sat[key]
+        arr = self.store.get(self.band, tix, tiy)
+        if arr is None:
+            self._sat[key] = None
+            return None
+        v = np.maximum(arr, self.clamp_min) if self.clamp_min is not None else arr
+        c1 = np.cumsum(v, axis=1)
+        c2 = np.cumsum(v * v, axis=1)
+        self._sat[key] = (c1, c2, arr.shape[0], arr.shape[1])
+        if len(self._sat) > 512:
+            self._sat.pop(next(iter(self._sat)))
+        return self._sat[key]
+
+    def _disk_tile_sums_many(self, tix: int, tiy: int,
+                             x: np.ndarray, y: np.ndarray):
+        """Vectorized over all points touching one tile: per-point
+        (Σv, Σv², n) of their disk pixels within this tile.  All math is
+        2-D (points × candidate rows) — ~10 numpy calls per tile group
+        regardless of point count."""
+        m = len(x)
+        sat = self._tile_sat(tix, tiy)
+        if sat is None:
+            z = np.zeros(m)
+            return z, z.copy(), np.zeros(m, dtype=np.int64)
+        c1, c2, h, w = sat
+        res = synth.RASTER_RES
+        x0 = tix * synth.TILE_SIZE
+        y0 = tiy * synth.TILE_SIZE
+        r = self.radius
+        K = int(2 * r / res) + 3
+        r0 = np.floor((y - r - y0) / res).astype(np.int64)
+        rlast = np.floor((y + r - y0) / res).astype(np.int64)
+        rows = r0[:, None] + np.arange(K)[None, :]
+        row_ok = (rows >= 0) & (rows <= h - 1) & (rows <= rlast[:, None])
+        py = y0 + (rows + 0.5) * res
+        dy2 = (py - y[:, None]) ** 2
+        rad2 = r * r - dy2
+        ok = row_ok & (rad2 >= 0.0)
+        halfw = np.sqrt(np.maximum(rad2, 0.0))
+        clo = np.ceil((x[:, None] - halfw - x0) / res - 0.5).astype(np.int64)
+        chi = np.floor((x[:, None] + halfw - x0) / res - 0.5).astype(np.int64)
+
+        def _inside(cols):
+            px = x0 + (cols + 0.5) * res
+            dx2 = (px - x[:, None]) ** 2
+            return dx2 + dy2 <= r * r
+
+        clo = np.where(_inside(clo - 1), clo - 1, clo)
+        clo = np.where(~_inside(clo), clo + 1, clo)
+        chi = np.where(_inside(chi + 1), chi + 1, chi)
+        chi = np.where(~_inside(chi), chi - 1, chi)
+        use = ok & (chi >= clo) & (chi >= 0) & (clo <= w - 1)
+        lo = np.clip(clo, 0, w - 1)
+        hi = np.clip(chi, 0, w - 1)
+        rows_c = np.clip(rows, 0, h - 1)
+        lo1 = np.maximum(lo - 1, 0)
+        seg1 = c1[rows_c, hi] - np.where(lo > 0, c1[rows_c, lo1], 0.0)
+        seg2 = c2[rows_c, hi] - np.where(lo > 0, c2[rows_c, lo1], 0.0)
+        cnt = (hi - lo + 1) * use
+        return (
+            np.where(use, seg1, 0.0).sum(axis=1),
+            np.where(use, seg2, 0.0).sum(axis=1),
+            cnt.sum(axis=1).astype(np.int64),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        n = len(x)
+        psum = np.zeros(n)
+        psumsq = np.zeros(n)
+        pcount = np.zeros(n, dtype=np.int64)
+        ts = synth.TILE_SIZE
+        r = self.radius
+        # flat cover expansion, then one vectorized kernel per tile
+        ix0 = np.floor((x - r) / ts).astype(np.int64)
+        ix1 = np.floor((x + r) / ts).astype(np.int64)
+        iy0 = np.floor((y - r) / ts).astype(np.int64)
+        iy1 = np.floor((y + r) / ts).astype(np.int64)
+        counts = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        idx = np.repeat(np.arange(n), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        local = np.arange(int(counts.sum())) - np.repeat(starts, counts)
+        ny = np.repeat(iy1 - iy0 + 1, counts)
+        dxs = local // ny
+        dys = local - dxs * ny
+        tkx = np.repeat(ix0, counts) + dxs
+        tky = np.repeat(iy0, counts) + dys
+        tkey = tkx * TILE_KEY_STRIDE + tky
+        order = np.argsort(tkey, kind="stable")
+        uniq, bounds_start = np.unique(tkey[order], return_index=True)
+        bounds = np.concatenate([bounds_start, [len(tkey)]])
+        for g, tk in enumerate(uniq):
+            sel = order[bounds[g] : bounds[g + 1]]
+            docs = idx[sel]
+            tx = int(tk) // TILE_KEY_STRIDE
+            ty = int(tk) - tx * TILE_KEY_STRIDE
+            s1, s2, cnt = self._disk_tile_sums_many(tx, ty, x[docs], y[docs])
+            np.add.at(psum, docs, s1)
+            np.add.at(psumsq, docs, s2)
+            np.add.at(pcount, docs, cnt)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = psum / pcount
+            var = psumsq / pcount - mean * mean
+        std = np.sqrt(np.maximum(var, 0.0))
+        return pa.table(
+            {
+                self.key_col: batch.column(self.key_col),
+                self.mean_name: pa.array(np.round(mean, 3)),
+                self.std_name: pa.array(np.round(std, 3)),
+            }
+        )
+
+
+class LandcoverLocal:
+    """Fused landcover percentages (no shuffle), analog of
+    :class:`ZonalStatsLocal`."""
+
+    def __init__(self, tile_root: str, radius: float, classmap: dict[int, str],
+                 key_col: str = "doc_id", band: str = "lulc",
+                 stringify: bool = False, cache_tiles: int = 256):
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.radius = radius
+        self.key_col = key_col
+        self.classes = sorted(classmap)
+        self.names = [classmap[c] for c in self.classes]
+        self.stringify = stringify
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        n = len(x)
+        counts = np.zeros((n, len(self.classes)), dtype=np.int64)
+        total = np.zeros(n, dtype=np.int64)
+        cls_arr = np.asarray(self.classes)
+        ts = synth.TILE_SIZE
+        r = self.radius
+        ix0 = np.floor((x - r) / ts).astype(np.int64)
+        ix1 = np.floor((x + r) / ts).astype(np.int64)
+        iy0 = np.floor((y - r) / ts).astype(np.int64)
+        iy1 = np.floor((y + r) / ts).astype(np.int64)
+        for i in range(n):
+            for tx in range(ix0[i], ix1[i] + 1):
+                for ty in range(iy0[i], iy1[i] + 1):
+                    li, vals = _pixel_disk_values(
+                        self.store, self.band, tx, ty, x[i : i + 1], y[i : i + 1], r
+                    )
+                    if len(vals) == 0:
+                        continue
+                    total[i] += vals.size
+                    pos = np.searchsorted(cls_arr, vals)
+                    ok = (pos < len(cls_arr)) & (cls_arr[np.minimum(pos, len(cls_arr) - 1)] == vals)
+                    np.add.at(counts[i], pos[ok], 1)
+        cols = {self.key_col: batch.column(self.key_col)}
+        tot = total.astype(np.float64)
+        for j, name in enumerate(self.names):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pct = np.round(counts[:, j] / tot * 100.0, 3)
+            if self.stringify:
+                cols[name] = pa.array([None if np.isnan(v) else f"{v!s}%" for v in pct])
+            else:
+                cols[name] = pa.array(pct)
+        return pa.table(cols)

@@ -101,7 +101,7 @@ def test_gvi_matches_oracle():
 
 
 def test_viewshed_pipeline_smoke(world):
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     from greenex_py_ray.pipelines import visibility as vpipe
 
@@ -110,7 +110,7 @@ def test_viewshed_pipeline_smoke(world):
         sample_dist=50.0, concurrency=2,
     )
     df = rollup.to_pandas()
-    n_docs = pq.read_metadata(world["documents"]).num_rows
+    n_docs = pads.dataset(world["documents"]).count_rows()
     assert 0 < len(df) <= n_docs
     assert set(df.columns) == {"doc_id", "GVI", "nr_of_points"}
     ok = df["GVI"].dropna()
