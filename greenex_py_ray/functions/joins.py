@@ -150,5 +150,7 @@ def heavy_pool(concurrency=None) -> dict:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    n = max(1, min(cpus - 2, cpus * 3 // 4))
+    # half the cluster: the dominant kernel still needs its FEED stages
+    # (read/decode tasks at 1 CPU each) to run wide, or the pool starves
+    n = max(1, cpus // 2)
     return dict(concurrency=(n, n), num_cpus=1)

@@ -209,6 +209,15 @@ def q_minhash_lsh(sf_dir: str):
     return dedup_stage.minhash_lsh_candidates(ds, key_col="doc_id", concurrency=(1, 2))
 
 
+def q_near_dedup(sf_dir: str):
+    """End-to-end near-dup removal: LSH candidates → Jaccard verify →
+    components → keep min-key per cluster (rows-only; pieces verified
+    in tests)."""
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_stage.near_dedup(ds, threshold=0.7, concurrency=4)
+    return out.select_columns(["doc_id"])
+
+
 def q_simhash(sf_dir: str):
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(dedup_stage.SimHasher, batch_format="pyarrow",
@@ -641,6 +650,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "minhash_lsh": q_minhash_lsh,
+    "near_dedup": q_near_dedup,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,

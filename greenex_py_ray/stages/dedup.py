@@ -395,28 +395,63 @@ def dedup_undirected_edges(ds: "ray.data.Dataset", u_col: str = "u",
 
 
 def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 20,
-                         a_col: str = "key_a", b_col: str = "key_b") -> "ray.data.Dataset":
+                         a_col: str = "key_a", b_col: str = "key_b",
+                         driver_threshold: int = 5_000_000) -> "ray.data.Dataset":
     """Near-dup clusters from a candidate-pair table: iterative min-label
-    propagation, each round a groupby (no driver-side union-find, so it
-    scales to pair tables that don't fit one machine).
+    propagation, one groupby round at a time (no driver-side union-find,
+    so it scales to pair tables that don't fit one machine).
 
-    Returns (key, component) where component = min key in the cluster —
-    the canonical representative for keep-one-per-cluster dedup."""
-    import ray.data as rd
+    Implementation avoids ``Dataset.join`` (whose hash-shuffle join
+    mishandles empty partitions on small inputs): label lookups go
+    through :func:`~greenex_py_ray.functions.joins.bucket_join_attach`
+    and the per-round reduce is ``union → groupby(key).min``.
+    Convergence is detected by the (monotonically decreasing) sum of all
+    labels.  Returns (key, component) with component = min key of the
+    cluster — the canonical representative.
+    """
+    import ray.data as _rd
     from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.joins import bucket_join_attach
+
+    if pairs.count() <= driver_threshold:
+        # common case: dup pairs are sparse relative to the corpus, so a
+        # driver-side union-find over just the pair keys is cheap (the
+        # distributed loop below is the spill-over path for pair tables
+        # beyond driver memory)
+        pdf = pairs.select_columns([a_col, b_col]).to_pandas()
+        parent: dict = {}
+
+        def find(k):
+            root = k
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(k, k) != k:
+                parent[k], k = root, parent[k]
+            return root
+
+        for ka, kb in zip(pdf[a_col].tolist(), pdf[b_col].tolist()):
+            ra, rb = find(ka), find(kb)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo
+        keys = sorted({*pdf[a_col].tolist(), *pdf[b_col].tolist()})
+        comp = [find(k) for k in keys]
+        return _rd.from_arrow(pa.table({"key": pa.array(keys),
+                                        "component": pa.array(comp)}))
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col)
         b = batch.column(b_col)
-        return pa.table({
-            "key": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
-                                     b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
-            "nbr": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
-                                     a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
-        })
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table({"key": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
 
-    edges = pairs.map_batches(explode, batch_format="pyarrow")
-    # label(key) = min(key, min neighbor labels); iterate to fixpoint.
+    edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
     labels = edges.groupby("key").aggregate(_Min("nbr", alias_name="label"))
     labels = labels.map_batches(
         lambda b: pa.table({
@@ -428,35 +463,79 @@ def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 20,
         }),
         batch_format="pyarrow",
     ).materialize()
+    prev_sum = None
     for _ in range(max_rounds):
-        # propagate: new_label(key) = min over neighbors of label(nbr)
-        joined = edges.join(labels.map_batches(
+        cur_sum = labels.aggregate(_Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        # propagate: each edge (key, nbr) pulls nbr's current label...
+        nbr_labels = labels.map_batches(
             lambda b: pa.table({"nbr": b.column("key"),
                                 "nbr_label": b.column("label")}),
             batch_format="pyarrow",
-        ), join_type="inner", num_partitions=4, on=("nbr",))
-        new_labels = joined.groupby("key").aggregate(_Min("nbr_label", alias_name="prop"))
-        merged = labels.join(new_labels, join_type="left_outer", num_partitions=4,
-                             on=("key",))
-
-        def take_min(batch: pa.Table) -> pa.Table:
-            lab = batch.column("label").to_numpy(zero_copy_only=False)
-            prop = batch.column("prop").to_numpy(zero_copy_only=False)
-            prop = np.where(np.isnan(prop.astype(np.float64)), lab, prop).astype(lab.dtype)
-            return pa.table({
-                "key": batch.column("key"),
-                "label": pa.array(np.minimum(lab, prop)),
-                "changed": pa.array((np.minimum(lab, prop) != lab).astype(np.int8)),
-            })
-
-        stepped = merged.map_batches(take_min, batch_format="pyarrow").materialize()
-        from ray.data.aggregate import Max as _Max
-
-        changed = stepped.aggregate(_Max("changed", alias_name="c"))["c"]
-        labels = stepped.drop_columns(["changed"]).materialize()
-        if not changed:
-            break
+        )
+        prop = bucket_join_attach(edges, nbr_labels, key="nbr").map_batches(
+            lambda b: pa.table({"key": b.column("key"),
+                                "label": b.column("nbr_label")}),
+            batch_format="pyarrow",
+        )
+        # ...and the reduce keeps the min over (own label ∪ neighbor labels)
+        labels = labels.union(prop).groupby("key").aggregate(
+            _Min("label", alias_name="label")
+        ).materialize()
     return labels.map_batches(
         lambda b: pa.table({"key": b.column("key"), "component": b.column("label")}),
         batch_format="pyarrow",
     )
+
+
+def near_dedup(ds: "ray.data.Dataset", key_col: str = "doc_id",
+               text_col: str = "text", threshold: float = 0.8,
+               num_perm: int = 64, bands: int = 16,
+               concurrency: int = 4) -> "ray.data.Dataset":
+    """Full near-duplicate removal: MinHash-LSH candidates → exact
+    n-gram Jaccard verify → connected components → keep the min-key
+    row per cluster.  Returns the surviving (key) rows.
+
+    The text lookup for the verifier is broadcast (test scale); at
+    production scale the verify stage becomes a bucket join of pair rows
+    against the text table — stage bodies unchanged.
+    """
+    import pyarrow as _pa
+
+    import ray as _ray
+
+    cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands,
+                                  key_col=key_col, concurrency=concurrency)
+    # small-side text lookup (driver-side materialize of the two columns)
+    tdf = ds.select_columns([key_col, text_col]).to_pandas()
+    tlookup = _pa.Table.from_pandas(tdf, preserve_index=False)
+    verified = cand.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs=dict(texts_ref=_ray.put(tlookup), threshold=threshold),
+        batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.25,
+    )
+    dups = verified.map_batches(
+        lambda b: b.filter(b.column("is_dup")), batch_format="pyarrow"
+    )
+    comp = connected_components(dups)
+    # survivors: all keys minus non-representative cluster members
+    drop = comp.map_batches(
+        lambda b: b.filter(
+            pa.compute.not_equal(b.column("key"), b.column("component"))
+        ).select(["key"]),
+        batch_format="pyarrow",
+    )
+    drop_keys = set(drop.to_pandas()["key"].tolist())  # small: only dups
+    dref = _ray.put(drop_keys)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        dk = _r.get(dref)
+        keys = batch.column(key_col).to_pylist()
+        mask = pa.array([k not in dk for k in keys])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -187,3 +187,16 @@ def test_lineage_resume(tmp_path, sf_dir):
     # re-done partitions byte-identical to the first run
     for r in m2:
         assert r["checksum"] == checks_before[r["partition_id"]]
+
+
+def test_near_dedup_end_to_end():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [base, base[:-8] + " tail", "totally different document one",
+             base.replace("quick", "quik"), "another unrelated text entirely"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = dedup.near_dedup(rd.from_arrow(tbl), threshold=0.6,
+                           concurrency=2).to_pandas()
+    kept = set(out["doc_id"])
+    # docs 0,1,3 form one near-dup cluster → only min key 0 survives
+    assert kept == {0, 2, 4}
