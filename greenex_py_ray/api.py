@@ -165,7 +165,7 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
         metrics = _acc.network_distance_greenspace(
             pts, pq.read_table(network_nodes_file), pq.read_table(network_edges_file),
             gs, target_dist=target_dist, destination=destination,
-            concurrency=concurrency,
+            distance_type=distance_type, concurrency=concurrency,
         )
         metrics = metrics.map_batches(
             lambda b: b.rename_columns(

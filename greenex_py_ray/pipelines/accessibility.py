@@ -78,12 +78,15 @@ def network_distance_greenspace(
     greenspace: "pa.Table",
     target_dist: float = 300.0,
     destination: str = "centroids",
+    distance_type: str = "network",
     key_col: str = "doc_id",
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
-    """Network branch of get_shortest_distance_greenspace
-    (accessibility.py:226-273): GraphActor pool with broadcast graph +
-    greenspace tables."""
+    """Network/entrance branches of get_shortest_distance_greenspace
+    (accessibility.py:226-301): GraphActor pool with broadcast graph +
+    greenspace tables; ``distance_type='euclidean'`` +
+    ``destination='entrance'`` gives the straight-line-to-entrance
+    variant."""
     import ray as _ray
 
     from ..stages.netaccess import NetworkDistance
@@ -93,7 +96,7 @@ def network_distance_greenspace(
         fn_constructor_kwargs=dict(
             nodes_ref=_ray.put(nodes), edges_ref=_ray.put(edges),
             greenspace_ref=_ray.put(greenspace), target_dist=target_dist,
-            destination=destination, key_col=key_col,
+            destination=destination, distance_type=distance_type, key_col=key_col,
         ),
         batch_format="pyarrow", batch_size=512,
         **heavy_pool(concurrency),

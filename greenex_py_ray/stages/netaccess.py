@@ -81,7 +81,7 @@ class NetworkDistance:
 
     def __init__(self, nodes_ref, edges_ref, greenspace_ref,
                  target_dist: float, destination: str = "centroids",
-                 key_col: str = "doc_id",
+                 distance_type: str = "network", key_col: str = "doc_id",
                  dist_name: str = "distance_to_greenspace",
                  flag_name: str = "greenspace_within_target"):
         self.graph = _graph_from_tables(_resolve(nodes_ref), _resolve(edges_ref))
@@ -96,6 +96,10 @@ class NetworkDistance:
         self.vert_index = GridIndex(vx, vy, cell_size=500.0)
         self.target = float(target_dist)
         self.destination = destination
+        # "network": Dijkstra distances (accessibility.py:234-273);
+        # "euclidean" (+ destination="entrance"): straight-line distance
+        # to the nearest pseudo-entrance node (accessibility.py:286-301)
+        self.distance_type = distance_type
         self.key_col = key_col
         self.dist_name = dist_name
         self.flag_name = flag_name
@@ -150,9 +154,14 @@ class NetworkDistance:
                 ent = bd < 20.0  # accessibility.py:243-246
                 if not ent.any():
                     continue
-                d = ego_d[ent] + penalty_home
-                if self.destination == "centroids":
-                    d = d + np.sqrt((nx_[ent] - cx) ** 2 + (ny_[ent] - cy) ** 2)
+                if self.distance_type == "euclidean":
+                    # euclidean/entrance branch: straight-line PoI →
+                    # pseudo-entrance (accessibility.py:295-299)
+                    d = np.sqrt((nx_[ent] - x[i]) ** 2 + (ny_[ent] - y[i]) ** 2)
+                else:
+                    d = ego_d[ent] + penalty_home
+                    if self.destination == "centroids":
+                        d = d + np.sqrt((nx_[ent] - cx) ** 2 + (ny_[ent] - cy) ** 2)
                 m = d.min()
                 if m < best:
                     best = m

@@ -259,3 +259,63 @@ def test_stringified_coverage_format(world):
         batch_format="pyarrow", concurrency=1, num_cpus=1,
     ).to_pandas()
     assert all(s.endswith("%") for s in out["canopy_cover"])
+
+
+def test_euclidean_entrance_branch(world):
+    """distance_type='euclidean' + destination='entrance': straight-line
+    distance to the nearest pseudo-entrance node (accessibility.py:286-301)."""
+    nodes, edges = _world_graph_tables(world)
+    gs = pq.read_table(world["greenspace"])
+    docs = doc_src.decode_geom(doc_src.read_documents(world["documents"]))
+    pdf = docs.select_columns(["doc_id", "x", "y"]).limit(6).to_pandas()
+    target = 600.0
+    import ray.data as rd
+
+    out = rd.from_pandas(pdf).map_batches(
+        NetworkDistance,
+        fn_constructor_kwargs=dict(
+            nodes_ref=ray.put(nodes), edges_ref=ray.put(edges),
+            greenspace_ref=ray.put(gs), target_dist=target,
+            destination="entrance", distance_type="euclidean",
+        ),
+        batch_format="pyarrow", concurrency=1, num_cpus=1,
+    ).to_pandas().set_index("doc_id")
+
+    nid = nodes.column("node_id").to_numpy(zero_copy_only=False)
+    nx = nodes.column("x").to_numpy(zero_copy_only=False)
+    ny = nodes.column("y").to_numpy(zero_copy_only=False)
+    pos = {int(i): k for k, i in enumerate(nid)}
+    e_list = [
+        (pos[int(u)], pos[int(v)], float(w))
+        for u, v, w in zip(edges.column("u").to_pylist(), edges.column("v").to_pylist(),
+                           edges.column("length").to_pylist())
+    ]
+    rings = [np.array([[p["x"], p["y"]] for p in r[0]])
+             for r in gs.column("rings").to_pylist()]
+
+    def seg_dist(px, py, ring):
+        ax, ay = ring[:, 0], ring[:, 1]
+        bx, by = np.roll(ax, -1), np.roll(ay, -1)
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        t = np.clip(np.where(l2 > 0, ((px - ax) * dx + (py - ay) * dy) / l2, 0), 0, 1)
+        return np.sqrt((px - (ax + t * dx)) ** 2 + (py - (ay + t * dy)) ** 2).min()
+
+    for _, row in pdf.iterrows():
+        cand = [i for i, r in enumerate(rings) if seg_dist(row.x, row.y, r) <= target]
+        exp_d, exp_f = target, False
+        if cand:
+            src = int(np.argmin((nx - row.x) ** 2 + (ny - row.y) ** 2))
+            reach = oracle_dijkstra(np.column_stack([nx, ny]), e_list, src, target * 1.5)
+            best = np.inf
+            for ci in cand:
+                for node in reach:
+                    if seg_dist(nx[node], ny[node], rings[ci]) < 20.0:
+                        best = min(best, float(np.hypot(nx[node] - row.x, ny[node] - row.y)))
+            if np.isfinite(best):
+                m = round(best, 0)
+                if m <= target:
+                    exp_d, exp_f = m, True
+        got = out.loc[row.doc_id]
+        assert got["distance_to_greenspace"] == exp_d
+        assert got["greenspace_within_target"] == exp_f
