@@ -206,7 +206,7 @@ def q_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs (rows-only check; verified
     against exact n-gram Jaccard in tests)."""
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_stage.minhash_lsh_candidates(ds, key_col="doc_id", concurrency=(1, 2))
+    return dedup_stage.minhash_lsh_candidates(ds, key_col="doc_id", concurrency=8)
 
 
 def q_near_dedup(sf_dir: str):

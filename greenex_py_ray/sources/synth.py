@@ -386,6 +386,11 @@ def make_image_features(n: int = 2000, seed: int = 46) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+#: bump when any generator above changes — cached /tmp worlds carry the
+#: version in their completion marker and regenerate on mismatch
+WORLD_VERSION = 2
+
+
 def ensure_world(root: str, n_docs: int = 2000, seed: int = 42) -> dict[str, str]:
     """Write the full synthetic world under ``root`` if absent; returns a
     path map.  Idempotent — used by tests, bench and queries()."""
@@ -398,7 +403,7 @@ def ensure_world(root: str, n_docs: int = 2000, seed: int = 42) -> dict[str, str
         "image_features": os.path.join(root, "image_features.parquet"),
         "tiles": os.path.join(root, "tiles"),
     }
-    marker = os.path.join(root, f".complete_{n_docs}_{seed}")
+    marker = os.path.join(root, f".complete_v{WORLD_VERSION}_{n_docs}_{seed}")
     if os.path.exists(marker):
         return paths
     os.makedirs(root, exist_ok=True)

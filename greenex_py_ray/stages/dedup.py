@@ -105,8 +105,22 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else \
-            np.zeros((0, self.num_perm), dtype=np.uint64)
+        n = len(texts)
+        if n == 0:
+            sigs = np.zeros((0, self.num_perm), dtype=np.uint64)
+        else:
+            # batch-vectorized: one (P, ΣS) universal-hash pass over the
+            # concatenated shingle sets, per-doc min via reduceat
+            shingle_sets = [self.shingle_hashes(t or "") for t in texts]
+            lens = np.array([len(sh) for sh in shingle_sets], dtype=np.int64)
+            nonempty = lens > 0
+            sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
+            if nonempty.any():
+                cat = np.concatenate([sh for sh in shingle_sets if len(sh)])
+                v = (self.a[:, None] * cat[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+                starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+                mins = np.minimum.reduceat(v, starts, axis=1)  # (P, n_nonempty)
+                sigs[nonempty] = mins.T
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
         )

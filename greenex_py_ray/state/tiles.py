@@ -63,6 +63,14 @@ class TileStore:
 
         px = synth.TILE_PX
         dtype = synth.BAND_DTYPE[band]
+        # fast path: window fully inside one tile → zero-copy view
+        if (row0 >= 0 and col0 >= 0 and row0 // px == (row0 + h - 1) // px
+                and col0 // px == (col0 + w - 1) // px):
+            arr = self.get(band, col0 // px, row0 // px)
+            if arr is not None:
+                r0 = row0 - (row0 // px) * px
+                c0 = col0 - (col0 // px) * px
+                return arr[r0 : r0 + h, c0 : c0 + w]
         out = np.full((h, w), fill, dtype=np.float64 if dtype != np.int16 else np.float64)
         t0r, t1r = row0 // px, (row0 + h - 1) // px
         t0c, t1c = col0 // px, (col0 + w - 1) // px
