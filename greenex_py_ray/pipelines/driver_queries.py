@@ -301,6 +301,21 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_asof_last_order(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event timestamp (bucketed merge_asof — the temporal-join
+    operator class the reference lacks)."""
+    from ..stages.asof import asof_join_latest
+
+    events = dt.read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = dt.read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    return asof_join_latest(
+        events, orders, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", left_id="event_id",
+        out_col="last_order_epoch",
+    )
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped rollup with per-batch partial aggregation before
     the groupby shuffle (the SURVEY §2.5 partial+final pattern)."""
@@ -465,6 +480,13 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n,
                round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "asof_last_order": """
+        SELECT e.event_id,
+               epoch(max(o.o_orderdate)) AS last_order_epoch
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -655,6 +677,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_window": q_events_window,
+    "asof_last_order": q_asof_last_order,
     "pricing_summary": q_pricing_summary,
     "spans_mean_ndvi": q_spans_mean_ndvi,
     "spans_mean_ndvi_metrics": q_spans_mean_ndvi_metrics,

@@ -1,0 +1,84 @@
+"""As-of join (latest right row at or before each left row's timestamp).
+
+The reference has no temporal joins; this is part of the training-data
+operator set (event logs ↔ slowly-changing side tables).  Shape: both
+sides are bucketed by key hash (duplicates share a bucket), the union is
+grouped per bucket, and the per-bucket body is a sorted
+``pandas.merge_asof`` — the canonical Ray Data pattern for as-of /
+range joins (no global sort; one shuffle on the bucket key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.joins import stable_bucket
+
+
+def asof_join_latest(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    out_col: str = "asof_ts",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """For each left row: the max right ``right_ts`` with matching key
+    and ``right_ts <= left_ts`` (microsecond int64; null on no match).
+
+    Returns (left_id, left_ts, out_col)."""
+    if num_buckets is None:
+        num_buckets = 16
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch.column(left_key).to_numpy(zero_copy_only=False)
+        ts = batch.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(k.astype(np.int64)),
+            "ts": pa.array(ts),
+            "row_id": batch.column(left_id),
+            "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            "bucket": pa.array(stable_bucket(k, num_buckets)),
+        })
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch.column(right_key).to_numpy(zero_copy_only=False)
+        ts = batch.column(right_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(k.astype(np.int64)),
+            "ts": pa.array(ts),
+            "row_id": pa.nulls(len(k), pa.int64()),
+            "side": pa.array(np.ones(len(k), dtype=np.int8)),
+            "bucket": pa.array(stable_bucket(k, num_buckets)),
+        })
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    u = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["side"] == 0].sort_values("ts", kind="stable")
+        rg = g[g["side"] == 1].sort_values("ts", kind="stable")
+        if len(lg) == 0:
+            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="float64")})
+        if len(rg) == 0:
+            return pd.DataFrame({left_id: lg["row_id"].to_numpy(),
+                                 out_col: np.full(len(lg), np.nan)})
+        m = pd.merge_asof(
+            lg[["row_id", "ts", "k"]], rg[["ts", "k"]].rename(columns={"ts": "rts"}),
+            left_on="ts", right_on="rts", left_by="k", right_by="k",
+            direction="backward",
+        )
+        # microseconds → epoch seconds as double (matches DuckDB epoch())
+        return pd.DataFrame({left_id: m["row_id"].to_numpy(),
+                             out_col: m["rts"].to_numpy(dtype="float64") / 1e6})
+
+    return u.groupby("bucket").map_groups(merge, batch_format="pandas")

@@ -68,3 +68,40 @@ def test_connected_components_chain():
     out = dedup.connected_components(rd.from_arrow(pairs)).to_pandas()
     assert set(out["component"]) == {0}
     assert len(out) == n
+
+
+def test_asof_join_interleaved():
+    """As-of semantics on genuinely interleaved timestamps."""
+    import pandas as pd
+
+    from greenex_py_ray.stages.asof import asof_join_latest
+
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8, 9], pa.int64()),
+        "ts": pa.array(pd.to_datetime(
+            ["2024-01-05", "2024-01-10", "2024-01-20", "2024-01-10", "2024-01-10"]
+        ).astype("datetime64[us]")),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array([7, 7, 8], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["2024-01-08", "2024-01-15", "2024-02-01"]
+        ).astype("datetime64[us]")),
+    })
+    out = asof_join_latest(
+        rd.from_arrow(ev), rd.from_arrow(orders),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", left_id="event_id",
+        out_col="last_order_epoch",
+    ).to_pandas().set_index("event_id")
+    import numpy as np
+
+    def epoch(s):
+        return pd.Timestamp(s).timestamp()
+
+    assert np.isnan(out.loc[1, "last_order_epoch"])          # before any order
+    assert out.loc[2, "last_order_epoch"] == epoch("2024-01-08")
+    assert out.loc[3, "last_order_epoch"] == epoch("2024-01-15")
+    assert np.isnan(out.loc[4, "last_order_epoch"])          # order after event
+    assert np.isnan(out.loc[5, "last_order_epoch"])          # user with no orders
