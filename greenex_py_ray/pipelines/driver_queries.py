@@ -316,6 +316,20 @@ def q_asof_last_order(sf_dir: str):
     )
 
 
+def q_range_join_count(sf_dir: str):
+    """Temporal range join: orders per user within the 3000 days before
+    each event (bucketed searchsorted — the range-join operator class)."""
+    from ..stages.asof import range_join_count
+
+    events = dt.read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = dt.read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    return range_join_count(
+        events, orders, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", left_id="event_id",
+        window_us=3000 * 86400 * 1_000_000, out_col="n_orders_window",
+    )
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped rollup with per-batch partial aggregation before
     the groupby shuffle (the SURVEY §2.5 partial+final pattern)."""
@@ -486,6 +500,15 @@ ORACLE_SQL: dict[str, str] = {
                epoch(max(o.o_orderdate)) AS last_order_epoch
         FROM events e LEFT JOIN orders o
           ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id
+    """,
+    "range_join_count": """
+        SELECT e.event_id,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders_window
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 3000 DAYS
         GROUP BY e.event_id
     """,
     "pricing_summary": """
@@ -678,6 +701,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "events_window": q_events_window,
     "asof_last_order": q_asof_last_order,
+    "range_join_count": q_range_join_count,
     "pricing_summary": q_pricing_summary,
     "spans_mean_ndvi": q_spans_mean_ndvi,
     "spans_mean_ndvi_metrics": q_spans_mean_ndvi_metrics,

@@ -82,3 +82,65 @@ def asof_join_latest(
                              out_col: m["rts"].to_numpy(dtype="float64") / 1e6})
 
     return u.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def range_join_count(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    window_us: int,
+    out_col: str = "n_in_window",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Temporal range join: per left row, COUNT of right rows with the
+    same key and ``left_ts - window <= right_ts <= left_ts``.
+
+    Same bucketed co-partition shape as the as-of join; the per-bucket
+    body is two vectorized searchsorted passes over the right side's
+    sorted timestamps per key."""
+    if num_buckets is None:
+        num_buckets = 16
+
+    def tag(batch: pa.Table, key, ts, rid, side) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        t = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(k.astype(np.int64)),
+            "ts": pa.array(t),
+            "row_id": batch.column(rid) if rid else pa.nulls(len(k), pa.int64()),
+            "side": pa.array(np.full(len(k), side, dtype=np.int8)),
+            "bucket": pa.array(stable_bucket(k, num_buckets)),
+        })
+
+    lt = left.map_batches(lambda b: tag(b, left_key, left_ts, left_id, 0),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(lambda b: tag(b, right_key, right_ts, None, 1),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    u = lt.union(rt)
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["side"] == 0]
+        rg = g[g["side"] == 1]
+        if len(lg) == 0:
+            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
+                                 out_col: pd.Series([], dtype="int64")})
+        out = np.zeros(len(lg), dtype=np.int64)
+        if len(rg):
+            rs = rg.sort_values(["k", "ts"], kind="stable")
+            rk = rs["k"].to_numpy()
+            rts = rs["ts"].to_numpy()
+            key_starts = np.searchsorted(rk, lg["k"].to_numpy(), side="left")
+            key_ends = np.searchsorted(rk, lg["k"].to_numpy(), side="right")
+            lts = lg["ts"].to_numpy()
+            for i in range(len(lg)):
+                seg = rts[key_starts[i] : key_ends[i]]
+                lo = np.searchsorted(seg, lts[i] - window_us, side="left")
+                hi = np.searchsorted(seg, lts[i], side="right")
+                out[i] = hi - lo
+        return pd.DataFrame({left_id: lg["row_id"].to_numpy(), out_col: out})
+
+    return u.groupby("bucket").map_groups(count, batch_format="pandas")

@@ -105,3 +105,28 @@ def test_asof_join_interleaved():
     assert out.loc[3, "last_order_epoch"] == epoch("2024-01-15")
     assert np.isnan(out.loc[4, "last_order_epoch"])          # order after event
     assert np.isnan(out.loc[5, "last_order_epoch"])          # user with no orders
+
+
+def test_range_join_count_semantics():
+    import pandas as pd
+
+    from greenex_py_ray.stages.asof import range_join_count
+
+    ev = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array(pd.to_datetime(["2024-01-10", "2024-01-20"]).astype("datetime64[us]")),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array([7, 7, 7], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["2024-01-05", "2024-01-09", "2024-01-19"]).astype("datetime64[us]")),
+    })
+    out = range_join_count(
+        rd.from_arrow(ev), rd.from_arrow(orders),
+        left_key="user_id", right_key="o_custkey", left_ts="ts",
+        right_ts="o_orderdate", left_id="event_id",
+        window_us=2 * 86400 * 1_000_000, out_col="n",
+    ).to_pandas().set_index("event_id")
+    assert out.loc[1, "n"] == 1   # only 01-09 within [01-08, 01-10]
+    assert out.loc[2, "n"] == 1   # only 01-19 within [01-18, 01-20]
