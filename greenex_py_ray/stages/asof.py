@@ -70,18 +70,51 @@ def asof_join_latest(
             return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
                                  out_col: pd.Series([], dtype="float64")})
         if len(rg) == 0:
-            return pd.DataFrame({left_id: lg["row_id"].to_numpy(),
+            return pd.DataFrame({left_id: lg["row_id"].to_numpy(dtype="int64"),
                                  out_col: np.full(len(lg), np.nan)})
         m = pd.merge_asof(
             lg[["row_id", "ts", "k"]], rg[["ts", "k"]].rename(columns={"ts": "rts"}),
             left_on="ts", right_on="rts", left_by="k", right_by="k",
             direction="backward",
         )
-        # microseconds → epoch seconds as double (matches DuckDB epoch())
-        return pd.DataFrame({left_id: m["row_id"].to_numpy(),
+        # microseconds → epoch seconds as double (matches DuckDB epoch()).
+        # row_id was unioned with the right side's null int64 column, so
+        # pandas upcast it to float64 — cast back before emitting (int64
+        # ids >= 2^53 would otherwise be silently corrupted).
+        return pd.DataFrame({left_id: m["row_id"].to_numpy(dtype="int64"),
                              out_col: m["rts"].to_numpy(dtype="float64") / 1e6})
 
     return u.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def _lex_searchsorted(
+    rk: np.ndarray, rts: np.ndarray, qk: np.ndarray, qts: np.ndarray,
+    side: str,
+) -> np.ndarray:
+    """Vectorized searchsorted of query pairs (qk, qts) into a
+    lexicographically sorted data array (rk, rts).
+
+    Equivalent to ``[np.searchsorted(rts[seg(k)], t, side) + seg_start(k)
+    for k, t in zip(qk, qts)]`` without the per-row Python loop: data and
+    queries are merged, lexsorted once, and each query's insertion point is
+    the count of data rows ordered before it.
+    """
+    n, m = len(rk), len(qk)
+    keys_all = np.concatenate([rk, qk])
+    ts_all = np.concatenate([rts, qts])
+    # Tie-break flag: side="left" sorts a query BEFORE equal data rows
+    # (insertion point before equals); side="right" sorts it after.
+    if side == "left":
+        flag = np.concatenate([np.ones(n, np.int8), np.zeros(m, np.int8)])
+    else:
+        flag = np.concatenate([np.zeros(n, np.int8), np.ones(m, np.int8)])
+    order = np.lexsort((flag, ts_all, keys_all))
+    is_data = (order < n).astype(np.int64)
+    data_at_or_before = np.cumsum(is_data)
+    slot_of = np.empty(n + m, dtype=np.int64)
+    slot_of[order] = np.arange(n + m)
+    # A query slot is never a data row, so at-or-before == strictly-before.
+    return data_at_or_before[slot_of[n:]]
 
 
 def range_join_count(
@@ -133,14 +166,13 @@ def range_join_count(
             rs = rg.sort_values(["k", "ts"], kind="stable")
             rk = rs["k"].to_numpy()
             rts = rs["ts"].to_numpy()
-            key_starts = np.searchsorted(rk, lg["k"].to_numpy(), side="left")
-            key_ends = np.searchsorted(rk, lg["k"].to_numpy(), side="right")
+            lk = lg["k"].to_numpy()
             lts = lg["ts"].to_numpy()
-            for i in range(len(lg)):
-                seg = rts[key_starts[i] : key_ends[i]]
-                lo = np.searchsorted(seg, lts[i] - window_us, side="left")
-                hi = np.searchsorted(seg, lts[i], side="right")
-                out[i] = hi - lo
-        return pd.DataFrame({left_id: lg["row_id"].to_numpy(), out_col: out})
+            lo = _lex_searchsorted(rk, rts, lk, lts - window_us, side="left")
+            hi = _lex_searchsorted(rk, rts, lk, lts, side="right")
+            out = hi - lo
+        # row_id was unioned with null int64 → float64 in pandas; cast back.
+        return pd.DataFrame({left_id: lg["row_id"].to_numpy(dtype="int64"),
+                             out_col: out})
 
     return u.groupby("bucket").map_groups(count, batch_format="pandas")
