@@ -159,9 +159,18 @@ def lsh_band_batch(batch: pa.Table, num_perm: int = 64, bands: int = 16,
 def minhash_lsh_candidates(
     ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
     key_col: str = "doc_id", concurrency: int = 4,
+    max_bucket: int = 256,
 ) -> "ray.data.Dataset":
     """documents → candidate near-dup pairs (key_a < key_b) from shared
-    LSH buckets, deduplicated across bands."""
+    LSH buckets, deduplicated across bands.
+
+    Hot buckets are capped: a (band, band_hash) group larger than
+    ``max_bucket`` emits a STAR (min key ↔ every other member, O(n)
+    pairs) instead of all pairs (O(n²)).  Web corpora routinely put
+    thousands of near-identical boilerplate docs in one bucket — all-pairs
+    there is quadratic blowup, while the star keeps every member
+    transitively connected through the representative, which is what the
+    downstream connected-components pass consumes."""
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm),
         batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
@@ -174,6 +183,9 @@ def minhash_lsh_candidates(
         ks = np.sort(g[key_col].to_numpy())
         if len(ks) < 2:
             return pd.DataFrame({"key_a": [], "key_b": []})
+        if len(ks) > max_bucket:
+            return pd.DataFrame({"key_a": np.full(len(ks) - 1, ks[0]),
+                                 "key_b": ks[1:]})
         ia, ib = np.triu_indices(len(ks), k=1)
         return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib]})
 
@@ -192,34 +204,56 @@ def minhash_lsh_candidates(
 class JaccardVerifier:
     """Actor stage: exact char-shingle Jaccard for candidate pairs.
 
-    Texts for both pair members are fetched from a broadcast key→text
-    lookup (``ray.put`` of a small table at test scale; at 100 TB this
-    becomes a bucket-join of pair rows against the text table on key —
-    the verify stage itself is unchanged)."""
+    Two modes:
 
-    def __init__(self, texts_ref, shingle: int = 5, threshold: float = 0.8):
+    * ``texts_ref`` given — texts fetched from a broadcast key→text
+      lookup (``ray.put`` of a small table; cheap when the corpus fits
+      one object-store entry).
+    * ``texts_ref=None`` — the batch already carries ``text_a`` /
+      ``text_b`` columns (attached upstream by a bucket join of the pair
+      table against the text table: the 100 TB path, no driver
+      materialization)."""
+
+    def __init__(self, texts_ref=None, shingle: int = 5, threshold: float = 0.8):
         import ray as _ray
 
-        t = _ray.get(texts_ref) if isinstance(texts_ref, _ray.ObjectRef) else texts_ref
-        self.lookup = dict(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
+        if texts_ref is None:
+            self.lookup = None
+        else:
+            t = _ray.get(texts_ref) if isinstance(texts_ref, _ray.ObjectRef) else texts_ref
+            self.lookup = dict(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
         self.shingle = shingle
         self.threshold = threshold
         self.hasher = MinHasher(num_perm=1, shingle=shingle)
 
+    def _set_from_text(self, text):
+        return set(self.hasher.shingle_hashes(text or "").tolist())
+
     def _set(self, key):
-        return set(self.hasher.shingle_hashes(self.lookup.get(key, "") or "").tolist())
+        return self._set_from_text(self.lookup.get(key, ""))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ka = batch.column("key_a").to_pylist()
-        kb = batch.column("key_b").to_pylist()
-        jac = np.empty(len(ka))
-        for i in range(len(ka)):
-            sa = self._set(ka[i])
-            sb = self._set(kb[i])
+        n = len(batch)
+        if self.lookup is not None:
+            ka = batch.column("key_a").to_pylist()
+            kb = batch.column("key_b").to_pylist()
+            sets_a = (self._set(k) for k in ka)
+            sets_b = (self._set(k) for k in kb)
+        else:
+            sets_a = (self._set_from_text(t)
+                      for t in batch.column("text_a").to_pylist())
+            sets_b = (self._set_from_text(t)
+                      for t in batch.column("text_b").to_pylist())
+        jac = np.empty(n)
+        for i, (sa, sb) in enumerate(zip(sets_a, sets_b)):
             u = len(sa | sb)
             jac[i] = (len(sa & sb) / u) if u else 1.0
+        out = batch
+        if self.lookup is None and n >= 0:
+            out = out.drop_columns([c for c in ("text_a", "text_b")
+                                    if c in out.column_names])
         return (
-            batch.append_column("jaccard", pa.array(jac))
+            out.append_column("jaccard", pa.array(jac))
             .append_column("is_dup", pa.array(jac >= self.threshold))
         )
 
@@ -466,6 +500,11 @@ def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 20,
                          "nbr": pa.concat_arrays([b, a])})
 
     edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+    # block-count budget: union+groupby output as many blocks as they
+    # take in, so without a per-round repartition the label table's
+    # block count compounds exponentially across rounds (measured: round
+    # 4 at 200× round 0's wall time on a 40-node chain)
+    nblk = max(2, edges.num_blocks())
     labels = edges.groupby("key").aggregate(_Min("nbr", alias_name="label"))
     labels = labels.map_batches(
         lambda b: pa.table({
@@ -478,9 +517,11 @@ def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 20,
         batch_format="pyarrow",
     ).materialize()
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         cur_sum = labels.aggregate(_Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         # propagate: each edge (key, nbr) pulls nbr's current label...
@@ -494,10 +535,41 @@ def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 20,
                                 "label": b.column("nbr_label")}),
             batch_format="pyarrow",
         )
-        # ...and the reduce keeps the min over (own label ∪ neighbor labels)
+        # ...and the reduce keeps the min over (own label ∪ neighbor labels).
+        # materialize: bucket_join_attach below reads .schema(), which
+        # would re-execute this whole shuffle from lineage otherwise
         labels = labels.union(prop).groupby("key").aggregate(
             _Min("label", alias_name="label")
-        ).materialize()
+        ).repartition(nblk).materialize()
+        # pointer doubling: label[k] <- label[label[k]].  Every label
+        # value is itself a key in the table (it is the min over keys),
+        # so the inner join is total.  This makes convergence O(log
+        # diameter) rounds instead of O(diameter) — long transitive
+        # near-dup chains (common in web corpora) would otherwise exceed
+        # max_rounds.
+        ptr = labels.map_batches(
+            lambda b: pa.table({"key": b.column("key"),
+                                "ptr": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        ptr_labels = labels.map_batches(
+            lambda b: pa.table({"ptr": b.column("key"),
+                                "ptr_label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = bucket_join_attach(ptr, ptr_labels, key="ptr").map_batches(
+            lambda b: pa.table({"key": b.column("key"),
+                                "label": b.column("ptr_label")}),
+            batch_format="pyarrow",
+        ).repartition(nblk).materialize()
+    if not converged:
+        final_sum = labels.aggregate(_Sum("label", alias_name="s"))["s"]
+        if final_sum != prev_sum:
+            raise RuntimeError(
+                f"connected_components: labels not converged after "
+                f"{max_rounds} rounds (label-sum still decreasing); raise "
+                f"max_rounds"
+            )
     return labels.map_batches(
         lambda b: pa.table({"key": b.column("key"), "component": b.column("label")}),
         batch_format="pyarrow",
@@ -507,49 +579,84 @@ def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 20,
 def near_dedup(ds: "ray.data.Dataset", key_col: str = "doc_id",
                text_col: str = "text", threshold: float = 0.8,
                num_perm: int = 64, bands: int = 16,
-               concurrency: int = 4) -> "ray.data.Dataset":
+               concurrency: int = 4,
+               driver_threshold: int = 100_000) -> "ray.data.Dataset":
     """Full near-duplicate removal: MinHash-LSH candidates → exact
     n-gram Jaccard verify → connected components → keep the min-key
     row per cluster.  Returns the surviving (key) rows.
 
-    The text lookup for the verifier is broadcast (test scale); at
-    production scale the verify stage becomes a bucket join of pair rows
-    against the text table — stage bodies unchanged.
+    Text delivery to the verifier is size-gated: corpora up to
+    ``driver_threshold`` docs broadcast a key→text lookup (one
+    object-store put); beyond that the pair table is BUCKET-JOINED
+    against the text table on each pair member (two bucketed shuffles of
+    the pair rows — the only path that works when the corpus text
+    doesn't fit any single machine).
     """
     import pyarrow as _pa
 
     import ray as _ray
 
+    from ..functions.joins import bucket_join_attach
+
     cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands,
                                   key_col=key_col, concurrency=concurrency)
-    # small-side text lookup (driver-side materialize of the two columns)
-    tdf = ds.select_columns([key_col, text_col]).to_pandas()
-    tlookup = _pa.Table.from_pandas(tdf, preserve_index=False)
-    verified = cand.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs=dict(texts_ref=_ray.put(tlookup), threshold=threshold),
-        batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.25,
-    )
+    if ds.count() <= driver_threshold:
+        # small-side text lookup (driver-side materialize of two columns)
+        tdf = ds.select_columns([key_col, text_col]).to_pandas()
+        tlookup = _pa.Table.from_pandas(tdf, preserve_index=False)
+        verified = cand.map_batches(
+            JaccardVerifier,
+            fn_constructor_kwargs=dict(texts_ref=_ray.put(tlookup),
+                                       threshold=threshold),
+            batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.25,
+        )
+    else:
+        texts = ds.select_columns([key_col, text_col])
+        texts_a = texts.map_batches(
+            lambda b: pa.table({"key_a": b.column(key_col),
+                                "text_a": b.column(text_col)}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        texts_b = texts.map_batches(
+            lambda b: pa.table({"key_b": b.column(key_col),
+                                "text_b": b.column(text_col)}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        with_texts = bucket_join_attach(
+            bucket_join_attach(cand, texts_a, key="key_a"),
+            texts_b, key="key_b",
+        )
+        verified = with_texts.map_batches(
+            JaccardVerifier,
+            fn_constructor_kwargs=dict(texts_ref=None, threshold=threshold),
+            batch_format="pyarrow", concurrency=(1, concurrency), num_cpus=0.25,
+        )
     dups = verified.map_batches(
         lambda b: b.filter(b.column("is_dup")), batch_format="pyarrow"
     )
     comp = connected_components(dups)
-    # survivors: all keys minus non-representative cluster members
+    # survivors: all keys minus non-representative cluster members.  The
+    # drop list is bounded by the duplicate count (a fraction of the
+    # corpus), broadcast once and applied as a vectorized anti-filter.
     drop = comp.map_batches(
         lambda b: b.filter(
             pa.compute.not_equal(b.column("key"), b.column("component"))
         ).select(["key"]),
         batch_format="pyarrow",
     )
-    drop_keys = set(drop.to_pandas()["key"].tolist())  # small: only dups
-    dref = _ray.put(drop_keys)
+    drop_tbls = [b for b in drop.iter_batches(batch_format="pyarrow") if len(b)]
+    if not drop_tbls:
+        return ds
+    drop_arr = _pa.concat_tables(drop_tbls).column("key").combine_chunks()
+    dref = _ray.put(drop_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
         import ray as _r
 
         dk = _r.get(dref)
-        keys = batch.column(key_col).to_pylist()
-        mask = pa.array([k not in dk for k in keys])
+        mask = _pc.invert(_pc.is_in(batch.column(key_col), value_set=dk))
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -274,11 +274,15 @@ class FakeSegmentation:
     H, W = 96, 192
 
     def segment(self, image_id: str) -> np.ndarray:
-        seed = np.frombuffer(
-            image_id.encode().ljust(8, b"\0")[:8], dtype=np.uint64
-        )[0]
-        rng = np.random.default_rng(int(seed))
-        veg_p = 0.05 + (int(seed) % 40) / 100.0
+        # hash the WHOLE id: raw leading bytes would collapse every
+        # "img-XXXXXXXX" id to the same seed (identical segmentations)
+        import hashlib
+
+        seed = int.from_bytes(
+            hashlib.blake2b(image_id.encode(), digest_size=8).digest(), "big"
+        )
+        rng = np.random.default_rng(seed)
+        veg_p = 0.05 + (seed % 30) / 100.0  # in [0.05, 0.34]: keeps p >= 0
         seg = rng.choice(
             np.array([0, 1, 2, 8, 11], dtype=np.uint8),
             size=(self.H, self.W),

@@ -33,6 +33,14 @@ class GridIndex:
         uniq, starts = np.unique(key, return_index=True)
         self._bucket_key = uniq
         self._bucket_start = np.concatenate([starts, [len(key)]])
+        # populated bucket extent — bounds ring expansion for unlimited
+        # nearest() queries (an empty index would otherwise expand to the
+        # global cap per query group: an effective hang)
+        if len(self.x):
+            self._ix_lo, self._ix_hi = int(ix.min()), int(ix.max())
+            self._iy_lo, self._iy_hi = int(iy.min()), int(iy.max())
+        else:
+            self._ix_lo = self._ix_hi = self._iy_lo = self._iy_hi = 0
 
     def _bucket(self, bix: int, biy: int) -> np.ndarray:
         """Original-array indices of points in grid bucket (bix, biy)."""
@@ -43,14 +51,34 @@ class GridIndex:
         return self._order[self._bucket_start[j] : self._bucket_start[j + 1]]
 
     def _ring_indices(self, bix: int, biy: int, ring: int) -> np.ndarray:
+        """Points in the Chebyshev ring at distance ``ring`` from the
+        query cell, clipped to the populated bucket extent (so a distant
+        query against a small index probes O(extent) cells per ring, not
+        O(ring))."""
         if ring == 0:
             return self._bucket(bix, biy)
-        parts = []
-        for dx in range(-ring, ring + 1):
-            for dy in range(-ring, ring + 1):
-                if max(abs(dx), abs(dy)) == ring:
-                    parts.append(self._bucket(bix + dx, biy + dy))
+        cells = []
+        x0, x1 = bix - ring, bix + ring
+        y0, y1 = biy - ring, biy + ring
+        for yy in {y0, y1}:
+            if self._iy_lo <= yy <= self._iy_hi:
+                for xx in range(max(x0, self._ix_lo), min(x1, self._ix_hi) + 1):
+                    cells.append((xx, yy))
+        for xx in {x0, x1}:
+            if self._ix_lo <= xx <= self._ix_hi:
+                for yy in range(max(y0 + 1, self._iy_lo),
+                                min(y1 - 1, self._iy_hi) + 1):
+                    cells.append((xx, yy))
+        parts = [self._bucket(x, y) for x, y in cells]
+        parts = [p for p in parts if len(p)]
         return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+    def _ring_start(self, bix: int, biy: int) -> int:
+        """Chebyshev distance from a query cell to the populated extent
+        box — rings below this are empty by construction."""
+        dx = max(self._ix_lo - bix, 0, bix - self._ix_hi)
+        dy = max(self._iy_lo - biy, 0, biy - self._iy_hi)
+        return max(dx, dy)
 
     def nearest(self, qx: np.ndarray, qy: np.ndarray, max_dist: float | None = None):
         """Exact 1-NN for each query point.
@@ -64,25 +92,33 @@ class GridIndex:
         n = len(qx)
         best_d = np.full(n, np.inf)
         best_i = np.full(n, -1, dtype=np.int64)
+        if len(self.x) == 0:
+            return best_d, best_i
         qix = np.floor(qx / self.cs).astype(np.int64)
         qiy = np.floor(qy / self.cs).astype(np.int64)
         gkey = qix * (1 << 32) + qiy
         order = np.argsort(gkey, kind="stable")
         uq, starts = np.unique(gkey[order], return_index=True)
         bounds = np.concatenate([starts, [n]])
-        # practical upper bound on expansion (whole index span)
-        max_ring_global = int(
-            max(2, np.ceil((max_dist / self.cs) if max_dist is not None else 1 << 20))
-        )
         for g in range(len(uq)):
             sel = order[bounds[g] : bounds[g + 1]]
             bix = int(qix[sel[0]])
             biy = int(qiy[sel[0]])
+            # past this ring every populated bucket has been visited
+            ring_cap = max(
+                2,
+                max(abs(bix - self._ix_lo), abs(bix - self._ix_hi)),
+                max(abs(biy - self._iy_lo), abs(biy - self._iy_hi)),
+            )
+            if max_dist is not None:
+                ring_cap = min(ring_cap, int(np.ceil(max_dist / self.cs)) + 1)
             gx = qx[sel]
             gy = qy[sel]
             gd = best_d[sel]
             gi = best_i[sel]
-            ring = 0
+            ring = self._ring_start(bix, biy)
+            if max_dist is not None and (ring - 1) * self.cs > max_dist:
+                continue  # populated extent entirely beyond max_dist
             while True:
                 cand = self._ring_indices(bix, biy, ring)
                 if len(cand):
@@ -103,7 +139,7 @@ class GridIndex:
                 if max_dist is not None and lower_next > max_dist:
                     break
                 ring += 1
-                if ring > max_ring_global + 1:
+                if ring > ring_cap + 1:
                     break
             best_d[sel] = gd
             best_i[sel] = gi

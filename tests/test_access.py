@@ -82,3 +82,23 @@ def test_nearest_greenspace_semantics(world):
         else:
             assert not row[f"greenspace_within_{int(target)}m"]
             assert row["distance_to_greenspace"] == target
+
+
+def test_grid_index_empty_returns_miss_fast():
+    import time
+
+    idx = GridIndex(np.array([]), np.array([]), cell_size=100.0)
+    t0 = time.monotonic()
+    d, i = idx.nearest(np.array([0.0, 5e6]), np.array([0.0, -3e6]))
+    assert time.monotonic() - t0 < 1.0
+    assert (i == -1).all() and np.isinf(d).all()
+
+
+def test_grid_index_far_query_bounded_by_extent():
+    import time
+
+    idx = GridIndex(np.array([0.0]), np.array([0.0]), cell_size=10.0)
+    t0 = time.monotonic()
+    d, i = idx.nearest(np.array([1e6]), np.array([1e6]))
+    assert time.monotonic() - t0 < 5.0
+    assert i[0] == 0 and abs(d[0] - np.hypot(1e6, 1e6)) < 1e-6

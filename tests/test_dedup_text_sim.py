@@ -200,3 +200,30 @@ def test_near_dedup_end_to_end():
     kept = set(out["doc_id"])
     # docs 0,1,3 form one near-dup cluster → only min key 0 survives
     assert kept == {0, 2, 4}
+
+
+def test_lsh_hot_bucket_cap_star():
+    """A bucket of identical docs must emit O(n) star pairs, not O(n^2)
+    all-pairs — and every member stays transitively connected."""
+    n = 600
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(["same boilerplate text " * 10] * n)})
+    cand = dedup.minhash_lsh_candidates(
+        rd.from_arrow(tbl), concurrency=2, max_bucket=100
+    ).to_pandas()
+    assert len(cand) == n - 1  # star from min key, dedup'd across bands
+    assert set(cand["key_a"]) == {0}
+    assert set(cand["key_b"]) == set(range(1, n))
+
+
+def test_near_dedup_bucketed_text_path():
+    """driver_threshold=0 forces the bucket-join text delivery; result
+    must match the broadcast path."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [base, base[:-8] + " tail", "totally different document one",
+             base.replace("quick", "quik"), "another unrelated text entirely"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    out = dedup.near_dedup(rd.from_arrow(tbl), threshold=0.6,
+                           concurrency=2, driver_threshold=0).to_pandas()
+    assert set(out["doc_id"]) == {0, 2, 4}

@@ -130,3 +130,16 @@ def test_range_join_count_semantics():
     ).to_pandas().set_index("event_id")
     assert out.loc[1, "n"] == 1   # only 01-09 within [01-08, 01-10]
     assert out.loc[2, "n"] == 1   # only 01-19 within [01-18, 01-20]
+
+
+def test_connected_components_distributed_long_chain():
+    """Distributed path (driver_threshold=0) on a chain longer than
+    max_rounds: pointer doubling must converge in O(log n) rounds."""
+    n = 40
+    pairs = pa.table({"key_a": pa.array(list(range(n - 1)), pa.int64()),
+                      "key_b": pa.array(list(range(1, n)), pa.int64())})
+    out = dedup.connected_components(
+        rd.from_arrow(pairs), driver_threshold=0, max_rounds=10
+    ).to_pandas()
+    assert set(out["component"]) == {0}
+    assert len(out) == n

@@ -128,3 +128,13 @@ def test_streetview_pipeline_smoke(world):
     assert len(df) > 0
     ok = df["GVI"].dropna()
     assert ((ok >= 0) & (ok <= 1)).all()
+
+
+def test_fake_segmentation_distinct_per_image():
+    from greenex_py_ray.stages.visibility import FakeSegmentation
+
+    m = FakeSegmentation()
+    segs = [m.segment(f"img-{i:08d}") for i in range(50)]  # shared prefix
+    assert len({s.tobytes() for s in segs}) == len(segs)
+    for s in segs:
+        assert s.shape == (m.H, m.W)
