@@ -4,9 +4,9 @@ The sandbox has no shapely/geopandas/rasterio; every geometric primitive
 the reference delegates to those libraries is reimplemented here over
 plain float64 arrays.  Polygons are represented as ring coordinate
 arrays ``(N, 2)`` (closed implicitly: last vertex need not repeat the
-first); multi-ring polygons as lists of rings where ring 0 is the
-exterior shell (holes are not needed by any reference operator on the
-synthetic fixtures).
+first); multi-ring polygons (holes, MULTIPOLYGON parts) as lists of
+rings combined EVEN-ODD — ring order and orientation are irrelevant to
+every consumer (area, centroid, membership, overlay).
 
 Reference citations (what each kernel reproduces):
 * ``buffer_ngon``            — ``geometry.buffer(dist)``: GreenExp/availability.py:236
@@ -138,6 +138,17 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.nd
     return (crossings % 2).astype(bool)
 
 
+def points_in_rings(px: np.ndarray, py: np.ndarray,
+                    rings: "list[np.ndarray]") -> np.ndarray:
+    """Even-odd membership against a multi-ring geometry (holes /
+    multipolygon): total crossings over all rings, mod 2."""
+    px = np.asarray(px, dtype=np.float64)
+    total = np.zeros(len(px), dtype=np.int64)
+    for ring in rings:
+        total += points_in_polygon(px, py, ring).astype(np.int64)
+    return (total % 2).astype(bool)
+
+
 # ---------------------------------------------------------------------------
 # Convex clipping (Sutherland–Hodgman) — AoI buffers/boxes are convex
 # ---------------------------------------------------------------------------
@@ -246,18 +257,206 @@ def segments_intersect_circle(
 
 
 # ---------------------------------------------------------------------------
+# General polygon overlay (non-convex, holes, multipolygon) — exact
+# area/centroid of boolean combinations via vertical-slab trapezoid
+# decomposition.  Replaces the convex-only inclusion–exclusion wherever
+# inputs may be concave (reference semantics are shapely
+# ``unary_union``/``clip`` on arbitrary polygons,
+# GreenExp/availability.py:764,937-940).
+# ---------------------------------------------------------------------------
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    """True if the ring is convex (cross products of consecutive edges
+    never change sign; collinear vertices allowed)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 4:
+        return True
+    dx = np.diff(np.concatenate([r[:, 0], r[:1, 0]]))
+    dy = np.diff(np.concatenate([r[:, 1], r[:1, 1]]))
+    cross = dx * np.roll(dy, -1) - dy * np.roll(dx, -1)
+    return bool((cross >= -1e-12).all() or (cross <= 1e-12).all())
+
+
+def _overlay_edges(layers):
+    """Flatten layers (list of list-of-rings) to non-vertical edge arrays
+    (x0, y0, x1, y1, layer_id)."""
+    X0, Y0, X1, Y1, L = [], [], [], [], []
+    for li, rings in enumerate(layers):
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 3:
+                continue
+            x0 = r[:, 0]
+            y0 = r[:, 1]
+            x1 = np.roll(x0, -1)
+            y1 = np.roll(y0, -1)
+            keep = x0 != x1  # vertical edges never cross a slab interior
+            X0.append(x0[keep])
+            Y0.append(y0[keep])
+            X1.append(x1[keep])
+            Y1.append(y1[keep])
+            L.append(np.full(int(keep.sum()), li, dtype=np.int64))
+    if not X0:
+        z = np.empty(0)
+        return z, z, z, z, np.empty(0, np.int64)
+    return (np.concatenate(X0), np.concatenate(Y0), np.concatenate(X1),
+            np.concatenate(Y1), np.concatenate(L))
+
+
+def _crossing_xs(x0, y0, x1, y1) -> np.ndarray:
+    """X coordinates of proper interior crossings between all edge pairs
+    (vectorized O(E²); slab boundaries must include these so edge order
+    is constant within each slab)."""
+    E = len(x0)
+    if E < 2:
+        return np.empty(0)
+    d1x = (x1 - x0)[:, None]
+    d1y = (y1 - y0)[:, None]
+    d2x = (x1 - x0)[None, :]
+    d2y = (y1 - y0)[None, :]
+    ex = x0[None, :] - x0[:, None]
+    ey = y0[None, :] - y0[:, None]
+    denom = d1x * d2y - d1y * d2x
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (ex * d2y - ey * d2x) / denom
+        u = (ex * d1y - ey * d1x) / denom
+    hit = np.isfinite(t) & np.isfinite(u) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    iu = np.triu(hit, k=1)
+    ti = t[iu]
+    xi = x0[np.nonzero(iu)[0]] + ti * (x1 - x0)[np.nonzero(iu)[0]]
+    return xi
+
+
+def _overlay_predicate(mode):
+    if callable(mode):
+        return mode
+    if mode == "union":
+        return lambda par: par.any(axis=-1)
+    if mode == "intersection":
+        return lambda par: par.all(axis=-1)
+    if mode == "first_and_rest":
+        # layer 0 (the AoI) AND the union of the remaining layers
+        return lambda par: par[..., 0] & par[..., 1:].any(axis=-1)
+    raise ValueError(f"unknown overlay mode {mode!r}")
+
+
+def overlay_moments(layers, mode="union"):
+    """(area, cx, cy) of the region where ``mode`` holds over the layer
+    parity vector.
+
+    ``layers``: list of layers; each layer is a list of ``(N, 2)`` rings
+    combined EVEN-ODD within the layer (so one polygon-with-holes or one
+    multipolygon is one layer).  ``mode``: "union" | "intersection" |
+    "first_and_rest" | vectorized callable ``(K, n_layers) bool → (K,)``.
+
+    Exact for straight-line arithmetic: slab boundaries include every
+    vertex x and every pairwise edge crossing, so inside each slab the
+    edges are totally ordered in y and each region strip is a trapezoid
+    (areas by the trapezoid rule, moments by Simpson — both exact for
+    the linear/quadratic integrands involved).  Centroid is (0, 0) when
+    the area is 0.
+    """
+    pred = _overlay_predicate(mode)
+    nlay = len(layers)
+    x0, y0, x1, y1, lay = _overlay_edges(layers)
+    if len(x0) == 0:
+        return 0.0, 0.0, 0.0
+    cuts = np.unique(np.concatenate([x0, x1, _crossing_xs(x0, y0, x1, y1)]))
+    xa = cuts[:-1]
+    xb = cuts[1:]
+    wpos = xb > xa
+    xa, xb = xa[wpos], xb[wpos]
+    xm = 0.5 * (xa + xb)
+    emin = np.minimum(x0, x1)
+    emax = np.maximum(x0, x1)
+    inv_dx = 1.0 / (x1 - x0)
+    slope = (y1 - y0) * inv_dx
+    area = mx = my = 0.0
+    onehot_eye = np.eye(nlay, dtype=np.int64)
+    for s in range(len(xa)):
+        cross = np.flatnonzero((emin < xm[s]) & (emax > xm[s]))
+        if len(cross) < 2:
+            continue
+        ya = y0[cross] + (xa[s] - x0[cross]) * slope[cross]
+        ym = y0[cross] + (xm[s] - x0[cross]) * slope[cross]
+        yb = y0[cross] + (xb[s] - x0[cross]) * slope[cross]
+        order = np.argsort(ym, kind="stable")
+        ya, ym, yb = ya[order], ym[order], yb[order]
+        ls = lay[cross][order]
+        # parity after each edge, per layer (cumulative XOR of toggles)
+        par = (np.cumsum(onehot_eye[ls], axis=0) & 1).astype(bool)
+        inside = pred(par[:-1])  # strip k lies between edge k and k+1
+        if not inside.any():
+            continue
+        k = np.flatnonzero(inside)
+        w = xb[s] - xa[s]
+        hA = ya[k + 1] - ya[k]
+        hM = ym[k + 1] - ym[k]
+        hB = yb[k + 1] - yb[k]
+        area += w * float((hA + hB).sum()) / 2.0
+        mx += w * float((xa[s] * hA + 4.0 * xm[s] * hM + xb[s] * hB).sum()) / 6.0
+        gA = (ya[k + 1] ** 2 - ya[k] ** 2) / 2.0
+        gM = (ym[k + 1] ** 2 - ym[k] ** 2) / 2.0
+        gB = (yb[k + 1] ** 2 - yb[k] ** 2) / 2.0
+        my += w * float((gA + 4.0 * gM + gB).sum()) / 6.0
+    if area <= 0.0:
+        return max(area, 0.0), 0.0, 0.0
+    return area, mx / area, my / area
+
+
+def overlay_area(layers, mode="union") -> float:
+    return overlay_moments(layers, mode)[0]
+
+
+def union_area_general(polys) -> float:
+    """Area of the union of arbitrary polygons.  ``polys``: list where
+    each entry is a single ring or a list of rings (holes/multipolygon,
+    even-odd)."""
+    layers = [[p] if isinstance(p, np.ndarray) else list(p) for p in polys]
+    return overlay_area(layers, "union")
+
+
+def clip_area_general(subject_rings, clip_rings) -> float:
+    """Area of (subject ∩ clip) for arbitrary polygons (each side a ring
+    or list of rings, even-odd)."""
+    s = [subject_rings] if isinstance(subject_rings, np.ndarray) else list(subject_rings)
+    c = [clip_rings] if isinstance(clip_rings, np.ndarray) else list(clip_rings)
+    return overlay_area([s, c], "intersection")
+
+
+# ---------------------------------------------------------------------------
 # Mixed WKT parsing (POINT + POLYGON exterior rings)
 # ---------------------------------------------------------------------------
 
 
+def _parse_ring_text(txt: str) -> np.ndarray:
+    pts = np.array(
+        [[float(a) for a in p.split()] for p in txt.split(",")],
+        dtype=np.float64,
+    )
+    if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    return pts
+
+
 def parse_wkt_geoms(wkt: "list[str]"):
-    """Parse POINT / POLYGON WKT strings.
+    """Parse POINT / POLYGON / MULTIPOLYGON WKT strings (holes
+    supported; reference accepts MultiPolygon PoIs at
+    GreenExp/availability.py:81-84).
 
     Returns (x, y, kinds, rings): x/y are the point coords or the
     polygon centroid (the reference converts polygon PoIs to centroids
     before point ops — M3, accessibility.py:53-56); ``rings[i]`` is the
-    exterior ring ``(N, 2)`` array for polygons, None for points.
+    list of ``(N, 2)`` ring arrays for polygons (exterior(s) and holes,
+    even-odd semantics; ring→part assignment is irrelevant for every
+    even-odd consumer), None for points.  Single-ring POLYGON centroids
+    use the closed-form shoelace centroid (bit-identical to round-1);
+    multi-ring geometries use the exact even-odd overlay centroid.
     """
+    import re
+
+    ring_re = re.compile(r"\(([^()]+)\)")
     n = len(wkt)
     x = np.full(n, np.nan)
     y = np.full(n, np.nan)
@@ -270,19 +469,16 @@ def parse_wkt_geoms(wkt: "list[str]"):
             x[i] = float(px)
             y[i] = float(py)
             kinds[i] = "POINT"
-        elif w.startswith("POLYGON"):
-            body = w[w.index("((") + 2 : w.index("))")]
-            pts = np.array(
-                [[float(a) for a in p.split()] for p in body.split(",")],
-                dtype=np.float64,
-            )
-            if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
-                pts = pts[:-1]
-            rings[i] = pts
-            cx, cy = polygon_centroid(pts)
+        elif w.startswith("POLYGON") or w.startswith("MULTIPOLYGON"):
+            rs = [_parse_ring_text(t) for t in ring_re.findall(w)]
+            rings[i] = rs
+            if len(rs) == 1:
+                cx, cy = polygon_centroid(rs[0])
+            else:
+                _, cx, cy = overlay_moments([rs], "union")
             x[i] = cx
             y[i] = cy
-            kinds[i] = "POLYGON"
+            kinds[i] = "POLYGON" if w.startswith("POLYGON") else "MULTIPOLYGON"
         else:
             kinds[i] = w.split("(", 1)[0]
     return x, y, kinds, rings

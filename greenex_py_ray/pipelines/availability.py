@@ -241,7 +241,10 @@ def mean_ndvi_polygon_aoi(
     """get_mean_NDVI with POLYGON PoIs and ``buffer_type=None`` — the AoI
     is each row's own polygon (availability.py:230-234).  Input must
     carry ``ring_x``/``ring_y`` columns (DecodeGeom(parse_polygons=True))."""
-    cov = poi_polygons.select_columns([key_col, "ring_x", "ring_y"]).map_batches(
+    ring_cols = [key_col, "ring_x", "ring_y"]
+    if "ring_sizes" in poi_polygons.schema().names:
+        ring_cols.append("ring_sizes")
+    cov = poi_polygons.select_columns(ring_cols).map_batches(
         lambda b: zonal.polygon_tile_cover_batch(b, key_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )

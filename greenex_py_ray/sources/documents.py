@@ -102,8 +102,15 @@ class DecodeGeom:
         texts = _first_geom_span_texts(spans)
         x, y, kinds, rings = geom.parse_wkt_geoms(texts)
         cell = cells.cell_of(x, y, self.cell_size)
-        ring_x = [r[:, 0].tolist() if r is not None else [] for r in rings]
-        ring_y = [r[:, 1].tolist() if r is not None else [] for r in rings]
+        # ring_x/ring_y concatenate all rings of the geometry; ring_sizes
+        # records each ring's vertex count so multi-ring geometries
+        # (holes / MULTIPOLYGON) can be split back out.  Single-ring rows
+        # are byte-identical to the round-1 single-ring layout.
+        ring_x = [np.concatenate([r[:, 0] for r in rs]).tolist() if rs else []
+                  for rs in rings]
+        ring_y = [np.concatenate([r[:, 1] for r in rs]).tolist() if rs else []
+                  for rs in rings]
+        ring_sizes = [[len(r) for r in rs] if rs else [] for rs in rings]
         return (
             batch.append_column("x", pa.array(x, pa.float64()))
             .append_column("y", pa.array(y, pa.float64()))
@@ -111,6 +118,7 @@ class DecodeGeom:
             .append_column("geom_kind", pa.array(kinds, pa.string()))
             .append_column("ring_x", pa.array(ring_x, pa.list_(pa.float64())))
             .append_column("ring_y", pa.array(ring_y, pa.list_(pa.float64())))
+            .append_column("ring_sizes", pa.array(ring_sizes, pa.list_(pa.int32())))
         )
 
 

@@ -7,13 +7,18 @@ formula :997)::
     cover = str(round(clip(aoi).area.sum() / aoi.area * 100, 2)) + '%'
 
 The AoI is the reference's shapely buffer polygon — a 4·quad_segs-gon
-(quad_segs=16) — and clipping a polygon by that convex AoI is exact
-Sutherland–Hodgman, so values match the reference's discretization
-bit-for-bit on convex inputs.  Overlapping greenspaces are dissolved
-first (D1, ``accessibility.py:125-127``) via
-:mod:`~greenex_py_ray.stages.dissolve`; the clipped-area union inside
-the AoI uses inclusion–exclusion over convex intersections (exact for
-the convex synthetic polygon corpus).
+(quad_segs=16).  Overlapping greenspaces are dissolved first (D1,
+``accessibility.py:125-127``) via :mod:`~greenex_py_ray.stages.dissolve`.
+Two exact area paths, chosen per candidate set:
+
+* all candidates single convex rings — Sutherland–Hodgman clip +
+  inclusion–exclusion (bit-identical to round 1 on the synthetic
+  convex corpus);
+* anything else (concave rings, holes, MULTIPOLYGON members) — the
+  general even-odd trapezoid overlay
+  (:func:`greenex_py_ray.geom.overlay_area`), matching shapely
+  ``clip``/``unary_union`` semantics on arbitrary polygons
+  (availability.py:764,937-940).
 """
 
 from __future__ import annotations
@@ -35,6 +40,17 @@ def _rings_list(gs: pa.Table) -> list[np.ndarray]:
     out = []
     for rlist in gs.column("rings").to_pylist():
         out.append(np.array([[p["x"], p["y"]] for p in rlist[0]], dtype=np.float64))
+    return out
+
+
+def _polys_list(gs: pa.Table) -> "list[list[np.ndarray]]":
+    """All rings of each polygon row (holes / multipolygon, even-odd)."""
+    out = []
+    for rlist in gs.column("rings").to_pylist():
+        out.append([
+            np.array([[p["x"], p["y"]] for p in ring], dtype=np.float64)
+            for ring in rlist
+        ])
     return out
 
 
@@ -82,26 +98,35 @@ class PolygonCoverage:
                  name: str = "canopy_cover", stringify: bool = False,
                  quad_segs: int = 16, dissolve: bool = True):
         t = _resolve(polys_ref)
-        rings = _rings_list(t)
+        polys = _polys_list(t)
         if dissolve:
-            from .dissolve import dissolve_convex
+            from .dissolve import dissolve_polygons
 
-            rings = dissolve_convex(rings)["groups_rings"]
+            groups = dissolve_polygons(polys)["groups_rings"]
         else:
-            rings = [[r] for r in rings]
-        # rings is now a list of groups; each group = list of convex
-        # rings forming one dissolved blob (union computed lazily)
-        self.groups = rings
-        vx = np.concatenate([r[:, 0] for grp in rings for r in grp])
-        vy = np.concatenate([r[:, 1] for grp in rings for r in grp])
+            groups = [[p] for p in polys]
+        # groups: list of dissolved blobs; each blob = list of member
+        # polygons; each member = list of rings (even-odd)
+        self.groups = groups
+        # a blob is "convex simple" iff every member is one convex ring
+        # — then the round-1 Sutherland–Hodgman + inclusion–exclusion
+        # arithmetic applies bit-for-bit; anything else (concave rings,
+        # holes, multipolygons) takes the exact general overlay
+        self.convex_simple = [
+            all(len(p) == 1 and geom.is_convex(p[0]) for p in grp)
+            for grp in groups
+        ]
+        vx = np.concatenate([r[:, 0] for grp in groups for p in grp for r in p])
+        vy = np.concatenate([r[:, 1] for grp in groups for p in grp for r in p])
         owner = np.concatenate(
             [np.full(len(r), gi, dtype=np.int64)
-             for gi, grp in enumerate(rings) for r in grp]
+             for gi, grp in enumerate(groups) for p in grp for r in p]
         )
         self.vert_owner = owner
         self.vert_index = GridIndex(vx, vy, cell_size=500.0)
         self.max_span = max(
-            (float(np.hypot(*(r.max(0) - r.min(0)))) for grp in rings for r in grp),
+            (float(np.hypot(*(r.max(0) - r.min(0))))
+             for grp in groups for p in grp for r in p),
             default=0.0,
         )
         self.buffer_dist = float(buffer_dist)
@@ -118,15 +143,22 @@ class PolygonCoverage:
         )
         if not len(pj):
             return 0.0
-        clipped: list[np.ndarray] = []
-        for gi in np.unique(self.vert_owner[pj]):
-            for ring in self.groups[gi]:
-                c = geom.clip_polygon_convex(ring, aoi)
-                if len(c) >= 3:
-                    clipped.append(c)
-        if not clipped:
-            return 0.0
-        area = union_area_of_convex(clipped)
+        cand = np.unique(self.vert_owner[pj])
+        if all(self.convex_simple[gi] for gi in cand):
+            clipped: list[np.ndarray] = []
+            for gi in cand:
+                for p in self.groups[gi]:
+                    c = geom.clip_polygon_convex(p[0], aoi)
+                    if len(c) >= 3:
+                        clipped.append(c)
+            if not clipped:
+                return 0.0
+            area = union_area_of_convex(clipped)
+        else:
+            # general overlay: AoI ∩ union(members) — exact for concave
+            # rings, holes and multipolygons
+            layers = [[aoi]] + [p for gi in cand for p in self.groups[gi]]
+            area = geom.overlay_area(layers, "first_and_rest")
         return area / aoi_area * 100.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:

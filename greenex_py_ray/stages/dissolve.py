@@ -6,16 +6,19 @@ source polygons become one blob carrying the first source's attributes.
 
 Here: polygons are bucketed by grid cell (bbox cover), overlap candidate
 pairs come from shared cells, the exact overlap test is a convex
-intersection, and blobs are connected components of the overlap graph
-(min-label propagation).  The side table is small relative to the
+intersection (fast path) or the general even-odd overlay
+(:func:`greenex_py_ray.geom.overlay_area` — concave / holes /
+multipolygon members), and blobs are connected components of the overlap
+graph (min-label propagation).  The side table is small relative to the
 documents (it is broadcast everywhere else), so components run
-driver-side; at larger side-table scale the same pair table feeds an
-iterative groupby min-label loop.
+driver-side; at larger side-table scale the same pair table feeds
+:func:`~greenex_py_ray.stages.dedup.connected_components`.
 
-Merged blob attributes: member count, union area (inclusion–exclusion,
-exact for convex members), area-weighted union centroid, and
-representative id = min member id (a deterministic stand-in for the
-reference's 'first').
+Merged blob attributes: member count, union area, area-weighted union
+centroid, and representative id = min member id (a deterministic
+stand-in for the reference's 'first').  Convex single-ring blobs keep
+the round-1 inclusion–exclusion arithmetic bit-for-bit; any other blob
+uses the exact trapezoid overlay.
 """
 
 from __future__ import annotations
@@ -25,48 +28,101 @@ import numpy as np
 from .. import geom
 
 
-def _bbox_cells(ring: np.ndarray, cs: float):
-    x0, y0 = ring.min(axis=0)
-    x1, y1 = ring.max(axis=0)
+def _as_poly(p) -> "list[np.ndarray]":
+    """Normalize a member to a list of rings (even-odd)."""
+    return [p] if isinstance(p, np.ndarray) else list(p)
+
+
+def _poly_bbox(poly: "list[np.ndarray]"):
+    xs = np.concatenate([r[:, 0] for r in poly])
+    ys = np.concatenate([r[:, 1] for r in poly])
+    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+def _bbox_cells(poly, cs: float):
+    x0, y0, x1, y1 = _poly_bbox(poly)
     return (int(np.floor(x0 / cs)), int(np.floor(y0 / cs)),
             int(np.floor(x1 / cs)), int(np.floor(y1 / cs)))
 
 
-def overlap_pairs(rings: list[np.ndarray], cell_size: float = 1000.0):
-    """Candidate pairs from shared grid cells, refined by exact convex
-    intersection."""
+def _polys_overlap(pa_: "list[np.ndarray]", pb: "list[np.ndarray]") -> bool:
+    if (len(pa_) == 1 and len(pb) == 1
+            and geom.is_convex(pa_[0]) and geom.is_convex(pb[0])):
+        inter = geom.clip_polygon_convex(pa_[0], pb[0])
+        return len(inter) >= 3 and geom.polygon_area(inter) > 0.0
+    return geom.overlay_area([pa_, pb], "intersection") > 0.0
+
+
+def overlap_pairs(polys, cell_size: float = 1000.0):
+    """Candidate pairs from shared grid cells, refined by exact
+    intersection (convex fast path; general overlay otherwise)."""
+    polys = [_as_poly(p) for p in polys]
     buckets: dict[tuple[int, int], list[int]] = {}
-    for i, r in enumerate(rings):
-        ix0, iy0, ix1, iy1 = _bbox_cells(r, cell_size)
+    for i, p in enumerate(polys):
+        ix0, iy0, ix1, iy1 = _bbox_cells(p, cell_size)
         for bx in range(ix0, ix1 + 1):
             for by in range(iy0, iy1 + 1):
                 buckets.setdefault((bx, by), []).append(i)
     pairs = set()
+    checked = set()
     for members in buckets.values():
         for a in range(len(members)):
             for b in range(a + 1, len(members)):
                 i, j = members[a], members[b]
-                if (i, j) in pairs:
+                if (i, j) in checked:
                     continue
-                inter = geom.clip_polygon_convex(rings[i], rings[j])
-                if len(inter) >= 3 and geom.polygon_area(inter) > 0.0:
+                checked.add((i, j))
+                if _polys_overlap(polys[i], polys[j]):
                     pairs.add((i, j))
     return sorted(pairs)
 
 
-def dissolve_convex(rings: list[np.ndarray], ids: list[int] | None = None,
-                    cell_size: float = 1000.0) -> dict:
-    """Dissolve overlapping convex polygons into blobs.
+def _union_moments_convex(grp: "list[np.ndarray]"):
+    """Round-1 inclusion–exclusion union area + centroid for convex
+    single-ring members (kept bit-identical for existing oracles)."""
+    area = 0.0
+    cx = 0.0
+    cy = 0.0
+
+    def rec(start, current, sign):
+        nonlocal area, cx, cy
+        for k in range(start, len(grp)):
+            inter = grp[k] if current is None else geom.clip_polygon_convex(
+                current, grp[k]
+            )
+            if len(inter) < 3:
+                continue
+            a = geom.polygon_area(inter)
+            if a <= 0.0:
+                continue
+            c = geom.polygon_centroid(inter)
+            area += sign * a
+            cx += sign * a * c[0]
+            cy += sign * a * c[1]
+            rec(k + 1, inter, -sign)
+
+    rec(0, None, 1.0)
+    return area, cx, cy
+
+
+def dissolve_polygons(polys, ids: list[int] | None = None,
+                      cell_size: float = 1000.0) -> dict:
+    """Dissolve overlapping polygons into blobs (general geometry).
+
+    ``polys``: list where each member is a single ``(N, 2)`` ring or a
+    list of rings (holes / multipolygon, even-odd).
 
     Returns dict with parallel lists per blob:
     ``rep_id`` (min member id), ``member_ids``, ``area`` (union area),
     ``centroid_x/y`` (area-weighted union centroid), and
-    ``groups_rings`` (the member rings of each blob, for downstream
-    exact clipping)."""
-    n = len(rings)
+    ``groups_rings`` (the member polygons of each blob, for downstream
+    exact clipping — each entry a list of list-of-rings)."""
+    polys = [_as_poly(p) for p in polys]
+    n = len(polys)
     ids = ids if ids is not None else list(range(n))
     label = np.arange(n)
-    pairs = overlap_pairs(rings, cell_size)
+    pairs = overlap_pairs(polys, cell_size)
+
     # union-find (path compression)
     def find(a):
         while label[a] != a:
@@ -83,35 +139,41 @@ def dissolve_convex(rings: list[np.ndarray], ids: list[int] | None = None,
            "centroid_x": [], "centroid_y": [], "groups_rings": []}
     for root in np.unique(roots):
         members = np.flatnonzero(roots == root)
-        grp = [rings[m] for m in members]
-        # union area + centroid by inclusion–exclusion over convex
-        # intersections (exact for convex members)
-        area = 0.0
-        cx = 0.0
-        cy = 0.0
-
-        def rec(start, current, sign):
-            nonlocal area, cx, cy
-            for k in range(start, len(grp)):
-                inter = grp[k] if current is None else geom.clip_polygon_convex(
-                    current, grp[k]
-                )
-                if len(inter) < 3:
-                    continue
-                a = geom.polygon_area(inter)
-                if a <= 0.0:
-                    continue
-                c = geom.polygon_centroid(inter)
-                area += sign * a
-                cx += sign * a * c[0]
-                cy += sign * a * c[1]
-                rec(k + 1, inter, -sign)
-
-        rec(0, None, 1.0)
+        grp = [polys[m] for m in members]
+        all_convex_single = all(
+            len(p) == 1 and geom.is_convex(p[0]) for p in grp
+        )
+        if all_convex_single:
+            area, mx, my = _union_moments_convex([p[0] for p in grp])
+            cx = mx / area if area > 0 else float(
+                np.mean([p[0][:, 0].mean() for p in grp]))
+            cy = my / area if area > 0 else float(
+                np.mean([p[0][:, 1].mean() for p in grp]))
+        else:
+            area, cx, cy = geom.overlay_moments(grp, "union")
+            if area <= 0:
+                cx = float(np.mean([r[:, 0].mean() for p in grp for r in p]))
+                cy = float(np.mean([r[:, 1].mean() for p in grp for r in p]))
         out["rep_id"].append(min(ids[m] for m in members))
         out["member_ids"].append([ids[m] for m in members])
         out["area"].append(area)
-        out["centroid_x"].append(cx / area if area > 0 else float(np.mean([g[:, 0].mean() for g in grp])))
-        out["centroid_y"].append(cy / area if area > 0 else float(np.mean([g[:, 1].mean() for g in grp])))
+        out["centroid_x"].append(cx)
+        out["centroid_y"].append(cy)
         out["groups_rings"].append(grp)
+    return out
+
+
+def dissolve_convex(rings, ids: list[int] | None = None,
+                    cell_size: float = 1000.0) -> dict:
+    """Round-1 name, now general: delegates to :func:`dissolve_polygons`
+    but flattens ``groups_rings`` entries back to single rings when every
+    member is single-ring (the round-1 shape its callers expect)."""
+    out = dissolve_polygons(rings, ids=ids, cell_size=cell_size)
+    flat_groups = []
+    for grp in out["groups_rings"]:
+        if all(len(p) == 1 for p in grp):
+            flat_groups.append([p[0] for p in grp])
+        else:
+            flat_groups.append(grp)
+    out["groups_rings"] = flat_groups
     return out

@@ -269,6 +269,8 @@ class PolygonZonalPartial:
 
         rx = batch.column("ring_x").to_pylist()
         ry = batch.column("ring_y").to_pylist()
+        sizes = (batch.column("ring_sizes").to_pylist()
+                 if "ring_sizes" in batch.column_names else [None] * len(rx))
         tk = batch.column("tile_key").to_numpy(zero_copy_only=False)
         n = len(rx)
         psum = np.zeros(n)
@@ -277,6 +279,12 @@ class PolygonZonalPartial:
         res = synth.RASTER_RES
         for i in range(n):
             ring = np.column_stack([rx[i], ry[i]])
+            if sizes[i] and len(sizes[i]) > 1:
+                bounds = np.concatenate([[0], np.cumsum(sizes[i])])
+                rings_i = [ring[bounds[j]:bounds[j + 1]]
+                           for j in range(len(sizes[i]))]
+            else:
+                rings_i = [ring]
             tile = int(tk[i])
             tix = tile // TILE_KEY_STRIDE
             tiy = tile - tix * TILE_KEY_STRIDE
@@ -296,7 +304,7 @@ class PolygonZonalPartial:
             px = x0t + (np.arange(c0, c1 + 1, dtype=np.float64) + 0.5) * res
             py = y0t + (np.arange(r0, r1 + 1, dtype=np.float64) + 0.5) * res
             gx, gy = np.meshgrid(px, py, indexing="xy")
-            mask = _geom.points_in_polygon(gx.ravel(), gy.ravel(), ring).reshape(gx.shape)
+            mask = _geom.points_in_rings(gx.ravel(), gy.ravel(), rings_i).reshape(gx.shape)
             if not mask.any():
                 continue
             vals = arr[r0 : r1 + 1, c0 : c1 + 1][mask]
@@ -340,14 +348,18 @@ def polygon_tile_cover_batch(batch: pa.Table, key_col: str) -> pa.Table:
                 out_idx.append(i)
                 out_tk.append(tx * TILE_KEY_STRIDE + ty)
     idx = pa.array(np.array(out_idx, dtype=np.int64))
-    return pa.table(
-        {
-            key_col: batch.column(key_col).take(idx),
-            "ring_x": rx.take(idx),
-            "ring_y": ry.take(idx),
-            "tile_key": pa.array(np.array(out_tk, dtype=np.int64)),
-        }
-    )
+    cols = {
+        key_col: batch.column(key_col).take(idx),
+        "ring_x": rx.take(idx),
+        "ring_y": ry.take(idx),
+        "tile_key": pa.array(np.array(out_tk, dtype=np.int64)),
+    }
+    if "ring_sizes" in batch.column_names:
+        rs = batch.column("ring_sizes")
+        if isinstance(rs, pa.ChunkedArray):
+            rs = rs.combine_chunks()
+        cols["ring_sizes"] = rs.take(idx)
+    return pa.table(cols)
 
 
 class ZonalStatsLocal:

@@ -319,3 +319,48 @@ def test_euclidean_entrance_branch(world):
         got = out.loc[row.doc_id]
         assert got["distance_to_greenspace"] == exp_d
         assert got["greenspace_within_target"] == exp_f
+
+
+def test_overlay_union_concave_blob():
+    """Dissolve with concave members: two overlapping L-shapes."""
+    from greenex_py_ray.stages.dissolve import dissolve_polygons
+
+    L1 = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], float)  # area 3
+    L2 = L1 + np.array([0.5, 0.0])  # overlaps L1
+    # union area by rectangle decomposition:
+    # L1 = [0,2]x[0,1] ∪ [0,1]x[1,2]; L2 = [.5,2.5]x[0,1] ∪ [.5,1.5]x[1,2]
+    # bottom strip union: [0,2.5]x[0,1] = 2.5 ; top strip: [0,1.5]x[1,2] = 1.5
+    out = dissolve_polygons([L1, L2], ids=[4, 2])
+    assert len(out["rep_id"]) == 1
+    assert out["rep_id"][0] == 2
+    assert abs(out["area"][0] - 4.0) < 1e-9
+
+
+def test_polygon_coverage_concave_matches_grid():
+    """General overlay path in PolygonCoverage vs a dense-grid estimate."""
+    import pyarrow as pa_
+
+    from greenex_py_ray.stages.coverage import PolygonCoverage
+
+    # one concave C-shape around the PoI
+    ring = np.array([[ -80, -80], [80, -80], [80, 80], [-80, 80],
+                     [-80, 40], [40, 40], [40, -40], [-80, -40]], float)
+    rings_col = [[[{"x": float(px), "y": float(py)} for px, py in ring]]]
+    gs = pa_.table({"gs_id": pa_.array([1], pa_.int64()),
+                    "rings": pa_.array(rings_col)})
+    cov = PolygonCoverage(gs, buffer_dist=100.0, name="pct")
+    assert not cov.convex_simple[0]
+    batch = pa_.table({"doc_id": pa_.array([1], pa_.int64()),
+                       "x": pa_.array([0.0]), "y": pa_.array([0.0])})
+    got = cov(batch).column("pct").to_numpy(zero_copy_only=False)[0]
+    # dense-grid reference
+    aoi = geom.buffer_ngon(0.0, 0.0, 100.0, 16)
+    g = np.linspace(-101, 101, 900)
+    gx, gy = np.meshgrid(g, g)
+    in_aoi = geom.points_in_polygon(gx.ravel(), gy.ravel(), aoi)
+    in_ring = geom.points_in_polygon(gx.ravel(), gy.ravel(), ring)
+    exp = (in_aoi & in_ring).sum() / in_aoi.sum() * 100.0
+    assert abs(got - exp) < 1.0  # grid resolution tolerance
+    # and the exact overlay agrees with itself via clip_area_general
+    exact = geom.clip_area_general(ring, aoi) / geom.polygon_area(aoi) * 100.0
+    assert abs(got - round(exact, 2)) < 1e-9
