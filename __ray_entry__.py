@@ -38,6 +38,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from greenex_py_ray.pipelines.driver_queries import ORACLE_SQL
+    from greenex_py_ray.pipelines.driver_queries import (
+        ORACLE_SQL,
+        world_oracle_sql,
+    )
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    # world-docs oracles read the same /tmp world parquet the Ray side
+    # uses (materialized here if absent — pure pyarrow, no Ray needed)
+    out.update(world_oracle_sql())
+    return out

@@ -142,6 +142,29 @@ def q_pip_count_shuffle(sf_dir: str):
     return pairs.groupby("gs_id").aggregate(Count(alias_name="n_docs"))
 
 
+def q_canopy_pct_rect(sf_dir: str):
+    """Rect-canopy % of a square AoI — the VALUE-VERIFIED form of the
+    coverage family (M16/A3/J2): sum of clip areas over a broadcast rect
+    table, mirroring the reference's ``clip(aoi).area.sum()``
+    (availability.py:764) with arithmetic DuckDB can reproduce exactly."""
+    from ..stages.coverage import RectCoverage
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE).select_columns(["doc_id", "x", "y"])
+    ref = ray.put(_rects_from_part(sf_dir))
+    return ds.map_batches(
+        RectCoverage, fn_constructor_kwargs=dict(rects_ref=ref, half=250.0,
+                                                 name="rect_cover"),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.25,
+    )
+
+
+def q_cosine_pairs_exact(sf_dir: str):
+    """Exact cosine similarity self-join (pairs >= 0.4) — the oracle-
+    verified exact baseline of the embedding near-dup family."""
+    ds = dt.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.cosine_pairs_exact(ds, EMB_DIM, 0.4, concurrency=4)
+
+
 def q_zonal_mean_ndvi(sf_dir: str):
     """Zonal NDVI mean/std per doc against the synthetic tile store
     (SURVEY M14/A1: clamp ≥0, population std, round 3)."""
@@ -385,8 +408,9 @@ CASE WHEN {_NDVI_SQL} > 0.45 THEN 10
      ELSE 80 END
 """
 
-_PIXELS_CTE = f"""
-docs AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+#: pixel-disk expansion over an existing ``docs(doc_id, x, y)`` CTE —
+#: shared by the sf-table zonal oracles and the world-docs span oracles
+_PIX_BODY = f"""
 pixidx AS (SELECT i AS idx FROM range(0, {_NPIX} + 1) t(i)),
 pix AS (
   SELECT d.doc_id, d.x, d.y,
@@ -400,6 +424,15 @@ pix AS (
       + (gy.idx * 10.0 + 5.0 - d.y) * (gy.idx * 10.0 + 5.0 - d.y) <= {{r}} * {{r}}
 )
 """
+
+_PIXELS_CTE = f"""
+docs AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),""" + _PIX_BODY
+
+#: SQL IN-lists of the per-language stopword sets (quality/langid oracles)
+_SW_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in sorted(ws)) + ")"
+    for lang, ws in text.STOPWORDS.items()
+}
 
 ORACLE_SQL: dict[str, str] = {
     "cell_assignment": f"""
@@ -482,6 +515,102 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "quality": r"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CAST(length(text) AS BIGINT) AS nc,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE array_length(string_split_regex(trim(text), '\s+'))
+                      END AS BIGINT) AS nt,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[!"''(),\-.:;?\[\]{}]', '', 'g'))
+                      AS BIGINT) AS np,
+                 CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                      AS BIGINT) AS nu,
+                 CAST(length(list_filter(
+                        string_split_regex(trim(text), '\s+'),
+                        t -> lower(t) IN """ + _SW_SQL["en"] + r"""))
+                      AS BIGINT) AS ns
+          FROM documents
+        )
+        SELECT doc_id,
+               nc AS q_n_chars,
+               nt AS q_n_tokens,
+               CASE WHEN nt > 0
+                    THEN CAST(nc - greatest(nt - 1, 0) AS DOUBLE)
+                         / CAST(greatest(nt, 1) AS DOUBLE)
+                    ELSE 0.0 END AS q_mean_word_len,
+               CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / CAST(nc AS DOUBLE)
+                    ELSE 0.0 END AS q_punct_ratio,
+               CASE WHEN nt > 0
+                    THEN CAST(ns AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE)
+                    ELSE 0.0 END AS q_stopword_ratio,
+               CASE WHEN nc > 0 THEN CAST(nu AS DOUBLE) / CAST(nc AS DOUBLE)
+                    ELSE 0.0 END AS q_upper_ratio
+        FROM base
+    """,
+    "langid": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z'']+') AS ws
+          FROM documents
+        ),
+        scores AS (
+          SELECT doc_id,
+            CAST(length(list_filter(ws, t -> t IN """ + _SW_SQL["en"] + r""")) AS DOUBLE)
+              / CAST(greatest(1, length(ws)) AS DOUBLE) AS s_en,
+            CAST(length(list_filter(ws, t -> t IN """ + _SW_SQL["es"] + r""")) AS DOUBLE)
+              / CAST(greatest(1, length(ws)) AS DOUBLE) AS s_es,
+            CAST(length(list_filter(ws, t -> t IN """ + _SW_SQL["de"] + r""")) AS DOUBLE)
+              / CAST(greatest(1, length(ws)) AS DOUBLE) AS s_de,
+            CAST(length(list_filter(ws, t -> t IN """ + _SW_SQL["fr"] + r""")) AS DOUBLE)
+              / CAST(greatest(1, length(ws)) AS DOUBLE) AS s_fr
+          FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred,
+               greatest(s_en, s_es, s_de, s_fr) AS lang_score
+        FROM scores
+    """,
+    "canopy_pct_rect": f"""
+        WITH docs AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+        rects AS (
+          SELECT p_partkey AS gs_id,
+                 {_GX} - (100.0 + (p_partkey * 13) % 400) AS x0,
+                 {_GX} + (100.0 + (p_partkey * 13) % 400) AS x1,
+                 {_GY} - (100.0 + (p_partkey * 29) % 500) AS y0,
+                 {_GY} + (100.0 + (p_partkey * 29) % 500) AS y1
+          FROM part
+        ),
+        ov AS (
+          -- NB: DuckDB's least/greatest SKIP nulls, so the unmatched
+          -- LEFT JOIN row must be zeroed explicitly
+          SELECT d.doc_id,
+                 CASE WHEN r.gs_id IS NULL THEN 0.0 ELSE
+                 greatest(0.0, least(r.x1, d.x + 250.0)
+                               - greatest(r.x0, d.x - 250.0))
+                 * greatest(0.0, least(r.y1, d.y + 250.0)
+                                 - greatest(r.y0, d.y - 250.0)) END AS a
+          FROM docs d LEFT JOIN rects r
+            ON r.x0 <= d.x + 250.0 AND r.x1 >= d.x - 250.0
+           AND r.y0 <= d.y + 250.0 AND r.y1 >= d.y - 250.0
+        )
+        SELECT doc_id,
+               round(100.0 * sum(coalesce(a, 0.0)) / (500.0 * 500.0), 6)
+                 AS rect_cover
+        FROM ov GROUP BY doc_id
+    """,
+    "cosine_pairs_exact": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
     """,
     "token_count": r"""
         SELECT doc_id,
@@ -584,6 +713,69 @@ def q_spans_mean_ndvi_metrics(sf_dir: str):
     poi, w = _world_poi()
     return availability.mean_ndvi(poi, w["tiles"], 300.0, key_col="doc_id",
                                   concurrency=None)
+
+
+def q_spans_mean_ndvi_payload(sf_dir: str):
+    """Flagship output with the span payload serialized to CANONICAL
+    JSON — value-verifies the north rule's per-row invariant
+    (span-sequence equality: kind, text, media_ref, order) straight
+    through the zonal pipeline and the span-preserving bucket join,
+    against DuckDB's ``to_json`` of the source table."""
+    import json
+
+    out = q_spans_mean_ndvi(sf_dir)
+
+    def to_json(b: pa.Table) -> pa.Table:
+        js = [json.dumps(s, separators=(",", ":"))
+              for s in b.column("spans").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "mean_NDVI": b.column("mean_NDVI"),
+            "std_NDVI": b.column("std_NDVI"),
+            "spans_json": pa.array(js, pa.string()),
+        })
+
+    return out.map_batches(to_json, batch_format="pyarrow")
+
+
+def world_oracle_sql() -> dict[str, str]:
+    """Oracles for the synthetic-world span queries: DuckDB reads the
+    SAME world parquet the Ray side reads (created here if absent),
+    extracts each document's POINT span by regex, and reuses the pixel
+    CTE + closed-form NDVI arithmetic that already matches numpy
+    bit-for-bit in the sf-table zonal oracles."""
+    n = _world_docs_n()
+    root = f"/tmp/greenex_world_{n}"
+    synth.ensure_world(root, n_docs=n, seed=42)
+    glob = f"{root}/documents/*.parquet"
+    pt = r"'POINT\(([^ ]+) ([^)]+)\)'"
+    wdocs = f"""
+docs AS (
+  SELECT doc_id,
+         CAST(regexp_extract(list_filter(spans, s -> s.kind = 'geom')[1].text,
+                             {pt}, 1) AS DOUBLE) AS x,
+         CAST(regexp_extract(list_filter(spans, s -> s.kind = 'geom')[1].text,
+                             {pt}, 2) AS DOUBLE) AS y
+  FROM read_parquet('{glob}')
+),"""
+    base = "WITH " + wdocs + _PIX_BODY.format(r=NDVI_RADIUS) + f"""
+        , vals AS (SELECT doc_id, greatest({_NDVI_SQL}, 0.0) AS v FROM pix)
+        , m AS (
+          SELECT doc_id,
+                 round(avg(v), 3) AS mean_NDVI,
+                 round(sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0)), 3) AS std_NDVI
+          FROM vals GROUP BY doc_id
+        )
+    """
+    return {
+        "spans_mean_ndvi_metrics":
+            base + "SELECT doc_id, mean_NDVI, std_NDVI FROM m",
+        "spans_mean_ndvi_payload": base + f"""
+          SELECT m.doc_id, m.mean_NDVI, m.std_NDVI,
+                 to_json(d.spans) AS spans_json
+          FROM m JOIN read_parquet('{glob}') d USING (doc_id)
+        """,
+    }
 
 
 def q_viewshed_gvi(sf_dir: str):
@@ -703,8 +895,11 @@ QUERIES = {
     "asof_last_order": q_asof_last_order,
     "range_join_count": q_range_join_count,
     "pricing_summary": q_pricing_summary,
+    "canopy_pct_rect": q_canopy_pct_rect,
+    "cosine_pairs_exact": q_cosine_pairs_exact,
     "spans_mean_ndvi": q_spans_mean_ndvi,
     "spans_mean_ndvi_metrics": q_spans_mean_ndvi_metrics,
+    "spans_mean_ndvi_payload": q_spans_mean_ndvi_payload,
     "viewshed_gvi": q_viewshed_gvi,
     "streetview_gvi": q_streetview_gvi,
     "canopy_pct": q_canopy_pct,

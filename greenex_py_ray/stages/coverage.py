@@ -29,7 +29,7 @@ import pyarrow as pa
 import ray
 
 from .. import geom
-from ..state.index import GridIndex
+from ..state.index import GridIndex, RectIndex
 
 
 def _resolve(ref):
@@ -82,6 +82,55 @@ def union_area_of_convex(polys: list[np.ndarray], max_depth: int = 6) -> float:
 
     rec(0, None, 1, 1.0)
     return total
+
+
+class RectCoverage:
+    """map_batches actor: percent of each PoI's SQUARE AoI covered by a
+    broadcast table of axis-aligned rectangles — the value-verified rect
+    form of the coverage family (M16/A3/J2; the reference's
+    ``clip(aoi).area.sum()`` at availability.py:764, no dissolve, so
+    overlapping rects double-count exactly as the reference's
+    ``GeoSeries.area.sum()`` does).
+
+    Every arithmetic step (interval clamp, product, ratio) mirrors the
+    DuckDB oracle expression term-for-term; the output is rounded to 6
+    decimals so summation order cannot flip the gate hash.
+    """
+
+    def __init__(self, rects_ref, half: float, key_col: str = "doc_id",
+                 name: str = "rect_cover"):
+        t = _resolve(rects_ref)
+        self.x0 = t.column("x0").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.y0 = t.column("y0").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.x1 = t.column("x1").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.y1 = t.column("y1").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.half = float(half)
+        # index over rects EXPANDED by the AoI half-width: the square
+        # around (x, y) intersects rect r iff (x, y) lies in r expanded
+        self.index = RectIndex(
+            self.x0 - half, self.y0 - half, self.x1 + half, self.y1 + half,
+            np.arange(len(self.x0)),
+        )
+        self.key_col = key_col
+        self.name = name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        qi, rj = self.index.containing(x, y)
+        h = self.half
+        cover = np.zeros(len(x))
+        if len(qi):
+            ox = np.maximum(
+                0.0, np.minimum(self.x1[rj], x[qi] + h) - np.maximum(self.x0[rj], x[qi] - h)
+            )
+            oy = np.maximum(
+                0.0, np.minimum(self.y1[rj], y[qi] + h) - np.maximum(self.y0[rj], y[qi] - h)
+            )
+            np.add.at(cover, qi, ox * oy)
+        pct = np.round(100.0 * cover / ((2.0 * h) * (2.0 * h)), 6)
+        return pa.table({self.key_col: batch.column(self.key_col),
+                         self.name: pa.array(pct)})
 
 
 class PolygonCoverage:

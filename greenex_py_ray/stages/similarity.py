@@ -156,3 +156,70 @@ def ivf_topk(
         "vectors": queries["vectors"],
     }
     return brute_force_topk(pruned, per_query, k, dim, key_col, concurrency)
+
+
+class CosinePairsExact:
+    """Actor stage: exact all-pairs cosine similarity join against a
+    BROADCAST (id, vector) matrix — each batch emits its pairs
+    ``(key_a < key_b, cosine >= threshold)`` against the whole table.
+
+    This is the exact O(n²) similarity join: size-gated by construction
+    (the broadcast side must fit an object-store entry; the bucketed LSH
+    operators in :mod:`~greenex_py_ray.stages.dedup` are the 100 TB
+    path).  Cosine is computed as dot/(norm·norm) in float64, the same
+    form as DuckDB's ``list_cosine_similarity``, and rounded to 6
+    decimals so the value hash is stable across summation orders.
+    """
+
+    def __init__(self, all_ref, dim: int, threshold: float,
+                 key_col: str = "vec_id", vec_col: str = "embedding"):
+        a = ray.get(all_ref) if isinstance(all_ref, ray.ObjectRef) else all_ref
+        self.all_ids = np.asarray(a["ids"], dtype=np.int64)
+        V = np.asarray(a["vectors"], dtype=np.float64)
+        n = np.linalg.norm(V, axis=1)
+        n[n == 0] = 1.0
+        self.V = V
+        self.norms = n
+        self.dim = dim
+        self.threshold = float(threshold)
+        self.key_col = key_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        Vb = _to_matrix(batch.column(self.vec_col), self.dim)
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.linalg.norm(Vb, axis=1)
+        nb[nb == 0] = 1.0
+        sim = (Vb @ self.V.T) / (nb[:, None] * self.norms[None, :])
+        # keep key_a < key_b so each unordered pair is emitted exactly once
+        lt = keys[:, None] < self.all_ids[None, :]
+        hit = lt & (sim >= self.threshold)
+        bi, aj = np.nonzero(hit)
+        return pa.table({
+            "key_a": pa.array(keys[bi]),
+            "key_b": pa.array(self.all_ids[aj]),
+            "cosine": pa.array(np.round(sim[bi, aj], 6)),
+        })
+
+
+def cosine_pairs_exact(
+    ds: "ray.data.Dataset", dim: int, threshold: float,
+    key_col: str = "vec_id", vec_col: str = "embedding",
+    concurrency: int | None = 4,
+) -> "ray.data.Dataset":
+    """Exact cosine similarity self-join (pairs with cosine >= threshold).
+
+    Broadcasts the full (id, vector) matrix once via ``ray.put``; each
+    batch computes its block of the similarity matrix."""
+    parts = list(ds.select_columns([key_col, vec_col])
+                 .iter_batches(batch_format="pyarrow"))
+    full = pa.concat_tables(parts)
+    ids = full.column(key_col).to_numpy(zero_copy_only=False)
+    V = _to_matrix(full.column(vec_col), dim)
+    ref = ray.put({"ids": ids, "vectors": V})
+    return ds.map_batches(
+        CosinePairsExact,
+        fn_constructor_kwargs=dict(all_ref=ref, dim=dim, threshold=threshold,
+                                   key_col=key_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
+    )
