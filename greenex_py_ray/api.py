@@ -204,14 +204,13 @@ def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
     deterministic segmentation stub.  Returns (poi-with-metrics Dataset,
     per-point Dataset)."""
     _validate_positive("buffer_dist", buffer_dist)
-    import pyarrow as pa
-
     docs = _poi(poi)
-    poi_pdf = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"]).to_pandas()
-    poi_tbl = pa.Table.from_pandas(poi_pdf, preserve_index=False)
+    # Dataset PoI side: broadcast below streetview_gvi's size threshold,
+    # cell-bucketed shuffle join above it (no driver materialization)
+    poi_ds = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
     edges = _vis.edge_coords_table(network_nodes_file, network_edges_file)
     features = pq.read_table(image_features_file)
     rollup, per_point = _vis.streetview_gvi(
-        poi_tbl, edges, features, buffer_dist=buffer_dist, concurrency=concurrency,
+        poi_ds, edges, features, buffer_dist=buffer_dist, concurrency=concurrency,
     )
     return _attach(docs, rollup), per_point

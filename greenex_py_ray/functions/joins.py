@@ -69,9 +69,19 @@ def bucket_join_attach(
     """Inner join attaching ``right``'s non-key columns to ``left``,
     supporting nested left payloads.  Requires unique keys on the right
     (metric tables are keyed by doc)."""
-    # more buckets than ~32 only adds shuffle overhead until the per-
-    # bucket payload is large; key-hash buckets don't need to match CPUs
-    num_buckets = num_buckets or min(32, default_join_partitions(None) * 2)
+    if num_buckets is None:
+        # scale bucket count with the left payload (each bucket becomes
+        # ONE in-memory pa.Table inside map_groups, so a fixed cap would
+        # bound parallelism and grow per-bucket memory with data size);
+        # floor at 2×cluster-width so small inputs still parallelize
+        est = 0
+        try:
+            est = left.size_bytes() or 0
+        except Exception:
+            pass
+        by_bytes = est // (128 << 20)  # ~128 MB of payload per bucket
+        num_buckets = int(min(4096, max(default_join_partitions(None) * 2,
+                                        by_bytes)))
     lschema = left.schema()
     rschema = right.schema()
     lfields = [pa.field(n, t) for n, t in zip(lschema.names, lschema.types)]

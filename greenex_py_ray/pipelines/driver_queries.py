@@ -794,11 +794,10 @@ def q_streetview_gvi(sf_dir: str):
     from . import visibility as vpipe
 
     poi, w = _world_poi()
-    poi_tbl = pa.Table.from_pandas(poi.to_pandas(), preserve_index=False)
     edges = vpipe.edge_coords_table(w["network_nodes"], w["network_edges"])
     features = pq.read_table(w["image_features"])
     rollup, _ = vpipe.streetview_gvi(
-        poi_tbl, edges, features, buffer_dist=100.0, concurrency=None
+        poi, edges, features, buffer_dist=100.0, concurrency=None
     )
     return rollup
 

@@ -130,13 +130,14 @@ def viewshed_gvi(
 
 
 def streetview_gvi(
-    poi_table: pa.Table,
+    poi_table: "pa.Table | ray.data.Dataset",
     edges_coords: pa.Table,
     features: pa.Table,
     buffer_dist: float = 100.0,
     interval: float = 50.0,
     key_col: str = "doc_id",
     concurrency: int | None = None,
+    broadcast_threshold: int = 100_000,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Streetview GVI with the stubbed segmentation scorer.
 
@@ -145,6 +146,12 @@ def streetview_gvi(
     SegmentationGVI actor → explode to PoIs → null-skipping Mean +
     non-null Count (pandas ``mean``/``count`` semantics,
     visibility.py:1048-1049).
+
+    The PoI side may be a pyarrow Table (broadcast into the join actors)
+    or a Dataset: Datasets over ``broadcast_threshold`` rows take the
+    cell-bucketed shuffle join
+    (:func:`~greenex_py_ray.stages.spatial_join.cell_buffer_join`) —
+    the 10^12-doc path where the PoI table fits no single machine.
     """
     edges_ds = ray.data.from_arrow(edges_coords)
     pts = edges_ds.map_batches(
@@ -152,15 +159,31 @@ def streetview_gvi(
     )
 
     from ..stages.dedup import bucket_dedup
+    from ..stages.spatial_join import cell_buffer_join
 
     pts = bucket_dedup(pts, subset=["sp_x", "sp_y"])  # D2: exact geometry dedup
-    pref = ray.put(poi_table)
-    pts = pts.map_batches(
-        vis.PointsToPoi,
-        fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
-                                   key_col=key_col, semi=True),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
-    )
+    poi_is_ds = isinstance(poi_table, ray.data.Dataset)
+    use_shuffle = poi_is_ds and poi_table.count() > broadcast_threshold
+    if use_shuffle:
+        # materialize once: the PoI projection feeds BOTH join stages
+        # (fanning out an unmaterialized shared lineage — especially one
+        # containing a limit() — re-executes it per consumer and can
+        # stall the streaming executor); 3 columns spill fine at scale
+        poi_ds = poi_table.select_columns([key_col, "x", "y"]).materialize()
+        pts = cell_buffer_join(pts, poi_ds, buffer_dist, key_col=key_col,
+                               semi=True)
+    else:
+        if poi_is_ds:
+            poi_table = pa.Table.from_pandas(poi_table.to_pandas(),
+                                             preserve_index=False)
+        pref = ray.put(poi_table)
+        pts = pts.map_batches(
+            vis.PointsToPoi,
+            fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
+                                       key_col=key_col, semi=True),
+            batch_format="pyarrow", concurrency=as_pool(concurrency),
+            num_cpus=0.25,
+        )
     fref = ray.put(features)
     pts = pts.map_batches(
         vis.NearestImageFeature,
@@ -172,12 +195,17 @@ def streetview_gvi(
         vis.SegmentationGVI, batch_format="pyarrow",
         **heavy_pool(concurrency),
     )
-    exploded = scored.map_batches(
-        vis.PointsToPoi,
-        fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
-                                   key_col=key_col, semi=False),
-        batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
-    )
+    if use_shuffle:
+        exploded = cell_buffer_join(scored, poi_ds, buffer_dist,
+                                    key_col=key_col, semi=False)
+    else:
+        exploded = scored.map_batches(
+            vis.PointsToPoi,
+            fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
+                                       key_col=key_col, semi=False),
+            batch_format="pyarrow", concurrency=as_pool(concurrency),
+            num_cpus=0.25,
+        )
 
     def pre_rollup(batch: pa.Table) -> pa.Table:
         g = batch.column("GVI").to_numpy(zero_copy_only=False)
@@ -234,12 +262,10 @@ def get_streetview_gvi_documents(
     concurrency: int | None = None,
 ):
     docs = doc_src.read_documents(documents_path)
-    # the PoI side is broadcast into the semi-join/rollup actors; at
-    # 10^12-doc scale this path switches to the cell-bucketed join of
-    # functions/joins — test/bench scale keeps the broadcast variant
-    poi_pdf = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"]).to_pandas()
-    poi_tbl = pa.Table.from_pandas(poi_pdf, preserve_index=False)
+    # Dataset PoI side: streetview_gvi broadcasts below its size
+    # threshold and switches to the cell-bucketed shuffle join above it
+    poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
     edges = edge_coords_table(world_paths["network_nodes"], world_paths["network_edges"])
     features = pq.read_table(world_paths["image_features"])
-    return streetview_gvi(poi_tbl, edges, features, buffer_dist=buffer_dist,
+    return streetview_gvi(poi, edges, features, buffer_dist=buffer_dist,
                           concurrency=as_pool(concurrency))

@@ -68,47 +68,62 @@ class SamplePointsViewshed:
         self.sample_dist = float(sample_dist)
         self.key_col = key_col
 
-    def _edge_candidates(self, x: float, y: float) -> np.ndarray:
-        _, pj, _ = self.index.within(np.array([x]), np.array([y]),
-                                     self.buffer_dist + self.margin)
-        if not len(pj):
-            return pj
-        dx = self.bx[pj] - self.ax[pj]
-        dy = self.by[pj] - self.ay[pj]
-        len2 = dx * dx + dy * dy
-        qx = x - self.ax[pj]
-        qy = y - self.ay[pj]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = np.where(len2 > 0, (qx * dx + qy * dy) / len2, 0.0)
-        t = np.clip(t, 0.0, 1.0)
-        d2 = (qx - t * dx) ** 2 + (qy - t * dy) ** 2
-        return pj[d2 <= self.buffer_dist * self.buffer_dist]
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column("x").to_numpy(zero_copy_only=False)
         y = batch.column("y").to_numpy(zero_copy_only=False)
         keys = batch.column(self.key_col)
-        out_idx, out_x, out_y = [], [], []
-        for i in range(len(x)):
-            ej = self._edge_candidates(x[i], y[i])
-            for j in ej:
-                L = self.length[j]
-                if L < self.sample_dist:
-                    out_idx.append(i)
-                    out_x.append(self.midx[j])
-                    out_y.append(self.midy[j])
-                else:
-                    n = int(L / self.sample_dist) + 1  # visibility.py:584
-                    t = np.linspace(0.0, 1.0, n)
-                    out_idx.extend([i] * n)
-                    out_x.extend((self.ax[j] + (self.bx[j] - self.ax[j]) * t).tolist())
-                    out_y.extend((self.ay[j] + (self.by[j] - self.ay[j]) * t).tolist())
-        idx = np.array(out_idx, dtype=np.int64)
+        empty = pa.table({
+            self.key_col: keys.slice(0, 0),
+            "sp_x": pa.array([], pa.float64()),
+            "sp_y": pa.array([], pa.float64()),
+        })
+        if len(x) == 0:
+            return empty
+        # candidate (poi, edge) pairs for the whole batch in one index
+        # query, refined by exact segment distance — then the linspace
+        # expansion via the repeat/cumsum pattern (no per-PoI loop)
+        qi, pj, _ = self.index.within(x, y, self.buffer_dist + self.margin)
+        if len(qi):
+            dx = self.bx[pj] - self.ax[pj]
+            dy = self.by[pj] - self.ay[pj]
+            len2 = dx * dx + dy * dy
+            qx = x[qi] - self.ax[pj]
+            qy = y[qi] - self.ay[pj]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(len2 > 0, (qx * dx + qy * dy) / len2, 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            d2 = (qx - t * dx) ** 2 + (qy - t * dy) ** 2
+            keep = d2 <= self.buffer_dist * self.buffer_dist
+            qi, pj = qi[keep], pj[keep]
+        if not len(qi):
+            return empty
+        L = self.length[pj]
+        small = L < self.sample_dist
+        # visibility.py:584: n = int(L / sample_dist) + 1; short edges
+        # contribute their midpoint only
+        n = np.where(small, 1,
+                     (L / self.sample_dist).astype(np.int64) + 1)
+        total = int(n.sum())
+        rep = np.repeat(np.arange(len(pj)), n)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        pos = np.arange(total) - np.repeat(starts, n)
+        nm1 = (n - 1)[rep]
+        # np.linspace(0, 1, n) ≡ pos * (1/(n-1)) with the endpoint
+        # forced to exactly 1.0 — reproduced bit-for-bit
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ts = pos * np.where(nm1 > 0, 1.0 / np.maximum(nm1, 1), 0.0)
+        ts[(nm1 > 0) & (pos == nm1)] = 1.0
+        ej = pj[rep]
+        sp_x = np.where(small[rep], self.midx[ej],
+                        self.ax[ej] + (self.bx[ej] - self.ax[ej]) * ts)
+        sp_y = np.where(small[rep], self.midy[ej],
+                        self.ay[ej] + (self.by[ej] - self.ay[ej]) * ts)
+        idx = qi[rep]
         return pa.table(
             {
-                self.key_col: keys.take(pa.array(idx)) if len(idx) else keys.slice(0, 0),
-                "sp_x": pa.array(np.array(out_x)),
-                "sp_y": pa.array(np.array(out_y)),
+                self.key_col: keys.take(pa.array(idx)),
+                "sp_x": pa.array(sp_x),
+                "sp_y": pa.array(sp_y),
             }
         )
 

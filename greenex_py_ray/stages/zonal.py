@@ -362,6 +362,68 @@ def polygon_tile_cover_batch(batch: pa.Table, key_col: str) -> pa.Table:
     return pa.table(cols)
 
 
+def _disk_chords(x: np.ndarray, y: np.ndarray, r: float, x0: float, y0: float,
+                 h: int, w: int):
+    """Per-point disk→row-chord decomposition against one tile.
+
+    Returns ``(rows_c, lo, hi, use)``: for each point (axis 0) and each
+    candidate pixel row (axis 1), the clipped row index, the inclusive
+    chord column bounds, and whether the chord is non-empty.  Chord
+    bounds from sqrt are corrected by ±1 against the ORIGINAL inequality
+    ``dx²+dy² ≤ r²`` so the included pixel set is bit-identical to the
+    direct mask (and to the SQL oracle).  Shared by the NDVI SAT kernel
+    and the landcover per-class kernel.
+    """
+    res = synth.RASTER_RES
+    K = int(2 * r / res) + 3
+    r0 = np.floor((y - r - y0) / res).astype(np.int64)
+    rlast = np.floor((y + r - y0) / res).astype(np.int64)
+    rows = r0[:, None] + np.arange(K)[None, :]
+    row_ok = (rows >= 0) & (rows <= h - 1) & (rows <= rlast[:, None])
+    py = y0 + (rows + 0.5) * res
+    dy2 = (py - y[:, None]) ** 2
+    rad2 = r * r - dy2
+    ok = row_ok & (rad2 >= 0.0)
+    halfw = np.sqrt(np.maximum(rad2, 0.0))
+    clo = np.ceil((x[:, None] - halfw - x0) / res - 0.5).astype(np.int64)
+    chi = np.floor((x[:, None] + halfw - x0) / res - 0.5).astype(np.int64)
+
+    def _inside(cols):
+        px = x0 + (cols + 0.5) * res
+        dx2 = (px - x[:, None]) ** 2
+        return dx2 + dy2 <= r * r
+
+    clo = np.where(_inside(clo - 1), clo - 1, clo)
+    clo = np.where(~_inside(clo), clo + 1, clo)
+    chi = np.where(_inside(chi + 1), chi + 1, chi)
+    chi = np.where(~_inside(chi), chi - 1, chi)
+    use = ok & (chi >= clo) & (chi >= 0) & (clo <= w - 1)
+    lo = np.clip(clo, 0, w - 1)
+    hi = np.clip(chi, 0, w - 1)
+    rows_c = np.clip(rows, 0, h - 1)
+    return rows_c, lo, hi, use
+
+
+def _tile_cover_flat(x: np.ndarray, y: np.ndarray, r: float):
+    """Flat (point-index, tile-key) cover expansion for disks —
+    vectorized repeat/cumsum, no per-point Python loop."""
+    ts = synth.TILE_SIZE
+    ix0 = np.floor((x - r) / ts).astype(np.int64)
+    ix1 = np.floor((x + r) / ts).astype(np.int64)
+    iy0 = np.floor((y - r) / ts).astype(np.int64)
+    iy1 = np.floor((y + r) / ts).astype(np.int64)
+    counts = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    idx = np.repeat(np.arange(len(x)), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    local = np.arange(int(counts.sum())) - np.repeat(starts, counts)
+    ny = np.repeat(iy1 - iy0 + 1, counts)
+    dxs = local // ny
+    dys = local - dxs * ny
+    tkx = np.repeat(ix0, counts) + dxs
+    tky = np.repeat(iy0, counts) + dys
+    return idx, tkx * TILE_KEY_STRIDE + tky
+
+
 class ZonalStatsLocal:
     """Fused zonal stage: poi(key, x, y) batches → FINAL per-key
     mean/std, no shuffle.
@@ -422,36 +484,9 @@ class ZonalStatsLocal:
             z = np.zeros(m)
             return z, z.copy(), np.zeros(m, dtype=np.int64)
         c1, c2, h, w = sat
-        res = synth.RASTER_RES
-        x0 = tix * synth.TILE_SIZE
-        y0 = tiy * synth.TILE_SIZE
-        r = self.radius
-        K = int(2 * r / res) + 3
-        r0 = np.floor((y - r - y0) / res).astype(np.int64)
-        rlast = np.floor((y + r - y0) / res).astype(np.int64)
-        rows = r0[:, None] + np.arange(K)[None, :]
-        row_ok = (rows >= 0) & (rows <= h - 1) & (rows <= rlast[:, None])
-        py = y0 + (rows + 0.5) * res
-        dy2 = (py - y[:, None]) ** 2
-        rad2 = r * r - dy2
-        ok = row_ok & (rad2 >= 0.0)
-        halfw = np.sqrt(np.maximum(rad2, 0.0))
-        clo = np.ceil((x[:, None] - halfw - x0) / res - 0.5).astype(np.int64)
-        chi = np.floor((x[:, None] + halfw - x0) / res - 0.5).astype(np.int64)
-
-        def _inside(cols):
-            px = x0 + (cols + 0.5) * res
-            dx2 = (px - x[:, None]) ** 2
-            return dx2 + dy2 <= r * r
-
-        clo = np.where(_inside(clo - 1), clo - 1, clo)
-        clo = np.where(~_inside(clo), clo + 1, clo)
-        chi = np.where(_inside(chi + 1), chi + 1, chi)
-        chi = np.where(~_inside(chi), chi - 1, chi)
-        use = ok & (chi >= clo) & (chi >= 0) & (clo <= w - 1)
-        lo = np.clip(clo, 0, w - 1)
-        hi = np.clip(chi, 0, w - 1)
-        rows_c = np.clip(rows, 0, h - 1)
+        rows_c, lo, hi, use = _disk_chords(
+            x, y, self.radius, tix * synth.TILE_SIZE, tiy * synth.TILE_SIZE,
+            h, w)
         lo1 = np.maximum(lo - 1, 0)
         seg1 = c1[rows_c, hi] - np.where(lo > 0, c1[rows_c, lo1], 0.0)
         seg2 = c2[rows_c, hi] - np.where(lo > 0, c2[rows_c, lo1], 0.0)
@@ -469,23 +504,8 @@ class ZonalStatsLocal:
         psum = np.zeros(n)
         psumsq = np.zeros(n)
         pcount = np.zeros(n, dtype=np.int64)
-        ts = synth.TILE_SIZE
-        r = self.radius
         # flat cover expansion, then one vectorized kernel per tile
-        ix0 = np.floor((x - r) / ts).astype(np.int64)
-        ix1 = np.floor((x + r) / ts).astype(np.int64)
-        iy0 = np.floor((y - r) / ts).astype(np.int64)
-        iy1 = np.floor((y + r) / ts).astype(np.int64)
-        counts = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
-        idx = np.repeat(np.arange(n), counts)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        local = np.arange(int(counts.sum())) - np.repeat(starts, counts)
-        ny = np.repeat(iy1 - iy0 + 1, counts)
-        dxs = local // ny
-        dys = local - dxs * ny
-        tkx = np.repeat(ix0, counts) + dxs
-        tky = np.repeat(iy0, counts) + dys
-        tkey = tkx * TILE_KEY_STRIDE + tky
+        idx, tkey = _tile_cover_flat(x, y, self.radius)
         order = np.argsort(tkey, kind="stable")
         uniq, bounds_start = np.unique(tkey[order], return_index=True)
         bounds = np.concatenate([bounds_start, [len(tkey)]])
@@ -513,7 +533,11 @@ class ZonalStatsLocal:
 
 class LandcoverLocal:
     """Fused landcover percentages (no shuffle), analog of
-    :class:`ZonalStatsLocal`."""
+    :class:`ZonalStatsLocal`: per-tile PER-CLASS row-cumsum tables built
+    once per actor, each point's disk reduced to chord segment count
+    differences — the same ~10-numpy-call-per-tile-group shape as the
+    NDVI SAT kernel (replaces the round-1 per-point, per-tile Python
+    loop that called the mask kernel with 1-point arrays)."""
 
     def __init__(self, tile_root: str, radius: float, classmap: dict[int, str],
                  key_col: str = "doc_id", band: str = "lulc",
@@ -525,6 +549,47 @@ class LandcoverLocal:
         self.classes = sorted(classmap)
         self.names = [classmap[c] for c in self.classes]
         self.stringify = stringify
+        self._sat: dict[tuple[int, int], tuple] = {}
+
+    def _tile_class_sat(self, tix: int, tiy: int):
+        """(row-cumsum of (arr == cls) per class, h, w) or None."""
+        key = (tix, tiy)
+        if key in self._sat:
+            return self._sat[key]
+        arr = self.store.get(self.band, tix, tiy)
+        if arr is None:
+            self._sat[key] = None
+            return None
+        cs = np.stack([
+            np.cumsum(arr == cls, axis=1, dtype=np.int32)
+            for cls in self.classes
+        ])
+        self._sat[key] = (cs, arr.shape[0], arr.shape[1])
+        if len(self._sat) > 512:
+            self._sat.pop(next(iter(self._sat)))
+        return self._sat[key]
+
+    def _disk_tile_counts_many(self, tix: int, tiy: int,
+                               x: np.ndarray, y: np.ndarray):
+        """Per-point (class counts (m, ncls), total (m,)) of disk pixels
+        within one tile — vectorized over the tile's point group."""
+        m = len(x)
+        ncls = len(self.classes)
+        sat = self._tile_class_sat(tix, tiy)
+        if sat is None:
+            return np.zeros((m, ncls), np.int64), np.zeros(m, np.int64)
+        cs, h, w = sat
+        rows_c, lo, hi, use = _disk_chords(
+            x, y, self.radius, tix * synth.TILE_SIZE, tiy * synth.TILE_SIZE,
+            h, w)
+        lo1 = np.maximum(lo - 1, 0)
+        lo_pos = lo > 0
+        counts = np.empty((m, ncls), dtype=np.int64)
+        for j in range(ncls):
+            seg = cs[j][rows_c, hi] - np.where(lo_pos, cs[j][rows_c, lo1], 0)
+            counts[:, j] = np.where(use, seg, 0).sum(axis=1)
+        total = ((hi - lo + 1) * use).sum(axis=1).astype(np.int64)
+        return counts, total
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column("x").to_numpy(zero_copy_only=False)
@@ -532,25 +597,18 @@ class LandcoverLocal:
         n = len(x)
         counts = np.zeros((n, len(self.classes)), dtype=np.int64)
         total = np.zeros(n, dtype=np.int64)
-        cls_arr = np.asarray(self.classes)
-        ts = synth.TILE_SIZE
-        r = self.radius
-        ix0 = np.floor((x - r) / ts).astype(np.int64)
-        ix1 = np.floor((x + r) / ts).astype(np.int64)
-        iy0 = np.floor((y - r) / ts).astype(np.int64)
-        iy1 = np.floor((y + r) / ts).astype(np.int64)
-        for i in range(n):
-            for tx in range(ix0[i], ix1[i] + 1):
-                for ty in range(iy0[i], iy1[i] + 1):
-                    li, vals = _pixel_disk_values(
-                        self.store, self.band, tx, ty, x[i : i + 1], y[i : i + 1], r
-                    )
-                    if len(vals) == 0:
-                        continue
-                    total[i] += vals.size
-                    pos = np.searchsorted(cls_arr, vals)
-                    ok = (pos < len(cls_arr)) & (cls_arr[np.minimum(pos, len(cls_arr) - 1)] == vals)
-                    np.add.at(counts[i], pos[ok], 1)
+        idx, tkey = _tile_cover_flat(x, y, self.radius)
+        order = np.argsort(tkey, kind="stable")
+        uniq, bounds_start = np.unique(tkey[order], return_index=True)
+        bounds = np.concatenate([bounds_start, [len(tkey)]])
+        for g, tk in enumerate(uniq):
+            sel = order[bounds[g] : bounds[g + 1]]
+            docs = idx[sel]
+            tx = int(tk) // TILE_KEY_STRIDE
+            ty = int(tk) - tx * TILE_KEY_STRIDE
+            c, t = self._disk_tile_counts_many(tx, ty, x[docs], y[docs])
+            np.add.at(counts, docs, c)
+            np.add.at(total, docs, t)
         cols = {self.key_col: batch.column(self.key_col)}
         tot = total.astype(np.float64)
         for j, name in enumerate(self.names):
