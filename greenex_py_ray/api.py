@@ -214,3 +214,24 @@ def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
         poi_ds, edges, features, buffer_dist=buffer_dist, concurrency=concurrency,
     )
     return _attach(docs, rollup), per_point
+
+
+def get_mean_NDVI_streets(network_nodes_file: str, network_edges_file: str,
+                          ndvi_tile_dir: str, buffer_dist: float = 10.0,
+                          concurrency: int | None = None):
+    """get_mean_NDVI with a street network as the PoI set — the README
+    place-query flow (availability.py:52-61): each edge becomes a PoI
+    row whose AoI is the edge geometry buffered by ``buffer_dist``
+    (:134).  Curved ``geom_x``/``geom_y`` polylines are honored when the
+    edges file carries them."""
+    _validate_positive("buffer_dist", buffer_dist)
+    import numpy as np
+    import pyarrow as pa
+
+    edges_tbl = _vis.edge_coords_table(network_nodes_file, network_edges_file)
+    edges_tbl = edges_tbl.append_column(
+        "edge_id", pa.array(np.arange(len(edges_tbl), dtype=np.int64)))
+    return _av.mean_ndvi_line_aoi(
+        ray.data.from_arrow(edges_tbl), ndvi_tile_dir,
+        buffer_dist=buffer_dist, key_col="edge_id", concurrency=concurrency,
+    )

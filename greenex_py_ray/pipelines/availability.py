@@ -258,3 +258,26 @@ def mean_ndvi_polygon_aoi(
     return agg.map_batches(
         lambda b: zonal.finish_mean_std(b, key_col), batch_format="pyarrow"
     )
+
+
+def mean_ndvi_line_aoi(
+    edges: "ray.data.Dataset",
+    tile_root: str,
+    buffer_dist: float,
+    key_col: str = "edge_id",
+    concurrency: int | None = None,
+    batch_size: int = 512,
+) -> "ray.data.Dataset":
+    """get_mean_NDVI over STREET EDGES as PoI rows — the reference's
+    place-query flow (availability.py:52-61): each edge's AoI is its
+    buffered polyline (``poi.geometry.buffer(buffer_dist)``, :134).
+
+    ``edges`` needs (key_col, ax, ay, bx, by) and optionally
+    ``geom_x``/``geom_y`` polyline columns."""
+    return edges.map_batches(
+        zonal.LineZonalLocal,
+        fn_constructor_kwargs=dict(tile_root=tile_root, band="ndvi",
+                                   buffer_dist=buffer_dist, key_col=key_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=as_pool(concurrency), num_cpus=0.25,
+    )

@@ -142,6 +142,25 @@ def q_pip_count_shuffle(sf_dir: str):
     return pairs.groupby("gs_id").aggregate(Count(alias_name="n_docs"))
 
 
+def q_line_buffer_ndvi(sf_dir: str):
+    """Street-edges-as-PoI zonal NDVI (S2 place-query flow,
+    availability.py:52-61,134): each edge's AoI is its buffered segment
+    (capsule).  Edges derived arithmetically from supplier keys so the
+    DuckDB oracle reproduces the pixel set bit-for-bit."""
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ax, ay = dt.derive_xy(k)
+    bx = ax + ((k * 7561) % 300).astype(np.float64) - 150.0
+    by = ay + ((k * 631) % 300).astype(np.float64) - 150.0
+    edges = pa.table({"edge_id": pa.array(k), "ax": pa.array(ax),
+                      "ay": pa.array(ay), "bx": pa.array(bx),
+                      "by": pa.array(by)})
+    return availability.mean_ndvi_line_aoi(
+        ray.data.from_arrow(edges), _world_tiles_root(), buffer_dist=50.0,
+        key_col="edge_id", concurrency=4,
+    )
+
+
 def q_canopy_pct_rect(sf_dir: str):
     """Rect-canopy % of a square AoI — the VALUE-VERIFIED form of the
     coverage family (M16/A3/J2): sum of clip areas over a broadcast rect
@@ -604,6 +623,47 @@ ORACLE_SQL: dict[str, str] = {
                  AS rect_cover
         FROM ov GROUP BY doc_id
     """,
+    "line_buffer_ndvi": f"""
+        WITH edges AS (
+          SELECT s_suppkey AS edge_id,
+                 {dt.SQL_X.format(k="s_suppkey")} AS ax,
+                 {dt.SQL_Y.format(k="s_suppkey")} AS ay,
+                 {dt.SQL_X.format(k="s_suppkey")}
+                   + (((s_suppkey * 7561) % 300) - 150.0) AS bx,
+                 {dt.SQL_Y.format(k="s_suppkey")}
+                   + (((s_suppkey * 631) % 300) - 150.0) AS by
+          FROM supplier
+        ),
+        pixidx AS (SELECT i AS idx FROM range(0, {_NPIX} + 1) t(i)),
+        pix AS (
+          SELECT e.edge_id, e.ax, e.ay, e.bx, e.by,
+                 (gx.idx * 10.0 + 5.0) AS px, (gy.idx * 10.0 + 5.0) AS py
+          FROM edges e
+          JOIN pixidx gx ON gx.idx >= floor((least(e.ax, e.bx) - 50.0) / 10.0)
+                        AND gx.idx <= floor((greatest(e.ax, e.bx) + 50.0) / 10.0)
+          JOIN pixidx gy ON gy.idx >= floor((least(e.ay, e.by) - 50.0) / 10.0)
+                        AND gy.idx <= floor((greatest(e.ay, e.by) + 50.0) / 10.0)
+        ),
+        dist AS (
+          SELECT edge_id, px, py, ax, ay, bx, by,
+                 least(greatest(CASE
+                   WHEN ((bx-ax)*(bx-ax) + (by-ay)*(by-ay)) > 0
+                   THEN ((px-ax)*(bx-ax) + (py-ay)*(by-ay))
+                        / ((bx-ax)*(bx-ax) + (by-ay)*(by-ay))
+                   ELSE 0.0 END, 0.0), 1.0) AS t
+          FROM pix
+        ),
+        inpix AS (
+          SELECT edge_id, px, py FROM dist
+          WHERE ((px-ax) - t*(bx-ax)) * ((px-ax) - t*(bx-ax))
+              + ((py-ay) - t*(by-ay)) * ((py-ay) - t*(by-ay)) <= 2500.0
+        ),
+        vals AS (SELECT edge_id, greatest({_NDVI_SQL}, 0.0) AS v FROM inpix)
+        SELECT edge_id,
+               round(avg(v), 3) AS mean_NDVI,
+               round(sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0)), 3) AS std_NDVI
+        FROM vals GROUP BY edge_id
+    """,
     "cosine_pairs_exact": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings)
@@ -895,6 +955,7 @@ QUERIES = {
     "range_join_count": q_range_join_count,
     "pricing_summary": q_pricing_summary,
     "canopy_pct_rect": q_canopy_pct_rect,
+    "line_buffer_ndvi": q_line_buffer_ndvi,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "spans_mean_ndvi": q_spans_mean_ndvi,
     "spans_mean_ndvi_metrics": q_spans_mean_ndvi_metrics,

@@ -26,8 +26,12 @@ from ..stages import visibility as vis
 
 def edge_coords_table(nodes_path: str, edges_path: str) -> pa.Table:
     """(u, v, length) edge table + node coords → (ax, ay, bx, by, length)
-    straight-segment geometry (synthetic networks carry no curved edge
-    geometry; SURVEY S10)."""
+    straight-segment geometry.  If the edges parquet carries per-edge
+    polyline columns ``geom_x``/``geom_y`` (list<double> vertex chains —
+    real OSM networks' curved LineStrings, reference
+    visibility.py:581-586,633-641), they are passed through and the
+    sampling stages interpolate along the true polyline instead of the
+    node-to-node chord."""
     nodes = pq.read_table(nodes_path)
     edges = pq.read_table(edges_path)
     nid = nodes.column("node_id").to_numpy(zero_copy_only=False)
@@ -38,13 +42,15 @@ def edge_coords_table(nodes_path: str, edges_path: str) -> pa.Table:
     v = edges.column("v").to_numpy(zero_copy_only=False)
     pu = np.fromiter((pos[int(i)] for i in u), dtype=np.int64, count=len(u))
     pv = np.fromiter((pos[int(i)] for i in v), dtype=np.int64, count=len(v))
-    return pa.table(
-        {
-            "ax": pa.array(nx[pu]), "ay": pa.array(ny[pu]),
-            "bx": pa.array(nx[pv]), "by": pa.array(ny[pv]),
-            "length": edges.column("length"),
-        }
-    )
+    cols = {
+        "ax": pa.array(nx[pu]), "ay": pa.array(ny[pu]),
+        "bx": pa.array(nx[pv]), "by": pa.array(ny[pv]),
+        "length": edges.column("length"),
+    }
+    if "geom_x" in edges.column_names and "geom_y" in edges.column_names:
+        cols["geom_x"] = edges.column("geom_x")
+        cols["geom_y"] = edges.column("geom_y")
+    return pa.table(cols)
 
 
 def _finish_rollup(batch: pa.Table, key_col: str) -> pa.Table:

@@ -54,19 +54,79 @@ class SamplePointsViewshed:
 
     def __init__(self, edges_ref, buffer_dist: float, sample_dist: float,
                  key_col: str = "doc_id"):
+        from .. import geom as _geom
+
         e = _resolve(edges_ref)
         self.ax = e.column("ax").to_numpy(zero_copy_only=False)
         self.ay = e.column("ay").to_numpy(zero_copy_only=False)
         self.bx = e.column("bx").to_numpy(zero_copy_only=False)
         self.by = e.column("by").to_numpy(zero_copy_only=False)
         self.length = e.column("length").to_numpy(zero_copy_only=False)
-        self.midx = (self.ax + self.bx) / 2.0
-        self.midy = (self.ay + self.by) / 2.0
+        self.geoms = None
+        if "geom_x" in e.column_names and "geom_y" in e.column_names:
+            gx = e.column("geom_x").to_pylist()
+            gy = e.column("geom_y").to_pylist()
+            self.geoms = [
+                np.column_stack([np.asarray(a, np.float64),
+                                 np.asarray(b, np.float64)])
+                if a and len(a) >= 2 else None
+                for a, b in zip(gx, gy)
+            ]
+        if self.geoms is None:
+            self.midx = (self.ax + self.bx) / 2.0
+            self.midy = (self.ay + self.by) / 2.0
+            self.margin = float(self.length.max()) / 2.0 if len(self.length) else 0.0
+        else:
+            # index center = polyline arc midpoint; margin bounds the
+            # farthest any vertex strays from its edge's center
+            mid = np.empty((len(self.geoms), 2))
+            rad = np.zeros(len(self.geoms))
+            for j, g in enumerate(self.geoms):
+                if g is None:
+                    mid[j] = ((self.ax[j] + self.bx[j]) / 2.0,
+                              (self.ay[j] + self.by[j]) / 2.0)
+                    rad[j] = np.hypot(self.bx[j] - self.ax[j],
+                                      self.by[j] - self.ay[j]) / 2.0
+                else:
+                    total = _geom.linestring_lengths(g)[-1]
+                    mid[j] = _geom.interpolate_along(g, np.array([total / 2.0]))[0]
+                    rad[j] = np.hypot(g[:, 0] - mid[j, 0],
+                                      g[:, 1] - mid[j, 1]).max()
+            self.midx = mid[:, 0]
+            self.midy = mid[:, 1]
+            self.margin = float(rad.max()) if len(rad) else 0.0
         self.index = GridIndex(self.midx, self.midy, cell_size=500.0)
-        self.margin = float(self.length.max()) / 2.0 if len(self.length) else 0.0
         self.buffer_dist = float(buffer_dist)
         self.sample_dist = float(sample_dist)
         self.key_col = key_col
+
+    def _refine_polyline(self, x, y, qi, pj):
+        """Exact point↔polyline distance filter for candidate pairs
+        (looped over unique candidate EDGES, vectorized points ×
+        sub-segments within each)."""
+        keep = np.zeros(len(qi), dtype=bool)
+        r2 = self.buffer_dist * self.buffer_dist
+        for e in np.unique(pj):
+            m = pj == e
+            g = self.geoms[e]
+            if g is None:
+                sax, say = self.ax[e], self.ay[e]
+                segs = np.array([[sax, say, self.bx[e], self.by[e]]])
+            else:
+                segs = np.column_stack([g[:-1], g[1:]])
+            px = x[qi[m]][:, None]
+            py = y[qi[m]][:, None]
+            dx = (segs[:, 2] - segs[:, 0])[None, :]
+            dy = (segs[:, 3] - segs[:, 1])[None, :]
+            len2 = dx * dx + dy * dy
+            qx = px - segs[:, 0][None, :]
+            qy = py - segs[:, 1][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(len2 > 0, (qx * dx + qy * dy) / len2, 0.0)
+            t = np.clip(t, 0.0, 1.0)
+            d2 = (qx - t * dx) ** 2 + (qy - t * dy) ** 2
+            keep[m] = (d2 <= r2).any(axis=1)
+        return keep
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column("x").to_numpy(zero_copy_only=False)
@@ -84,16 +144,19 @@ class SamplePointsViewshed:
         # expansion via the repeat/cumsum pattern (no per-PoI loop)
         qi, pj, _ = self.index.within(x, y, self.buffer_dist + self.margin)
         if len(qi):
-            dx = self.bx[pj] - self.ax[pj]
-            dy = self.by[pj] - self.ay[pj]
-            len2 = dx * dx + dy * dy
-            qx = x[qi] - self.ax[pj]
-            qy = y[qi] - self.ay[pj]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                t = np.where(len2 > 0, (qx * dx + qy * dy) / len2, 0.0)
-            t = np.clip(t, 0.0, 1.0)
-            d2 = (qx - t * dx) ** 2 + (qy - t * dy) ** 2
-            keep = d2 <= self.buffer_dist * self.buffer_dist
+            if self.geoms is not None:
+                keep = self._refine_polyline(x, y, qi, pj)
+            else:
+                dx = self.bx[pj] - self.ax[pj]
+                dy = self.by[pj] - self.ay[pj]
+                len2 = dx * dx + dy * dy
+                qx = x[qi] - self.ax[pj]
+                qy = y[qi] - self.ay[pj]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = np.where(len2 > 0, (qx * dx + qy * dy) / len2, 0.0)
+                t = np.clip(t, 0.0, 1.0)
+                d2 = (qx - t * dx) ** 2 + (qy - t * dy) ** 2
+                keep = d2 <= self.buffer_dist * self.buffer_dist
             qi, pj = qi[keep], pj[keep]
         if not len(qi):
             return empty
@@ -114,10 +177,30 @@ class SamplePointsViewshed:
             ts = pos * np.where(nm1 > 0, 1.0 / np.maximum(nm1, 1), 0.0)
         ts[(nm1 > 0) & (pos == nm1)] = 1.0
         ej = pj[rep]
-        sp_x = np.where(small[rep], self.midx[ej],
-                        self.ax[ej] + (self.bx[ej] - self.ax[ej]) * ts)
-        sp_y = np.where(small[rep], self.midy[ej],
-                        self.ay[ej] + (self.by[ej] - self.ay[ej]) * ts)
+        if self.geoms is None:
+            sp_x = np.where(small[rep], self.midx[ej],
+                            self.ax[ej] + (self.bx[ej] - self.ax[ej]) * ts)
+            sp_y = np.where(small[rep], self.midy[ej],
+                            self.ay[ej] + (self.by[ej] - self.ay[ej]) * ts)
+        else:
+            from .. import geom as _geom
+
+            # arc-length interpolation along the true polyline, one
+            # vectorized interpolate_along per unique edge
+            sp_x = np.empty(len(ej))
+            sp_y = np.empty(len(ej))
+            dist = ts * self.length[ej]
+            for e in np.unique(ej):
+                m = ej == e
+                g = self.geoms[e]
+                if g is None:
+                    g = np.array([[self.ax[e], self.ay[e]],
+                                  [self.bx[e], self.by[e]]])
+                pts = _geom.interpolate_along(g, np.where(
+                    small[rep][m],
+                    _geom.linestring_lengths(g)[-1] / 2.0, dist[m]))
+                sp_x[m] = pts[:, 0]
+                sp_y[m] = pts[:, 1]
         idx = qi[rep]
         return pa.table(
             {
@@ -133,11 +216,17 @@ def streetview_sample_batch(batch: pa.Table, interval: float = 50.0) -> pa.Table
     (select_points_on_road_network, visibility.py:624-650:
     ``range(0, int(len), N)`` — start included, far end excluded).
     Exact dedup on geometry happens downstream via groupby."""
+    from .. import geom as _geom
+
     ax = batch.column("ax").to_numpy(zero_copy_only=False)
     ay = batch.column("ay").to_numpy(zero_copy_only=False)
     bx = batch.column("bx").to_numpy(zero_copy_only=False)
     by = batch.column("by").to_numpy(zero_copy_only=False)
     length = batch.column("length").to_numpy(zero_copy_only=False)
+    geoms = None
+    if "geom_x" in batch.column_names and "geom_y" in batch.column_names:
+        geoms = list(zip(batch.column("geom_x").to_pylist(),
+                         batch.column("geom_y").to_pylist()))
     out_x, out_y = [], []
     for j in range(len(ax)):
         # range(0, int(len), N): start included, far end excluded; an
@@ -145,9 +234,16 @@ def streetview_sample_batch(batch: pa.Table, interval: float = 50.0) -> pa.Table
         ds = np.arange(0, int(length[j]), int(interval), dtype=np.float64)
         if not len(ds):
             continue
-        t = ds / length[j]
-        out_x.append(ax[j] + (bx[j] - ax[j]) * t)
-        out_y.append(ay[j] + (by[j] - ay[j]) * t)
+        if geoms is not None and geoms[j][0] and len(geoms[j][0]) >= 2:
+            g = np.column_stack([np.asarray(geoms[j][0], np.float64),
+                                 np.asarray(geoms[j][1], np.float64)])
+            pts = _geom.interpolate_along(g, ds)
+            out_x.append(pts[:, 0])
+            out_y.append(pts[:, 1])
+        else:
+            t = ds / length[j]
+            out_x.append(ax[j] + (bx[j] - ax[j]) * t)
+            out_y.append(ay[j] + (by[j] - ay[j]) * t)
     px = np.concatenate(out_x) if out_x else np.empty(0)
     py = np.concatenate(out_y) if out_y else np.empty(0)
     return pa.table({"sp_x": pa.array(px), "sp_y": pa.array(py)})

@@ -619,3 +619,101 @@ class LandcoverLocal:
             else:
                 cols[name] = pa.array(pct)
         return pa.table(cols)
+
+
+class LineZonalLocal:
+    """Fused zonal stats where each row's AoI is a BUFFERED POLYLINE
+    (the reference's street-network flow: edges become PoI rows and
+    ``poi.geometry.buffer(buffer_dist)`` is a sausage polygon,
+    availability.py:52-61,134).  Pixel membership: center within
+    ``buffer_dist`` of any sub-segment (capsule union — exact).
+
+    Expects per-row polyline columns ``geom_x``/``geom_y``
+    (list<double>) or straight-segment ``ax/ay/bx/by``.  The per-edge
+    loop is Python, the pixel × segment distance math inside is fully
+    vectorized (bbox-clipped per tile) — the same shape as
+    :class:`PolygonZonalPartial`.
+    """
+
+    def __init__(self, tile_root: str, band: str, buffer_dist: float,
+                 key_col: str = "edge_id", clamp_min: float | None = 0.0,
+                 mean_name: str = "mean_NDVI", std_name: str = "std_NDVI",
+                 cache_tiles: int = 256):
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.d = float(buffer_dist)
+        self.key_col = key_col
+        self.clamp_min = clamp_min
+        self.mean_name = mean_name
+        self.std_name = std_name
+
+    def _edge_polyline(self, batch: pa.Table, i: int) -> np.ndarray:
+        if "geom_x" in batch.column_names:
+            gx = batch.column("geom_x")[i].as_py()
+            gy = batch.column("geom_y")[i].as_py()
+            if gx and len(gx) >= 2:
+                return np.column_stack([np.asarray(gx, np.float64),
+                                        np.asarray(gy, np.float64)])
+        return np.array([
+            [batch.column("ax")[i].as_py(), batch.column("ay")[i].as_py()],
+            [batch.column("bx")[i].as_py(), batch.column("by")[i].as_py()],
+        ])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        psum = np.zeros(n)
+        psumsq = np.zeros(n)
+        pcount = np.zeros(n, dtype=np.int64)
+        res = synth.RASTER_RES
+        ts = synth.TILE_SIZE
+        d = self.d
+        for i in range(n):
+            g = self._edge_polyline(batch, i)
+            sax, say = g[:-1, 0], g[:-1, 1]
+            sdx, sdy = np.diff(g[:, 0]), np.diff(g[:, 1])
+            len2 = sdx * sdx + sdy * sdy
+            bx0, by0 = g[:, 0].min() - d, g[:, 1].min() - d
+            bx1, by1 = g[:, 0].max() + d, g[:, 1].max() + d
+            for tx in range(int(np.floor(bx0 / ts)), int(np.floor(bx1 / ts)) + 1):
+                for ty in range(int(np.floor(by0 / ts)), int(np.floor(by1 / ts)) + 1):
+                    arr = self.store.get(self.band, tx, ty)
+                    if arr is None:
+                        continue
+                    h, w = arr.shape
+                    x0t, y0t = tx * ts, ty * ts
+                    c0 = max(int(np.floor((bx0 - x0t) / res)), 0)
+                    c1 = min(int(np.floor((bx1 - x0t) / res)), w - 1)
+                    r0 = max(int(np.floor((by0 - y0t) / res)), 0)
+                    r1 = min(int(np.floor((by1 - y0t) / res)), h - 1)
+                    if c1 < c0 or r1 < r0:
+                        continue
+                    px = x0t + (np.arange(c0, c1 + 1, dtype=np.float64) + 0.5) * res
+                    py = y0t + (np.arange(r0, r1 + 1, dtype=np.float64) + 0.5) * res
+                    gx, gy = np.meshgrid(px, py, indexing="xy")
+                    fx = gx.ravel()[:, None]
+                    fy = gy.ravel()[:, None]
+                    qx = fx - sax[None, :]
+                    qy = fy - say[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t = (qx * sdx[None, :] + qy * sdy[None, :]) / len2[None, :]
+                    t = np.where(len2[None, :] > 0, t, 0.0)
+                    t = np.minimum(np.maximum(t, 0.0), 1.0)
+                    d2 = (qx - t * sdx[None, :]) ** 2 + (qy - t * sdy[None, :]) ** 2
+                    mask = (d2 <= d * d).any(axis=1).reshape(gx.shape)
+                    if not mask.any():
+                        continue
+                    vals = arr[r0 : r1 + 1, c0 : c1 + 1][mask]
+                    if self.clamp_min is not None:
+                        vals = np.maximum(vals, self.clamp_min)
+                    psum[i] += vals.sum()
+                    psumsq[i] += (vals * vals).sum()
+                    pcount[i] += vals.size
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = psum / pcount
+            var = psumsq / pcount - mean * mean
+        std = np.sqrt(np.maximum(var, 0.0))
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            self.mean_name: pa.array(np.round(mean, 3)),
+            self.std_name: pa.array(np.round(std, 3)),
+        })

@@ -160,3 +160,65 @@ def test_streetview_shuffle_join_matches_broadcast(world):
     da = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
     db = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert da.equals(db), (len(da), len(db))
+
+
+def test_polyline_edge_sampling():
+    """Curved-edge support: sample points follow the true polyline
+    (visibility.py:581-586,633-641), not the node-to-node chord."""
+    import pyarrow as pa
+
+    from greenex_py_ray import geom
+    from greenex_py_ray.stages.visibility import (
+        SamplePointsViewshed,
+        streetview_sample_batch,
+    )
+
+    # L-shaped 3-vertex edge: (0,0)→(100,0)→(100,100), length 200
+    g = np.array([[0.0, 0.0], [100.0, 0.0], [100.0, 100.0]])
+    edges = pa.table({
+        "ax": pa.array([0.0]), "ay": pa.array([0.0]),
+        "bx": pa.array([100.0]), "by": pa.array([100.0]),
+        "length": pa.array([200.0]),
+        "geom_x": pa.array([g[:, 0].tolist()], pa.list_(pa.float64())),
+        "geom_y": pa.array([g[:, 1].tolist()], pa.list_(pa.float64())),
+    })
+    # streetview: ds = 0, 50, 100, 150 → (0,0),(50,0),(100,0),(100,50)
+    pts = streetview_sample_batch(edges, 50.0).to_pandas()
+    got = sorted(map(tuple, pts[["sp_x", "sp_y"]].to_numpy()))
+    assert got == [(0.0, 0.0), (50.0, 0.0), (100.0, 0.0), (100.0, 50.0)]
+
+    # viewshed sampling: PoI at the bend; chord midpoint (50,50) is
+    # 70.7 m from the corner, the polyline passes through it exactly
+    sp = SamplePointsViewshed(edges, buffer_dist=30.0, sample_dist=100.0,
+                              key_col="doc_id")
+    batch = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "x": pa.array([100.0]), "y": pa.array([0.0])})
+    out = sp(batch).to_pandas()
+    # n = int(200/100)+1 = 3 → arc distances 0, 100, 200
+    exp = geom.interpolate_along(g, np.array([0.0, 100.0, 200.0]))
+    assert len(out) == 3
+    assert np.allclose(np.sort(out["sp_x"].to_numpy()), np.sort(exp[:, 0]))
+    assert np.allclose(np.sort(out["sp_y"].to_numpy()), np.sort(exp[:, 1]))
+
+
+def test_polyline_candidate_pruning_uses_true_geometry():
+    """An edge whose polyline bends INTO the buffer must be sampled even
+    though its straight chord stays outside."""
+    import pyarrow as pa
+
+    from greenex_py_ray.stages.visibility import SamplePointsViewshed
+
+    # chord from (0,0) to (200,0); polyline detours through (100,90)
+    edges = pa.table({
+        "ax": pa.array([0.0]), "ay": pa.array([0.0]),
+        "bx": pa.array([200.0]), "by": pa.array([0.0]),
+        "length": pa.array([300.0]),
+        "geom_x": pa.array([[0.0, 100.0, 200.0]], pa.list_(pa.float64())),
+        "geom_y": pa.array([[0.0, 90.0, 0.0]], pa.list_(pa.float64())),
+    })
+    sp = SamplePointsViewshed(edges, buffer_dist=20.0, sample_dist=1000.0,
+                              key_col="doc_id")
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "x": pa.array([100.0]), "y": pa.array([100.0])})
+    out = sp(batch).to_pandas()
+    assert len(out) == 1  # short-edge midpoint rule (length < sample_dist)

@@ -100,3 +100,44 @@ def test_span_passthrough(world):
         assert len(a) == len(b)
         for sa, sb in zip(a, b):
             assert dict(sa) == dict(sb)
+
+
+def test_line_buffer_zonal_polyline_matches_grid(world):
+    """LineZonalLocal on a curved polyline vs brute-force capsule mask."""
+    import pyarrow as pa
+
+    from greenex_py_ray.stages.zonal import LineZonalLocal
+
+    g = np.array([[3000.0, 3000.0], [3400.0, 3100.0], [3500.0, 3600.0]])
+    batch = pa.table({
+        "edge_id": pa.array([5], pa.int64()),
+        "ax": pa.array([g[0, 0]]), "ay": pa.array([g[0, 1]]),
+        "bx": pa.array([g[-1, 0]]), "by": pa.array([g[-1, 1]]),
+        "geom_x": pa.array([g[:, 0].tolist()], pa.list_(pa.float64())),
+        "geom_y": pa.array([g[:, 1].tolist()], pa.list_(pa.float64())),
+    })
+    lz = LineZonalLocal(world["tiles"], "ndvi", buffer_dist=60.0,
+                        key_col="edge_id")
+    out = lz(batch).to_pandas()
+    # brute force: pixel centers within 60 m of any sub-segment
+    res = synth.RASTER_RES
+    d = 60.0
+    c0 = int(np.floor((g[:, 0].min() - d) / res))
+    c1 = int(np.floor((g[:, 0].max() + d) / res))
+    r0 = int(np.floor((g[:, 1].min() - d) / res))
+    r1 = int(np.floor((g[:, 1].max() + d) / res))
+    px = (np.arange(c0, c1 + 1) + 0.5) * res
+    py = (np.arange(r0, r1 + 1) + 0.5) * res
+    gx, gy = np.meshgrid(px, py, indexing="xy")
+    fx, fy = gx.ravel(), gy.ravel()
+    best = np.full(len(fx), np.inf)
+    for s in range(len(g) - 1):
+        dx, dy = g[s + 1, 0] - g[s, 0], g[s + 1, 1] - g[s, 1]
+        t = np.clip(((fx - g[s, 0]) * dx + (fy - g[s, 1]) * dy)
+                    / (dx * dx + dy * dy), 0, 1)
+        best = np.minimum(best, (fx - g[s, 0] - t * dx) ** 2
+                          + (fy - g[s, 1] - t * dy) ** 2)
+    mask = best <= d * d
+    vals = np.maximum(synth.field_ndvi(fx[mask], fy[mask]), 0.0)
+    assert out.loc[0, "mean_NDVI"] == round(vals.mean(), 3)
+    assert out.loc[0, "std_NDVI"] == round(vals.std(), 3)
