@@ -71,13 +71,14 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
                   network_edges_file: str | None = None,
                   travel_speed: float | None = None,
                   trip_time: float | None = None,
-                  concurrency: int | None = None) -> "ray.data.Dataset":
+                  concurrency: int | None = None,
+                  src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_mean_NDVI (availability.py:41-342)."""
     if buffer_type not in ("euclidean", "network"):
         raise TypeError("buffer_type must be 'euclidean' or 'network'")
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     if buffer_type == "euclidean":
         metrics = _av.mean_ndvi(pts, ndvi_tile_dir, dist, concurrency=concurrency)
     else:
@@ -91,11 +92,12 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
 def get_landcover_percentages(poi, landcover_tile_dir: str,
                               buffer_dist: float = 500.0,
                               stringify: bool = True,
-                              concurrency: int | None = None) -> "ray.data.Dataset":
+                              concurrency: int | None = None,
+                  src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_landcover_percentages (availability.py:344-597)."""
     _validate_positive("buffer_dist", buffer_dist)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     metrics = _av.landcover_percentages(
         pts, landcover_tile_dir, buffer_dist, stringify=stringify,
         concurrency=concurrency,
@@ -105,11 +107,12 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
 
 def get_canopy_percentage(poi, canopy_vector_file: str,
                           buffer_dist: float = 250.0, stringify: bool = True,
-                          concurrency: int | None = None) -> "ray.data.Dataset":
+                          concurrency: int | None = None,
+                  src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_canopy_percentage (availability.py:600-780)."""
     _validate_positive("buffer_dist", buffer_dist)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     metrics = _av.canopy_percentage(
         pts, pq.read_table(canopy_vector_file), buffer_dist,
         stringify=stringify, concurrency=concurrency,
@@ -122,11 +125,12 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
                               travel_speed: float | None = None,
                               trip_time: float | None = None,
                               stringify: bool = True,
-                              concurrency: int | None = None) -> "ray.data.Dataset":
+                              concurrency: int | None = None,
+                  src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_greenspace_percentage (availability.py:783-1010)."""
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     metrics = _av.greenspace_percentage(
         pts, pq.read_table(greenspace_vector_file), dist,
         stringify=stringify, concurrency=concurrency,
@@ -140,7 +144,8 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
                                      destination: str = "centroids",
                                      network_nodes_file: str | None = None,
                                      network_edges_file: str | None = None,
-                                     concurrency: int | None = None) -> "ray.data.Dataset":
+                                     concurrency: int | None = None,
+                  src_crs: str | None = None) -> "ray.data.Dataset":
     """accessibility.get_shortest_distance_greenspace
     (accessibility.py:24-223)."""
     if distance_type not in ("euclidean", "network"):
@@ -149,7 +154,7 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
         raise TypeError("destination must be 'centroids' or 'entrance'")
     _validate_positive("target_dist", target_dist)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     flag = f"greenspace_within_{int(target_dist)}m"
     gs = pq.read_table(greenspace_vector_file)
     if distance_type == "euclidean" and destination == "centroids":
@@ -180,14 +185,15 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
                      network_nodes_file: str, network_edges_file: str,
                      buffer_dist: float = 100.0, viewing_dist: float = 250.0,
                      sample_dist: float = 50.0, observer_height: float = 1.7,
-                     concurrency: int | None = None):
+                     concurrency: int | None = None,
+                  src_crs: str | None = None):
     """visibility.get_viewshed_GVI (visibility.py:50-293).  Returns
     (poi-with-metrics Dataset, per-sample-point Dataset)."""
     for n, v in [("buffer_dist", buffer_dist), ("viewing_dist", viewing_dist),
                  ("sample_dist", sample_dist), ("observer_height", observer_height)]:
         _validate_positive(n, v)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     edges = _vis.edge_coords_table(network_nodes_file, network_edges_file)
     rollup, per_point = _vis.viewshed_gvi(
         pts, edges, dsm_tile_dir, buffer_dist=buffer_dist,
@@ -199,7 +205,8 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
 
 def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
                        image_features_file: str, buffer_dist: float = 100.0,
-                       concurrency: int | None = None):
+                       concurrency: int | None = None,
+                  src_crs: str | None = None):
     """visibility.get_streetview_GVI (visibility.py:296-437) with the
     deterministic segmentation stub.  Returns (poi-with-metrics Dataset,
     per-point Dataset)."""
@@ -207,7 +214,7 @@ def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
     docs = _poi(poi)
     # Dataset PoI side: broadcast below streetview_gvi's size threshold,
     # cell-bucketed shuffle join above it (no driver materialization)
-    poi_ds = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    poi_ds = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     edges = _vis.edge_coords_table(network_nodes_file, network_edges_file)
     features = pq.read_table(image_features_file)
     rollup, per_point = _vis.streetview_gvi(

@@ -83,9 +83,23 @@ class DecodeGeom:
     """
 
     def __init__(self, cell_size: float = cells.DEFAULT_CELL_SIZE,
-                 parse_polygons: bool = False):
+                 parse_polygons: bool = False,
+                 src_crs: str | None = None, dst_crs: str = "EPSG:3395"):
+        """``src_crs`` set (e.g. "EPSG:4326") reprojects decoded (x, y)
+        into ``dst_crs`` — the reference's geographic→projected guard
+        (M2, accessibility.py:40-50; default target EPSG:3395 like
+        availability.py:66-70)."""
         self.cell_size = cell_size
         self.parse_polygons = parse_polygons
+        self.src_crs = src_crs
+        self.dst_crs = dst_crs
+
+    def _project(self, x, y):
+        if self.src_crs is None:
+            return x, y
+        from .. import geoproj
+
+        return geoproj.transform(x, y, self.src_crs, self.dst_crs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
@@ -93,6 +107,7 @@ class DecodeGeom:
             spans = spans.combine_chunks()
         if not self.parse_polygons:
             x, y = _first_geom_texts(spans)
+            x, y = self._project(x, y)
             cell = cells.cell_of(x, y, self.cell_size)
             return (
                 batch.append_column("x", pa.array(x, pa.float64()))
@@ -101,6 +116,23 @@ class DecodeGeom:
             )
         texts = _first_geom_span_texts(spans)
         x, y, kinds, rings = geom.parse_wkt_geoms(texts)
+        x, y = self._project(x, y)
+        if self.src_crs is not None:
+            # reference order: project geometries FIRST, then centroid
+            # (to_crs → .centroid) — so polygon centroids are recomputed
+            # from the projected rings
+            rings = [
+                [np.column_stack(self._project(r[:, 0], r[:, 1])) for r in rs]
+                if rs else rs
+                for rs in rings
+            ]
+            for i, rs in enumerate(rings):
+                if not rs:
+                    continue
+                if len(rs) == 1:
+                    x[i], y[i] = geom.polygon_centroid(rs[0])
+                else:
+                    _, x[i], y[i] = geom.overlay_moments([rs], "union")
         cell = cells.cell_of(x, y, self.cell_size)
         # ring_x/ring_y concatenate all rings of the geometry; ring_sizes
         # records each ring's vertex count so multi-ring geometries
@@ -142,8 +174,10 @@ def _first_geom_span_texts(spans: pa.ListArray) -> list[str]:
     return out
 
 
-def decode_geom(ds: "ray.data.Dataset", cell_size: float = cells.DEFAULT_CELL_SIZE):
-    return ds.map_batches(DecodeGeom(cell_size), batch_format="pyarrow", zero_copy_batch=True)
+def decode_geom(ds: "ray.data.Dataset", cell_size: float = cells.DEFAULT_CELL_SIZE,
+                src_crs: str | None = None, dst_crs: str = "EPSG:3395"):
+    return ds.map_batches(DecodeGeom(cell_size, src_crs=src_crs, dst_crs=dst_crs),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 def geometry_kinds(ds: "ray.data.Dataset") -> set[str]:
