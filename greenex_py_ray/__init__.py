@@ -17,12 +17,13 @@ Layout:
   functions/             — scalar helpers
 """
 
-from . import cells, geom  # noqa: F401
+from . import cells, geom, geoproj  # noqa: F401
 from .api import (  # noqa: F401
     get_canopy_percentage,
     get_greenspace_percentage,
     get_landcover_percentages,
     get_mean_NDVI,
+    get_mean_NDVI_streets,
     get_shortest_distance_greenspace,
     get_streetview_GVI,
     get_viewshed_GVI,
