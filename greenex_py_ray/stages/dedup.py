@@ -288,15 +288,14 @@ class SimHasher:
         texts = batch.column("text").to_pylist()
         out = np.zeros(len(texts), dtype=np.uint64)
         bitpos = np.arange(64, dtype=np.uint64)
+        weights = (np.uint64(1) << bitpos)
         for i, t in enumerate(texts):
             th = self._token_hashes(t)
             if not len(th):
                 continue
             bits = ((th[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
             score = bits.sum(axis=0) * 2 - len(th)
-            out[i] = np.uint64(
-                int("".join("1" if s > 0 else "0" for s in score[::-1]), 2)
-            )
+            out[i] = (weights[score > 0]).sum(dtype=np.uint64)
         return batch.append_column("simhash", pa.array(out.astype(np.int64)))
 
 
@@ -400,8 +399,10 @@ def bucket_dedup(ds: "ray.data.Dataset", subset: list[str],
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = np.zeros(len(batch), dtype=np.uint64)
         for col in subset:
+            # to_pandas keeps numeric columns as typed arrays (no python
+            # object round-trip); the hash only drives bucket placement
             vals = pd.util.hash_pandas_object(
-                pd.Series(batch.column(col).to_pylist()), index=False
+                batch.column(col).to_pandas(), index=False
             ).to_numpy()
             h = h * np.uint64(1099511628211) + vals
         return batch.append_column(

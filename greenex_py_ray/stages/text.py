@@ -39,13 +39,14 @@ STOPWORDS = {
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append ``n_tokens``: whitespace-token count, DuckDB-compatible
     (``array_length(string_split_regex(trim(text), '\\s+'))``; empty
-    string → 1, matching DuckDB's split of '' → [''])."""
-    texts = batch.column(text_col).to_pylist()
-    n = np.fromiter(
-        (len(_WS.split(t.strip())) if t is not None else 0 for t in texts),
-        dtype=np.int64, count=len(texts),
-    )
-    return batch.append_column("n_tokens", pa.array(n))
+    string → 1, matching DuckDB's split of '' → ['']).
+
+    Arrow-native: trim → regex split → list length, no Python loop."""
+    col = batch.column(text_col)
+    trimmed = pc.utf8_trim_whitespace(col)
+    n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    n = pc.fill_null(pc.cast(n, pa.int64()), 0)  # null text → 0
+    return batch.append_column("n_tokens", n)
 
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
