@@ -915,6 +915,40 @@ def q_dissolve(sf_dir: str):
     })
 
 
+def q_dissolve_distributed(sf_dir: str):
+    """Distributed dissolve (cell-pair shuffle + connected components +
+    per-blob union moments) over the world greenspace table — same rows
+    as q_dissolve's driver path (parity-tested in pytest)."""
+    from ..stages.dissolve import dissolve_dataset
+    import numpy as _np
+
+    w = _world_paths()
+    gs = pq.read_table(w["greenspace"])
+    rx, ry = [], []
+    for rlist in gs.column("rings").to_pylist():
+        rx.append([p["x"] for p in rlist[0]])
+        ry.append([p["y"] for p in rlist[0]])
+    polys = ray.data.from_arrow(pa.table({
+        "gs_id": gs.column("gs_id"),
+        "ring_x": pa.array(rx, pa.list_(pa.float64())),
+        "ring_y": pa.array(ry, pa.list_(pa.float64())),
+    }))
+    out = dissolve_dataset(polys, key_col="gs_id")
+    return out.map_batches(
+        lambda b: pa.table({
+            "rep_id": b.column("rep_id"),
+            "n_members": b.column("n_members"),
+            "area": pa.array(_np.round(
+                b.column("area").to_numpy(zero_copy_only=False), 6)),
+            "centroid_x": pa.array(_np.round(
+                b.column("centroid_x").to_numpy(zero_copy_only=False), 6)),
+            "centroid_y": pa.array(_np.round(
+                b.column("centroid_y").to_numpy(zero_copy_only=False), 6)),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate top-k (scale ANN path; recall vs brute
     force measured in tests)."""
@@ -967,5 +1001,6 @@ QUERIES = {
     "network_distance": q_network_distance,
     "isochrone_ndvi": q_isochrone_ndvi,
     "dissolve": q_dissolve,
+    "dissolve_distributed": q_dissolve_distributed,
     "ivf_topk": q_ivf_topk,
 }

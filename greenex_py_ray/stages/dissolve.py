@@ -177,3 +177,147 @@ def dissolve_convex(rings, ids: list[int] | None = None,
             flat_groups.append(grp)
     out["groups_rings"] = flat_groups
     return out
+
+
+def _polys_from_flat(rx, ry, sizes):
+    """Rebuild list-of-rings polys from flattened ring columns."""
+    out = []
+    for i in range(len(rx)):
+        ring = np.column_stack([np.asarray(rx[i], np.float64),
+                                np.asarray(ry[i], np.float64)])
+        sz = sizes[i] if sizes is not None else None
+        if sz and len(sz) > 1:
+            b = np.concatenate([[0], np.cumsum(sz)])
+            out.append([ring[b[j]:b[j + 1]] for j in range(len(sz))])
+        else:
+            out.append([ring])
+    return out
+
+
+def dissolve_dataset(
+    polys: "object",
+    cell_size: float = 1000.0,
+    key_col: str = "gs_id",
+    pair_driver_threshold: int = 5_000_000,
+) -> "object":
+    """DISTRIBUTED dissolve (D1 at side-table scale): the cross-cell
+    stitch version of :func:`dissolve_polygons`.
+
+    ``polys``: Dataset with (key_col:int64, ring_x:list<double>,
+    ring_y:list<double>[, ring_sizes:list<int32>]).  Shape:
+
+    1. bbox-cover each polygon to grid cells (flat map);
+    2. ``groupby(cell)`` → exact overlap pairs inside each cell
+       (convex fast path / overlay), deduped across shared cells;
+    3. :func:`~greenex_py_ray.stages.dedup.connected_components` over
+       the pair table (driver union-find below the threshold, the
+       distributed min-label/pointer-doubling loop above);
+    4. labels attached back via a bucketed join; ``groupby(component)``
+       computes each blob's union area + centroid.
+
+    Returns (rep_id, n_members, area, centroid_x, centroid_y) — the
+    same rows as the driver-side path (validated in tests).
+    """
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Min as _Min
+
+    from .. import cells
+    from ..functions.joins import bucket_join_attach
+    from .dedup import bucket_dedup, connected_components
+
+    has_sizes = "ring_sizes" in polys.schema().names
+
+    def cover(batch: pa.Table) -> pa.Table:
+        rx = batch.column("ring_x").to_pylist()
+        ry = batch.column("ring_y").to_pylist()
+        sizes = batch.column("ring_sizes").to_pylist() if has_sizes else None
+        out_idx, out_cell = [], []
+        for i in range(len(rx)):
+            xs = np.asarray(rx[i])
+            ys = np.asarray(ry[i])
+            ix0 = int(np.floor(xs.min() / cell_size))
+            ix1 = int(np.floor(xs.max() / cell_size))
+            iy0 = int(np.floor(ys.min() / cell_size))
+            iy1 = int(np.floor(ys.max() / cell_size))
+            for bx in range(ix0, ix1 + 1):
+                for by in range(iy0, iy1 + 1):
+                    out_idx.append(i)
+                    out_cell.append(bx * cells.CELL_STRIDE + by)
+        idx = pa.array(np.asarray(out_idx, dtype=np.int64))
+        cols = {
+            key_col: batch.column(key_col).take(idx),
+            "ring_x": batch.column("ring_x").take(idx),
+            "ring_y": batch.column("ring_y").take(idx),
+            "cell": pa.array(np.asarray(out_cell, dtype=np.int64)),
+        }
+        if has_sizes:
+            cols["ring_sizes"] = batch.column("ring_sizes").take(idx)
+        return pa.table(cols)
+
+    covered = polys.map_batches(cover, batch_format="pyarrow")
+
+    def pairs_in_cell(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        ps = _polys_from_flat(
+            tbl.column("ring_x").to_pylist(), tbl.column("ring_y").to_pylist(),
+            tbl.column("ring_sizes").to_pylist() if has_sizes else None,
+        )
+        ka, kb = [], []
+        for a in range(len(ps)):
+            for b in range(a + 1, len(ps)):
+                if _polys_overlap(ps[a], ps[b]):
+                    lo, hi = sorted((int(keys[a]), int(keys[b])))
+                    ka.append(lo)
+                    kb.append(hi)
+        return pa.table({"key_a": pa.array(ka, pa.int64()),
+                         "key_b": pa.array(kb, pa.int64())})
+
+    pairs = covered.groupby("cell").map_groups(pairs_in_cell,
+                                               batch_format="pyarrow")
+    pairs = bucket_dedup(pairs, subset=["key_a", "key_b"]).materialize()
+    comp = connected_components(pairs, driver_threshold=pair_driver_threshold)
+    # singleton polygons never appear in the pair table: union their
+    # identity labels in and take the min per key
+    own = polys.map_batches(
+        lambda b: pa.table({"key": b.column(key_col),
+                            "component": b.column(key_col)}),
+        batch_format="pyarrow",
+    )
+    labels = own.union(comp).groupby("key").aggregate(
+        _Min("component", alias_name="component"))
+    labels = labels.map_batches(
+        lambda b: pa.table({key_col: b.column("key"),
+                            "component": b.column("component")}),
+        batch_format="pyarrow",
+    )
+    labeled = bucket_join_attach(polys, labels, key=key_col)
+
+    def blob(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        ps = _polys_from_flat(
+            tbl.column("ring_x").to_pylist(), tbl.column("ring_y").to_pylist(),
+            tbl.column("ring_sizes").to_pylist() if has_sizes else None,
+        )
+        order = np.argsort(keys, kind="stable")
+        grp = [ps[i] for i in order]
+        all_convex_single = all(
+            len(p) == 1 and geom.is_convex(p[0]) for p in grp)
+        if all_convex_single:
+            area, mx, my = _union_moments_convex([p[0] for p in grp])
+            cx = mx / area if area > 0 else float(
+                np.mean([p[0][:, 0].mean() for p in grp]))
+            cy = my / area if area > 0 else float(
+                np.mean([p[0][:, 1].mean() for p in grp]))
+        else:
+            area, cx, cy = geom.overlay_moments(grp, "union")
+        return pa.table({
+            "rep_id": pa.array([int(keys.min())], pa.int64()),
+            "n_members": pa.array([len(keys)], pa.int64()),
+            "area": pa.array([area]),
+            "centroid_x": pa.array([cx]),
+            "centroid_y": pa.array([cy]),
+        })
+
+    return labeled.groupby("component").map_groups(blob, batch_format="pyarrow")

@@ -364,3 +364,38 @@ def test_polygon_coverage_concave_matches_grid():
     # and the exact overlay agrees with itself via clip_area_general
     exact = geom.clip_area_general(ring, aoi) / geom.polygon_area(aoi) * 100.0
     assert abs(got - round(exact, 2)) < 1e-9
+
+
+def test_dissolve_distributed_matches_driver(world):
+    """dissolve_dataset (cell shuffle + distributed components + blob
+    groupby) must reproduce the driver-side dissolve exactly."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from greenex_py_ray.stages.dissolve import dissolve_dataset, dissolve_polygons
+
+    gs = pq_.read_table(world["greenspace"])
+    rings = [np.array([[p["x"], p["y"]] for p in r[0]])
+             for r in gs.column("rings").to_pylist()]
+    ids = gs.column("gs_id").to_pylist()
+    drv = dissolve_polygons(rings, ids=ids)
+    polys = rd.from_arrow(pa_.table({
+        "gs_id": gs.column("gs_id"),
+        "ring_x": pa_.array([r[:, 0].tolist() for r in rings],
+                            pa_.list_(pa_.float64())),
+        "ring_y": pa_.array([r[:, 1].tolist() for r in rings],
+                            pa_.list_(pa_.float64())),
+    }))
+    dist = dissolve_dataset(polys, key_col="gs_id").to_pandas() \
+        .sort_values("rep_id").reset_index(drop=True)
+    assert dist["rep_id"].tolist() == sorted(drv["rep_id"])
+    drv_by_rep = {r: (len(m), a, cx, cy) for r, m, a, cx, cy in zip(
+        drv["rep_id"], drv["member_ids"], drv["area"],
+        drv["centroid_x"], drv["centroid_y"])}
+    for _, row in dist.iterrows():
+        n, a, cx, cy = drv_by_rep[row["rep_id"]]
+        assert row["n_members"] == n
+        assert abs(row["area"] - a) < 1e-6
+        assert abs(row["centroid_x"] - cx) < 1e-6
+        assert abs(row["centroid_y"] - cy) < 1e-6
