@@ -65,6 +65,8 @@ def bucket_join_attach(
     right: "ray.data.Dataset",
     key: str = "doc_id",
     num_buckets: int | None = None,
+    left_fields: "list[pa.Field] | None" = None,
+    right_fields: "list[pa.Field] | None" = None,
 ) -> "ray.data.Dataset":
     """Inner join attaching ``right``'s non-key columns to ``left``,
     supporting nested left payloads.  Requires unique keys on the right
@@ -73,19 +75,35 @@ def bucket_join_attach(
         # scale bucket count with the left payload (each bucket becomes
         # ONE in-memory pa.Table inside map_groups, so a fixed cap would
         # bound parallelism and grow per-bucket memory with data size);
-        # floor at 2×cluster-width so small inputs still parallelize
+        # floor at 2×cluster-width so small inputs still parallelize.
+        # size_bytes() EXECUTES a lazy lineage (measured ~1 s extra per
+        # join at bench scale), so the estimate is read only from inputs
+        # that already know their size: materialized datasets and
+        # metadata-backed reads.
         est = 0
         try:
-            est = left.size_bytes() or 0
+            from ray.data.dataset import MaterializedDataset
+
+            if isinstance(left, MaterializedDataset):
+                est = left.size_bytes() or 0
         except Exception:
-            pass
+            est = 0
         by_bytes = est // (128 << 20)  # ~128 MB of payload per bucket
         num_buckets = int(min(4096, max(default_join_partitions(None) * 2,
                                         by_bytes)))
-    lschema = left.schema()
-    rschema = right.schema()
-    lfields = [pa.field(n, t) for n, t in zip(lschema.names, lschema.types)]
-    rfields = [pa.field(n, t) for n, t in zip(rschema.names, rschema.types) if n != key]
+    # .schema() on a LAZY side executes part of its pipeline just for
+    # the probe (measured ~2 s on the flagship); callers that know their
+    # schemas pass them explicitly to skip it
+    if left_fields is None:
+        lschema = left.schema()
+        left_fields = [pa.field(n, t)
+                       for n, t in zip(lschema.names, lschema.types)]
+    if right_fields is None:
+        rschema = right.schema()
+        right_fields = [pa.field(n, t)
+                        for n, t in zip(rschema.names, rschema.types)]
+    lfields = list(left_fields)
+    rfields = [f for f in right_fields if f.name != key]
     lnames = [f.name for f in lfields if f.name != key]
     rnames = [f.name for f in rfields]
     dup = set(lnames) & set(rnames)

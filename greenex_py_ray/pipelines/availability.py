@@ -14,6 +14,8 @@ the metrics back so the output keeps the untouched ``spans`` column
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -33,7 +35,7 @@ def mean_ndvi(
     radius: float,
     key_col: str = "doc_id",
     concurrency: int | None = None,
-    batch_size: int = 8192,
+    batch_size: int = 2048,
     locality_sort: bool = False,
 ) -> "ray.data.Dataset":
     """poi(key,x,y) → (key, mean_NDVI, std_NDVI); semantics of
@@ -140,8 +142,14 @@ def get_mean_ndvi_documents(
     poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
     metrics = mean_ndvi(poi, tile_root, buffer_dist, key_col="doc_id",
                         concurrency=as_pool(concurrency))
-    return bucket_join_attach(docs, metrics, key="doc_id",
-                              num_buckets=num_join_partitions)
+    # metrics schema passed explicitly: .schema() on the lazy zonal
+    # pipeline would execute a probe slice of it
+    return bucket_join_attach(
+        docs, metrics, key="doc_id", num_buckets=num_join_partitions,
+        right_fields=[pa.field("doc_id", pa.string()),
+                      pa.field("mean_NDVI", pa.float64()),
+                      pa.field("std_NDVI", pa.float64())],
+    )
 
 
 def get_landcover_percentages_documents(
@@ -154,8 +162,13 @@ def get_landcover_percentages_documents(
         poi, tile_root, buffer_dist, key_col="doc_id", concurrency=as_pool(concurrency),
         stringify=stringify,
     )
-    return bucket_join_attach(docs, metrics, key="doc_id",
-                              num_buckets=num_join_partitions)
+    pct_t = pa.string() if stringify else pa.float64()
+    names = [DEFAULT_CLASSMAP[c] for c in sorted(DEFAULT_CLASSMAP)]
+    return bucket_join_attach(
+        docs, metrics, key="doc_id", num_buckets=num_join_partitions,
+        right_fields=[pa.field("doc_id", pa.string())]
+        + [pa.field(n, pct_t) for n in names],
+    )
 
 
 def canopy_percentage(
