@@ -179,19 +179,49 @@ def minhash_lsh_candidates(
         lambda b: lsh_band_batch(b, num_perm, bands, key_col), batch_format="pyarrow"
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = np.sort(g[key_col].to_numpy())
-        if len(ks) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        if len(ks) > max_bucket:
-            return pd.DataFrame({"key_a": np.full(len(ks) - 1, ks[0]),
-                                 "key_b": ks[1:]})
-        ia, ib = np.triu_indices(len(ks), k=1)
-        return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib]})
+    # LSH buckets are NEAR-UNIQUE keys: groupby((band_id, band_hash))
+    # would pay one pandas group call per bucket (hundreds of thousands).
+    # Instead co-locate buckets under ~coarse hash groups and resolve
+    # the real bucket boundaries vectorized inside each group.
+    num_coarse = 64
 
-    cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
+    def add_coarse(b: pa.Table) -> pa.Table:
+        h = (b.column("band_hash").to_numpy(zero_copy_only=False)
+             .astype(np.uint64) * np.uint64(31)
+             + b.column("band_id").to_numpy(zero_copy_only=False)
+             .astype(np.uint64))
+        return b.append_column(
+            "coarse", pa.array((h % np.uint64(num_coarse)).astype(np.int64)))
+
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ks = g[key_col].to_numpy()
+        order = np.lexsort((ks, bh, bid))
+        bid, bh, ks = bid[order], bh[order], ks[order]
+        new = np.flatnonzero((np.diff(bid) != 0) | (np.diff(bh) != 0)) + 1
+        starts = np.concatenate(([0], new))
+        ends = np.concatenate((new, [len(ks)]))
+        sizes = ends - starts
+        out_a, out_b = [], []
+        for s, e, n in zip(starts[sizes > 1], ends[sizes > 1],
+                           sizes[sizes > 1]):
+            grp = ks[s:e]
+            if n > max_bucket:
+                out_a.append(np.full(n - 1, grp[0]))
+                out_b.append(grp[1:])
+            else:
+                ia, ib = np.triu_indices(n, k=1)
+                out_a.append(grp[ia])
+                out_b.append(grp[ib])
+        if not out_a:
+            return pd.DataFrame({"key_a": pd.Series([], dtype=ks.dtype),
+                                 "key_b": pd.Series([], dtype=ks.dtype)})
+        return pd.DataFrame({"key_a": np.concatenate(out_a),
+                             "key_b": np.concatenate(out_b)})
+
+    cand = bands_ds.map_batches(add_coarse, batch_format="pyarrow") \
+        .groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas")
     # dedup pairs surfaced by multiple bands (bucketed, not per-pair groups)
     return bucket_dedup(cand, subset=["key_a", "key_b"])
 
