@@ -383,8 +383,13 @@ class EmbeddingLSH:
 
 
 def cosine_pairs_in_group(g: pd.DataFrame, threshold: float, key_col: str,
-                          vec_col: str = "embedding") -> pd.DataFrame:
-    """Exact in-bucket cosine; emit pairs ≥ threshold (key_a < key_b)."""
+                          vec_col: str = "embedding",
+                          block: int = 2048) -> pd.DataFrame:
+    """Exact in-bucket cosine; emit pairs ≥ threshold (key_a < key_b).
+
+    The similarity matrix is computed in ``block × n`` tiles so a hot
+    LSH bucket (near-identical embeddings collapsing into one bucket)
+    costs O(block·n) memory instead of O(n²)."""
     empty = pd.DataFrame(
         {"key_a": pd.Series([], dtype=np.int64),
          "key_b": pd.Series([], dtype=np.int64),
@@ -398,15 +403,24 @@ def cosine_pairs_in_group(g: pd.DataFrame, threshold: float, key_col: str,
     norms = np.linalg.norm(V, axis=1)
     norms[norms == 0] = 1.0
     Vn = V / norms[:, None]
-    sim = Vn @ Vn.T
-    ia, ib = np.triu_indices(len(keys), k=1)
-    keep = sim[ia, ib] >= threshold
-    if not keep.any():
+    n = len(keys)
+    out_a, out_b, out_c = [], [], []
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        sim = Vn[s:e] @ Vn.T  # (block, n)
+        bi, j = np.nonzero(sim >= threshold)
+        i = bi + s
+        keep = i < j  # upper triangle only
+        if keep.any():
+            out_a.append(keys[i[keep]])
+            out_b.append(keys[j[keep]])
+            out_c.append(sim[bi[keep], j[keep]])
+    if not out_a:
         return empty
     return pd.DataFrame(
-        {"key_a": keys[ia[keep]].astype(np.int64),
-         "key_b": keys[ib[keep]].astype(np.int64),
-         "cosine": sim[ia, ib][keep].astype(np.float64)}
+        {"key_a": np.concatenate(out_a).astype(np.int64),
+         "key_b": np.concatenate(out_b).astype(np.int64),
+         "cosine": np.concatenate(out_c).astype(np.float64)}
     )
 
 
