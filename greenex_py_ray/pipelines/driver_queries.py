@@ -381,15 +381,29 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            pq_qty=("l_quantity", "sum"), pq_rev=("revenue", "sum"),
-            pq_n=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow/numpy partial: factorize the 2-column group key, then
+        # np.add.at segment sums — no pandas round-trip
+        rf = batch.column("l_returnflag").to_pylist()
+        ls = batch.column("l_linestatus").to_pylist()
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        rev = (batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+               * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False)))
+        keys = np.array([a + "\x00" + b for a, b in zip(rf, ls)])
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sq = np.zeros(len(uniq))
+        sr = np.zeros(len(uniq))
+        cn = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sq, inv, qty)
+        np.add.at(sr, inv, rev)
+        np.add.at(cn, inv, 1)
+        parts = [u.split("\x00") for u in uniq]
+        return pa.table({
+            "l_returnflag": pa.array([p[0] for p in parts]),
+            "l_linestatus": pa.array([p[1] for p in parts]),
+            "pq_qty": pa.array(sq),
+            "pq_rev": pa.array(sr),
+            "pq_n": pa.array(cn),
+        })
 
     p = ds.map_batches(partial, batch_format="pyarrow")
     agg = p.groupby(["l_returnflag", "l_linestatus"]).aggregate(
