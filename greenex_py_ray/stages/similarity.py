@@ -37,7 +37,8 @@ class BruteForceTopK:
     """
 
     def __init__(self, queries_ref, k: int, dim: int, key_col: str = "vec_id",
-                 vec_col: str = "embedding"):
+                 vec_col: str = "embedding", probe_cells=None,
+                 cell_col: str = "ivf_cell"):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids = q["query_id"]
         Q = np.asarray(q["vectors"], dtype=np.float64)
@@ -48,6 +49,12 @@ class BruteForceTopK:
         self.dim = dim
         self.key_col = key_col
         self.vec_col = vec_col
+        # IVF mode: (nq, nprobe) per-query probed cell ids — each query
+        # is scored ONLY against rows in its own probe cells, not the
+        # union across queries (the round-1 over-scan)
+        self.probe_cells = (np.asarray(probe_cells, dtype=np.int64)
+                            if probe_cells is not None else None)
+        self.cell_col = cell_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         V = _to_matrix(batch.column(self.vec_col), self.dim)
@@ -55,11 +62,17 @@ class BruteForceTopK:
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
         sim = (V / norms[:, None]) @ self.Qn.T  # (batch, nq)
+        if self.probe_cells is not None:
+            cells = batch.column(self.cell_col).to_numpy(zero_copy_only=False)
+            allowed = (cells[:, None, None]
+                       == self.probe_cells[None, :, :]).any(axis=2)
+            sim = np.where(allowed, sim, -np.inf)
         k = min(self.k, len(keys))
         out_q, out_key, out_score = [], [], []
         for j, qid in enumerate(self.qids):
             s = sim[:, j]
             top = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+            top = top[np.isfinite(s[top])]
             out_q.append(np.full(len(top), qid, dtype=np.int64))
             out_key.append(keys[top])
             out_score.append(s[top])
@@ -74,7 +87,7 @@ class BruteForceTopK:
 
 def brute_force_topk(
     ds: "ray.data.Dataset", queries: dict, k: int, dim: int,
-    key_col: str = "vec_id", concurrency: int = 4,
+    key_col: str = "vec_id", concurrency: int = 4, probe_cells=None,
 ) -> "ray.data.Dataset":
     """Global top-k per query: broadcast queries, per-batch local top-k,
     then a tiny per-query reduce (the candidate set is ≤ k·num_batches
@@ -82,7 +95,8 @@ def brute_force_topk(
     ref = ray.put(queries)
     cand = ds.map_batches(
         BruteForceTopK,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, dim=dim, key_col=key_col),
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, dim=dim,
+                                   key_col=key_col, probe_cells=probe_cells),
         batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
 
@@ -155,7 +169,8 @@ def ivf_topk(
         "query_id": queries["query_id"],
         "vectors": queries["vectors"],
     }
-    return brute_force_topk(pruned, per_query, k, dim, key_col, concurrency)
+    return brute_force_topk(pruned, per_query, k, dim, key_col, concurrency,
+                            probe_cells=probe_cells)
 
 
 class CosinePairsExact:
