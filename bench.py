@@ -125,8 +125,24 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = one(lo)
-    r_hi = one(hi)
+    # the sandbox box shows ±20-30 % run-to-run drift (shared host /
+    # thermal throttling): interleave the legs and keep the per-leg,
+    # per-query MINIMUM across repeats — the least-noise estimate of
+    # each leg's true cost
+    repeats = int(os.environ.get("GREENEX_SCALING_REPEATS", "2"))
+    runs_lo = []
+    runs_hi = []
+    for _ in range(repeats):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+
+    def best(runs):
+        qnames = runs[0]["queries"]
+        q = {k: min(r["queries"][k] for r in runs) for k in qnames}
+        return {"queries": q, "value": round(sum(q.values()), 3)}
+
+    r_lo = best(runs_lo)
+    r_hi = best(runs_hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     per_query = {
         q: round((r_lo["queries"][q] / r_hi["queries"][q]) / (hi / lo), 3)
@@ -135,8 +151,11 @@ def run_scaling() -> dict:
     return {
         "metric": "scaling_efficiency",
         "cpus": [lo, hi],
+        "repeats": repeats,
         "sec": [r_lo["value"], r_hi["value"]],
         "queries_sec": {"lo": r_lo["queries"], "hi": r_hi["queries"]},
+        "all_runs_sec": {"lo": [r["value"] for r in runs_lo],
+                         "hi": [r["value"] for r in runs_hi]},
         "scaling_efficiency": round(eff, 3),
         "per_query_efficiency": per_query,
         "sf": SF_DIR,

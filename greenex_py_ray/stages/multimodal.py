@@ -137,3 +137,139 @@ class ImageFeatures:
             pa.array(feats.reshape(-1)), feats.shape[1]
         )
         return batch.drop_columns(["image"]).append_column("features", col)
+
+
+class ResizeImage:
+    """Actor stage: decoded (H, W, 3) images → (h2, w2, 3) via
+    nearest-neighbor index sampling — REAL vectorized math (no codec
+    involved), batched over the whole fixed-size-list column at once."""
+
+    def __init__(self, src_h: int, src_w: int, dst_h: int, dst_w: int):
+        self.sh, self.sw = src_h, src_w
+        self.dh, self.dw = dst_h, dst_w
+        # precomputed source index grids (once per actor)
+        self.ri = np.minimum((np.arange(dst_h) + 0.5) * src_h / dst_h,
+                             src_h - 1).astype(np.int64)
+        self.ci = np.minimum((np.arange(dst_w) + 0.5) * src_w / dst_w,
+                             src_w - 1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("image")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        imgs = flat.reshape(-1, self.sh, self.sw, 3)
+        small = imgs[:, self.ri[:, None], self.ci[None, :], :]
+        out_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(small.reshape(-1), pa.uint8()), self.dh * self.dw * 3
+        )
+        out = batch.drop_columns(["image"]).append_column("image", out_col)
+        ih = batch.column_names.index("img_h") if "img_h" in batch.column_names else None
+        if ih is not None:
+            out = out.drop_columns(["img_h", "img_w"])
+        out = out.append_column("img_h", pa.array([self.dh] * len(batch), pa.int32()))
+        out = out.append_column("img_w", pa.array([self.dw] * len(batch), pa.int32()))
+        return out
+
+
+class SampleVideoFrames:
+    """Actor stage: video payload → ``n_frames`` evenly-strided frames.
+
+    STUB at the codec boundary (no video decoder in this container;
+    ``strict=True`` raises ``NotImplementedError``): the fake container
+    derives a deterministic frame count and per-frame images from the
+    payload hash.  The Ray-side plumbing — one output ROW PER SAMPLED
+    FRAME (doc_id, frame_idx, image), small batches for large payloads —
+    is the real large-scale video-pipeline layout."""
+
+    def __init__(self, n_frames: int = 4, height: int = 48, width: int = 64,
+                 strict: bool = False):
+        self.n = n_frames
+        self.h = height
+        self.w = width
+        self.strict = strict
+
+    def _container_frames(self, payload: bytes) -> int:
+        if self.strict:
+            raise NotImplementedError(
+                "video codec not available in this environment; plug a real "
+                "demuxer (pyav/ffmpeg) here on a full cluster"
+            )
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        return 8 + seed % 120  # fake stream length
+
+    def _frame(self, payload: bytes, idx: int) -> np.ndarray:
+        seed = int.from_bytes(
+            hashlib.blake2b(payload + idx.to_bytes(4, "big"),
+                            digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (self.h, self.w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        keys = batch.column("doc_id")
+        out_idx, out_frame, out_imgs = [], [], []
+        for i, p in enumerate(payloads):
+            p = p or b""
+            total = self._container_frames(p)
+            # evenly strided sample positions (floor spacing, start at 0)
+            pos = (np.arange(self.n) * total) // self.n
+            for fp in pos:
+                out_idx.append(i)
+                out_frame.append(int(fp))
+                out_imgs.append(self._frame(p, int(fp)))
+        flat = np.stack(out_imgs).reshape(len(out_imgs), -1) if out_imgs else \
+            np.zeros((0, self.h * self.w * 3), np.uint8)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.reshape(-1), pa.uint8()), self.h * self.w * 3
+        )
+        idx = pa.array(np.asarray(out_idx, dtype=np.int64))
+        return pa.table({
+            "doc_id": keys.take(idx),
+            "frame_idx": pa.array(np.asarray(out_frame, dtype=np.int32)),
+            "image": col,
+            "img_h": pa.array([self.h] * len(out_imgs), pa.int32()),
+            "img_w": pa.array([self.w] * len(out_imgs), pa.int32()),
+        })
+
+
+class AudioFeatures:
+    """Actor stage: audio payload → (rms, zero-crossing rate, band
+    energies) features.  STUB decode (deterministic waveform from the
+    payload hash; ``strict=True`` raises at the codec boundary) — the
+    feature math itself is real vectorized DSP."""
+
+    def __init__(self, n_samples: int = 4096, n_bands: int = 8,
+                 strict: bool = False):
+        self.n = n_samples
+        self.bands = n_bands
+        self.strict = strict
+
+    def _waveform(self, payload: bytes) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "audio codec not available in this environment; plug a real "
+                "decoder (soundfile/librosa) here on a full cluster"
+            )
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(self.n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        W = np.stack([self._waveform(p or b"") for p in payloads]) if len(payloads) \
+            else np.zeros((0, self.n))
+        rms = np.sqrt((W * W).mean(axis=1)) if len(W) else np.zeros(0)
+        zcr = (np.abs(np.diff(np.signbit(W), axis=1)).sum(axis=1) / self.n
+               if len(W) else np.zeros(0))
+        spec = np.abs(np.fft.rfft(W, axis=1)) ** 2 if len(W) else np.zeros((0, 1))
+        edges = np.linspace(0, spec.shape[1], self.bands + 1, dtype=np.int64)
+        bands = np.stack([
+            spec[:, edges[b]:max(edges[b + 1], edges[b] + 1)].mean(axis=1)
+            for b in range(self.bands)
+        ], axis=1) if len(W) else np.zeros((0, self.bands))
+        feats = np.concatenate([rms[:, None], zcr[:, None], bands], axis=1)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1)), feats.shape[1]
+        )
+        return batch.drop_columns(["payload"]).append_column("audio_features", col)

@@ -227,3 +227,43 @@ def test_near_dedup_bucketed_text_path():
     out = dedup.near_dedup(rd.from_arrow(tbl), threshold=0.6,
                            concurrency=2, driver_threshold=0).to_pandas()
     assert set(out["doc_id"]) == {0, 2, 4}
+
+
+def test_multimodal_resize_frames_audio():
+    """Resize (real math), video frame sampling and audio features
+    (stubbed codecs, real plumbing)."""
+    from greenex_py_ray.stages import multimodal as mm
+
+    payloads = [b"vid-1", b"vid-2", b"vid-3"]
+    tbl = pa.table({"doc_id": pa.array(["a", "b", "c"]),
+                    "payload": pa.array(payloads, pa.binary())})
+    # frame sampling: 3 docs × 4 frames, strided positions, stable
+    sv = mm.SampleVideoFrames(n_frames=4, height=16, width=24)
+    frames = sv(tbl)
+    assert len(frames) == 12
+    assert frames.column("frame_idx").to_pylist()[:4] == sorted(
+        frames.column("frame_idx").to_pylist()[:4])
+    again = sv(tbl)
+    assert frames.column("image").to_pylist() == again.column("image").to_pylist()
+    # resize: nearest-neighbor identity when dims match; half-size picks
+    # the precomputed source indices
+    rz = mm.ResizeImage(16, 24, 8, 12)
+    small = rz(frames)
+    assert small.column("img_h").to_pylist()[0] == 8
+    img0 = np.asarray(frames.column("image").to_pylist()[0],
+                      np.uint8).reshape(16, 24, 3)
+    small0 = np.asarray(small.column("image").to_pylist()[0],
+                        np.uint8).reshape(8, 12, 3)
+    assert np.array_equal(small0, img0[rz.ri[:, None], rz.ci[None, :], :])
+    # audio features deterministic + sane
+    af = mm.AudioFeatures(n_samples=1024, n_bands=4)
+    feats = af(tbl).column("audio_features").to_pylist()
+    assert len(feats) == 3 and len(feats[0]) == 6
+    assert feats == af(tbl).column("audio_features").to_pylist()
+    # codec boundary raises in strict mode
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.SampleVideoFrames(strict=True)(tbl)
+    with _pytest.raises(NotImplementedError):
+        mm.AudioFeatures(strict=True)(tbl)
