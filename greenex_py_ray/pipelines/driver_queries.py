@@ -637,6 +637,57 @@ ORACLE_SQL: dict[str, str] = {
                  AS rect_cover
         FROM ov GROUP BY doc_id
     """,
+    "simhash": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE trim(text) <> ''
+        ),
+        h AS (
+          SELECT doc_id, list_reduce(
+            list_prepend(1469598103934665603::HUGEINT,
+              list_transform(regexp_extract_all(tok, '.'),
+                             c -> ascii(c)::HUGEINT)),
+            (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS th
+          FROM toks
+        ),
+        bits AS (
+          SELECT doc_id, b.i AS bit,
+                 sum(CASE WHEN (th // (1::HUGEINT << CAST(b.i AS INTEGER))) % 2 = 1
+                     THEN 1 ELSE -1 END) AS score
+          FROM h CROSS JOIN range(0, 64) b(i)
+          GROUP BY doc_id, b.i
+        ),
+        sv AS (
+          SELECT doc_id,
+                 sum(CASE WHEN score > 0
+                     THEN (1::HUGEINT << CAST(bit AS INTEGER))
+                     ELSE 0::HUGEINT END) AS v
+          FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN coalesce(sv.v, 0::HUGEINT)
+                              >= 9223372036854775808::HUGEINT
+                    THEN coalesce(sv.v, 0::HUGEINT)
+                         - 18446744073709551616::HUGEINT
+                    ELSE coalesce(sv.v, 0::HUGEINT) END AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN sv ON sv.doc_id = d.doc_id
+    """,
+    "fingerprint": """
+        SELECT doc_id,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN h - 18446744073709551616::HUGEINT
+                    ELSE h END AS BIGINT) AS fingerprint
+        FROM (
+          -- rolling 64-bit Horner hash h = h*B + byte (mod 2^64) in
+          -- HUGEINT, seeded with the FNV offset like the engine; driver
+          -- texts are ASCII so ascii(char) == utf8 byte
+          SELECT doc_id, list_reduce(
+            list_prepend(1469598103934665603::HUGEINT,
+              list_transform(regexp_extract_all(text, '.'),
+                             c -> ascii(c)::HUGEINT)),
+            (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT) AS h
+          FROM documents)
+    """,
     "line_buffer_ndvi": f"""
         WITH edges AS (
           SELECT s_suppkey AS edge_id,

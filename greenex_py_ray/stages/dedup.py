@@ -295,24 +295,24 @@ class JaccardVerifier:
 
 class SimHasher:
     """Actor stage: 64-bit SimHash over word tokens (weight = term freq).
-    Appends ``simhash`` int64."""
+    Appends ``simhash`` int64.
+
+    The per-token hash is the same seeded 64-bit polynomial rolling hash
+    as :func:`~greenex_py_ray.stages.text.fingerprint64` — chosen so the
+    whole operator is reproducible in ANSI SQL (the DuckDB oracle votes
+    the 64 bit positions over identical token hashes)."""
 
     def __init__(self, seed: int = 11):
         self.seed = seed
 
     @staticmethod
     def _token_hashes(text: str) -> np.ndarray:
+        from .text import fingerprint64
+
         toks = (text or "").lower().split()
         if not toks:
             return np.zeros(0, dtype=np.uint64)
-        return np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-                for t in toks
-            ),
-            dtype=np.uint64,
-            count=len(toks),
-        )
+        return fingerprint64(toks)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()

@@ -126,14 +126,16 @@ def fingerprint64(texts: list[str]) -> np.ndarray:
         b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         h = np.uint64(1469598103934665603)  # FNV offset as seed
         # Horner evaluation in vector chunks: precompute B^k table
-        for chunk in np.array_split(b, max(1, len(b) // 4096)) if len(b) else []:
-            k = len(chunk)
-            powers = np.empty(k, dtype=np.uint64)
-            powers[0] = np.uint64(1)
-            if k > 1:
-                np.multiply.accumulate(np.full(k - 1, FP_BASE, dtype=np.uint64),
-                                       out=powers[1:])
-            h = h * (FP_BASE ** np.uint64(k)) + np.sum(chunk * powers[::-1], dtype=np.uint64)
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+            for chunk in np.array_split(b, max(1, len(b) // 4096)) if len(b) else []:
+                k = len(chunk)
+                powers = np.empty(k, dtype=np.uint64)
+                powers[0] = np.uint64(1)
+                if k > 1:
+                    np.multiply.accumulate(
+                        np.full(k - 1, FP_BASE, dtype=np.uint64), out=powers[1:])
+                h = h * (FP_BASE ** np.uint64(k)) + np.sum(
+                    chunk * powers[::-1], dtype=np.uint64)
         out[i] = h
     return out
 
