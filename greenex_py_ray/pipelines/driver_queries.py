@@ -467,6 +467,82 @@ _SW_SQL = {
     for lang, ws in text.STOPWORDS.items()
 }
 
+
+def _embedding_lsh_bucket_sql(vec_expr: str, dim: int = EMB_DIM,
+                              planes: int = 10, seed: int = 13) -> str:
+    """SQL expression for the hyperplane-LSH bucket id of ``vec_expr`` —
+    the same seed-13 gaussian planes every EmbeddingLSH actor draws,
+    embedded as literals (full-precision repr round-trips exactly)."""
+    H = dedup_stage.EmbeddingLSH(dim=dim, planes=planes, seed=seed).H
+    terms = []
+    for p in range(planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in H[:, p]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def _minhash_perms_sql() -> str:
+    """(perm, a, b) VALUES rows of the seed-7 MinHash permutation
+    constants — the same numbers every MinHasher actor draws."""
+    mh = dedup_stage.MinHasher(num_perm=64, shingle=5, seed=7)
+    return ",".join(
+        f"({p},{int(mh.a[p])}::HUGEINT,{int(mh.b[p])}::HUGEINT)"
+        for p in range(64)
+    )
+
+_MINHASH_CTES = r"""
+padded AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) < 5 THEN text || repeat(' ', 5)
+                      ELSE text END AS t
+          FROM documents
+        ),
+        shingles AS (
+          -- 5-gram byte-dot-product hashes (ASCII text: ascii == byte),
+          -- identical to MinHasher.shingle_hashes; DISTINCT == np.unique
+          SELECT DISTINCT doc_id,
+                 (ascii(substring(t, CAST(p.i AS INTEGER) + 1, 1)) * 923521
+                  + ascii(substring(t, CAST(p.i AS INTEGER) + 2, 1)) * 29791
+                  + ascii(substring(t, CAST(p.i AS INTEGER) + 3, 1)) * 961
+                  + ascii(substring(t, CAST(p.i AS INTEGER) + 4, 1)) * 31
+                  + ascii(substring(t, CAST(p.i AS INTEGER) + 5, 1)))::HUGEINT AS sh
+          FROM padded CROSS JOIN range(0, 100000) p(i)
+          WHERE p.i <= length(t) - 5
+        ),
+        perms(perm, pa, pb) AS (VALUES __MINHASH_PERMS__),
+        mins AS (
+          -- (a*x + b) with uint64 wraparound, then mod the Mersenne
+          -- prime — the engine's exact arithmetic
+          SELECT s.doc_id, p.perm,
+                 min(((p.pa * s.sh) % 18446744073709551616::HUGEINT + p.pb)
+                     % 18446744073709551616::HUGEINT
+                     % 2305843009213693951::HUGEINT) AS mh
+          FROM shingles s CROSS JOIN perms p
+          GROUP BY s.doc_id, p.perm
+        ),
+        bands AS (
+          SELECT doc_id, perm // 4 AS band_id, list(mh ORDER BY perm) AS vals
+          FROM mins GROUP BY doc_id, perm // 4
+        ),
+        bh AS (
+          SELECT doc_id, band_id,
+                 list_reduce(list_prepend(1469598103934665603::HUGEINT, vals),
+                   (acc, v) -> ((acc * 1099511628211)
+                                % 18446744073709551616::HUGEINT + v)
+                               % 18446744073709551616::HUGEINT) AS h
+          FROM bands
+        ),
+        sized AS (
+          SELECT doc_id, band_id, h,
+                 count(*) OVER (PARTITION BY band_id, h) AS bs,
+                 min(doc_id) OVER (PARTITION BY band_id, h) AS mk
+          FROM bh
+        )
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "cell_assignment": f"""
         SELECT {_CELL} AS cell, count(*) AS n_docs
@@ -637,6 +713,52 @@ ORACLE_SQL: dict[str, str] = {
                  AS rect_cover
         FROM ov GROUP BY doc_id
     """,
+    "minhash_lsh": "WITH " + _MINHASH_CTES + r"""
+        -- all-pairs per bucket; buckets over the 256 star cap emit only
+        -- (min-key ↔ member) pairs, exactly like the engine
+        SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+        FROM sized a JOIN sized b
+          ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id
+         AND (a.bs <= 256 OR a.doc_id = a.mk)
+    """,
+    # end-to-end near-dedup: the MinHash candidate CTEs + exact shingle
+    # Jaccard verify (0.7) + connected components via a recursive CTE +
+    # survivors = all docs minus non-representative cluster members
+    "near_dedup": "WITH RECURSIVE " + _MINHASH_CTES + r""",
+        cand AS (
+          SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+          FROM sized a JOIN sized b
+            ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id
+           AND (a.bs <= 256 OR a.doc_id = a.mk)
+        ),
+        ssize AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT c.key_a, c.key_b, count(*) AS ni
+          FROM cand c
+          JOIN shingles sa ON sa.doc_id = c.key_a
+          JOIN shingles sb ON sb.doc_id = c.key_b AND sb.sh = sa.sh
+          GROUP BY c.key_a, c.key_b
+        ),
+        dup AS (
+          SELECT c.key_a, c.key_b
+          FROM cand c
+          JOIN ssize za ON za.doc_id = c.key_a
+          JOIN ssize zb ON zb.doc_id = c.key_b
+          LEFT JOIN inter i ON i.key_a = c.key_a AND i.key_b = c.key_b
+          WHERE coalesce(i.ni, 0)::DOUBLE
+                / (za.n + zb.n - coalesce(i.ni, 0)) >= 0.7
+        ),
+        eset AS (SELECT key_a AS a, key_b AS b FROM dup
+                 UNION ALL SELECT key_b, key_a FROM dup),
+        walk(node, comp) AS (
+          SELECT a, a FROM eset
+          UNION
+          SELECT e.b, w.comp FROM walk w JOIN eset e ON e.a = w.node
+        ),
+        comp AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
     "simhash": r"""
         WITH toks AS (
           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
@@ -729,6 +851,17 @@ ORACLE_SQL: dict[str, str] = {
                round(sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0)), 3) AS std_NDVI
         FROM vals GROUP BY edge_id
     """,
+    "embedding_near_dup": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v,
+              {_embedding_lsh_bucket_sql("v")} AS bucket FROM e)
+        SELECT a.vec_id AS key_a, b2.vec_id AS key_b,
+               list_cosine_similarity(a.v, b2.v) AS cosine
+        FROM b a JOIN b b2
+          ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE list_cosine_similarity(a.v, b2.v) >= 0.30
+    """,
     "cosine_pairs_exact": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings)
@@ -792,6 +925,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+for _q in ("minhash_lsh", "near_dedup"):
+    ORACLE_SQL[_q] = ORACLE_SQL[_q].replace(
+        "__MINHASH_PERMS__", _minhash_perms_sql())
 
 
 # ---------------------------------------------------------------------------
