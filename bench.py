@@ -116,7 +116,7 @@ def run_scaling() -> dict:
                    GREENEX_BENCH_ONLY=os.environ.get(
                        "GREENEX_BENCH_ONLY", "spans_mean_ndvi_metrics,viewshed_gvi"),
                    GREENEX_WORLD_DOCS=os.environ.get("GREENEX_SCALING_DOCS", "6000000"),
-                   GREENEX_VIEWSHED_POIS="200000")
+                   GREENEX_VIEWSHED_POIS=os.environ.get("GREENEX_SCALING_POIS", "400000"))
         out = subprocess.run(
             ["taskset", "-c", f"0-{ncpu - 1}",
              sys.executable, os.path.abspath(__file__)], env=env,
