@@ -66,7 +66,10 @@ class RegridTiles:
         self.dst_crs = dst_crs
         self.band = band
         self.fill_int = fill_int
-        self.is_int = synth.BAND_DTYPE.get(band) == np.int16
+        # emit the band's canonical storage dtype so the output rows can
+        # be written back as a tile store TileStore decodes correctly
+        self.out_dtype = synth.BAND_DTYPE.get(band, np.float64)
+        self.is_int = self.out_dtype == np.int16
 
     def _sample(self, sx: np.ndarray, sy: np.ndarray) -> np.ndarray:
         """Nearest-neighbor sample of source coords (vectorized, grouped
@@ -115,9 +118,7 @@ class RegridTiles:
             tile = vals.reshape(int(h[i]), int(w[i]))
             if self.is_int:
                 tile = np.where(np.isnan(tile), self.fill_int, tile)
-                data.append(tile.astype(np.int16).tobytes())
-            else:
-                data.append(tile.astype(np.float32).tobytes())
+            data.append(tile.astype(self.out_dtype).tobytes())
             x0s.append(x0)
             y0s.append(y0)
             ids.append(f"{self.band}/{int(tix[i])}_{int(tiy[i])}")

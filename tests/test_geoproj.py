@@ -110,7 +110,7 @@ def test_regrid_tiles_nearest_neighbor(world):
     px = synth.TILE_PX
     checked = 0
     for _, row in out.iterrows():
-        tile = np.frombuffer(row["data"], dtype=np.float32).reshape(
+        tile = np.frombuffer(row["data"], dtype=np.float64).reshape(
             row["h"], row["w"])
         ts = row["w"] * row["res"]
         cx = row["tix"] * ts + (np.arange(row["w"]) + 0.5) * row["res"]
@@ -126,6 +126,35 @@ def test_regrid_tiles_nearest_neighbor(world):
                 assert np.isnan(flat[i])
             else:
                 exp = arr[rw[i] - (rw[i] // px) * px, col[i] - (col[i] // px) * px]
-                assert flat[i] == np.float32(exp)
+                assert flat[i] == exp
                 checked += 1
     assert checked > 50
+
+
+def test_regrid_write_back_roundtrip(world, tmp_path):
+    """S8+S14: a regridded tile Dataset written back as a parquet tile
+    store must decode through TileStore with the band's canonical dtype."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from greenex_py_ray.stages.regrid import reproject_raster
+    from greenex_py_ray.state.tiles import TileStore
+
+    sx = np.array([5000.0, 6000.0])
+    lon, lat = gp.transform(sx, sx, "EPSG:3395", "EPSG:4326")
+    ex, ny = gp.utm_forward(lon, lat, 31)
+    bbox = (float(ex.min()), float(ny.min()),
+            float(ex.min()) + 1500, float(ny.min()) + 1500)
+    out = reproject_raster(world["tiles"], "ndvi", "EPSG:3395", "UTM:31N",
+                           bbox, concurrency=2)
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    dst = tmp_path / "regridded"
+    dst.mkdir()
+    pq.write_table(tbl, dst / "tiles_ndvi.parquet")
+    store = TileStore(str(dst))
+    tix0 = int(tbl.column("tix")[0].as_py())
+    tiy0 = int(tbl.column("tiy")[0].as_py())
+    arr = store.get("ndvi", tix0, tiy0)
+    exp = np.frombuffer(tbl.column("data")[0].as_py(), dtype=np.float64) \
+        .reshape(tbl.column("h")[0].as_py(), tbl.column("w")[0].as_py())
+    assert arr is not None and np.array_equal(arr, exp, equal_nan=True)
