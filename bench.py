@@ -71,6 +71,11 @@ def run_suite() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # the flagship pipeline is benchmarked directly; as a GATE it is
+    # covered by its two hash-green children (metrics + span payload)
+    from greenex_py_ray.pipelines import driver_queries as _dq
+
+    qs.setdefault("spans_mean_ndvi", _dq.q_spans_mean_ndvi)
     # warm the page cache + the synthetic world so timing measures
     # compute/shuffle, not first-touch generation
     from greenex_py_ray.pipelines.driver_queries import _world_paths
@@ -137,9 +142,15 @@ def run_scaling() -> dict:
         runs_hi.append(one(hi))
 
     def best(runs):
+        # headline = min over ACHIEVED whole-run leg totals (a sum of
+        # per-query minima is not an achievable single run — round-2
+        # advice); per-query minima are kept as supplementary data
+        totals = [sum(r["queries"].values()) for r in runs]
+        pick = totals.index(min(totals))
         qnames = runs[0]["queries"]
-        q = {k: min(r["queries"][k] for r in runs) for k in qnames}
-        return {"queries": q, "value": round(sum(q.values()), 3)}
+        qmin = {k: min(r["queries"][k] for r in runs) for k in qnames}
+        return {"queries": runs[pick]["queries"], "queries_min": qmin,
+                "value": round(totals[pick], 3)}
 
     r_lo = best(runs_lo)
     r_hi = best(runs_hi)
@@ -154,6 +165,7 @@ def run_scaling() -> dict:
         "repeats": repeats,
         "sec": [r_lo["value"], r_hi["value"]],
         "queries_sec": {"lo": r_lo["queries"], "hi": r_hi["queries"]},
+        "queries_sec_min": {"lo": r_lo["queries_min"], "hi": r_hi["queries_min"]},
         "all_runs_sec": {"lo": [r["value"] for r in runs_lo],
                          "hi": [r["value"] for r in runs_hi]},
         "scaling_efficiency": round(eff, 3),

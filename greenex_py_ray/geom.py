@@ -304,28 +304,44 @@ def _overlay_edges(layers):
             np.concatenate(Y1), np.concatenate(L))
 
 
+#: row-chunk size for the pairwise crossing computation: bounds the
+#: transient matrices at O(chunk × E) so a many-thousand-edge blob
+#: (reachable via dissolve_dataset's general path) cannot allocate
+#: gigabytes inside one map_groups actor (round-2 advice)
+_CROSSING_CHUNK = 2048
+
+
 def _crossing_xs(x0, y0, x1, y1) -> np.ndarray:
     """X coordinates of proper interior crossings between all edge pairs
-    (vectorized O(E²); slab boundaries must include these so edge order
-    is constant within each slab)."""
+    (vectorized O(E²) work, O(chunk·E) memory; slab boundaries must
+    include these so edge order is constant within each slab)."""
     E = len(x0)
     if E < 2:
         return np.empty(0)
-    d1x = (x1 - x0)[:, None]
-    d1y = (y1 - y0)[:, None]
-    d2x = (x1 - x0)[None, :]
-    d2y = (y1 - y0)[None, :]
-    ex = x0[None, :] - x0[:, None]
-    ey = y0[None, :] - y0[:, None]
-    denom = d1x * d2y - d1y * d2x
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (ex * d2y - ey * d2x) / denom
-        u = (ex * d1y - ey * d1x) / denom
-    hit = np.isfinite(t) & np.isfinite(u) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
-    iu = np.triu(hit, k=1)
-    ti = t[iu]
-    xi = x0[np.nonzero(iu)[0]] + ti * (x1 - x0)[np.nonzero(iu)[0]]
-    return xi
+    dx = x1 - x0
+    dy = y1 - y0
+    out = []
+    for lo in range(0, E, _CROSSING_CHUNK):
+        hi = min(lo + _CROSSING_CHUNK, E)
+        d1x = dx[lo:hi, None]
+        d1y = dy[lo:hi, None]
+        ex = x0[None, :] - x0[lo:hi, None]
+        ey = y0[None, :] - y0[lo:hi, None]
+        denom = d1x * dy[None, :] - d1y * dx[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (ex * dy[None, :] - ey * dx[None, :]) / denom
+            u = (ex * d1y - ey * d1x) / denom
+        hit = (np.isfinite(t) & np.isfinite(u)
+               & (t > 0) & (t < 1) & (u > 0) & (u < 1))
+        # strict upper triangle of the full matrix: global j > global i
+        cols = np.arange(E)[None, :]
+        rows = np.arange(lo, hi)[:, None]
+        hit &= cols > rows
+        ri, _ = np.nonzero(hit)
+        ti = t[hit]
+        gi = ri + lo
+        out.append(x0[gi] + ti * dx[gi])
+    return np.concatenate(out) if out else np.empty(0)
 
 
 def _overlay_predicate(mode):

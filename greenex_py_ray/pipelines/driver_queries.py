@@ -41,6 +41,8 @@ LULC_RADIUS = 500.0
 TOPK_K = 10
 TOPK_QUERY_IDS = (0, 1, 2)
 EMB_DIM = 64
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
 
 _X = dt.SQL_X.format(k="doc_id")
 _Y = dt.SQL_Y.format(k="doc_id")
@@ -930,6 +932,62 @@ for _q in ("minhash_lsh", "near_dedup"):
         "__MINHASH_PERMS__", _minhash_perms_sql())
 
 
+def _ivf_topk_sql() -> str:
+    """IVF top-k oracle: the fixed seed-17 quantizer embedded as
+    literals; assignment = argmin over ``-2·v·c + ‖c‖²`` (the engine's
+    IVFAssign expression, first-index tie-break), probes = the
+    ``IVF_NPROBE`` nearest cells per query, scan = cosine top-k within
+    the probed cells (score desc, vec_id asc)."""
+    C = similarity.fixed_random_centroids(EMB_DIM, IVF_CENTROIDS)
+    cn = (C * C).sum(1)
+    qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
+    rows = ",\n          ".join(
+        "({}, [{}], {!r})".format(
+            c, ", ".join(repr(float(v)) for v in C[c]), float(cn[c]))
+        for c in range(IVF_CENTROIDS)
+    )
+    return f"""
+        WITH cents(cid, c, cn) AS (VALUES {rows}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        d AS (
+          SELECT e.vec_id, e.v, cents.cid,
+                 -2.0 * list_dot_product(e.v, cents.c) + cents.cn AS dist
+          FROM e CROSS JOIN cents
+        ),
+        assigned AS (
+          SELECT vec_id, v, cid AS cell FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cid ASC) AS rn
+            FROM d) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS qid, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cid ASC) AS rn
+            FROM d WHERE vec_id IN ({qids})) WHERE rn <= {IVF_NPROBE}
+        ),
+        qv AS (SELECT vec_id AS qid, v AS q FROM e WHERE vec_id IN ({qids})),
+        scan AS (
+          SELECT p.qid AS query_id, a.vec_id,
+                 list_cosine_similarity(a.v, qv.q) AS s,
+                 row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY list_cosine_similarity(a.v, qv.q) DESC,
+                            a.vec_id ASC
+                 ) AS rn
+          FROM assigned a JOIN probes p ON a.cell = p.cid
+          JOIN qv ON qv.qid = p.qid
+        )
+        SELECT query_id, vec_id, round(s, 6) AS score
+        FROM scan WHERE rn <= {TOPK_K}
+    """
+
+
+ORACLE_SQL["ivf_topk"] = _ivf_topk_sql()
+
+
 # ---------------------------------------------------------------------------
 # Interleaved-document (spans world) pipelines — rows-only checks; their
 # value-level parity is covered by the pytest oracles (tests/test_*).
@@ -959,7 +1017,13 @@ def _world_poi(limit: int | None = None):
 
 
 def q_spans_mean_ndvi(sf_dir: str):
-    """Flagship: spans documents → zonal NDVI → span-preserving join."""
+    """Flagship: spans documents → zonal NDVI → span-preserving join.
+
+    Not a gate entry of its own (it was permanently ``no_oracle`` while
+    its two children are hash-green): the metrics half is value-verified
+    by ``spans_mean_ndvi_metrics`` and the span-preserving join by
+    ``spans_mean_ndvi_payload`` (which runs THIS pipeline and serializes
+    the spans); bench.py still times it directly as the flagship."""
     w = _world_paths()
     return availability.get_mean_ndvi_documents(
         w["documents"], w["tiles"], buffer_dist=300.0, concurrency=None
@@ -1152,7 +1216,10 @@ def q_dissolve_distributed(sf_dir: str):
 
 def q_ivf_topk(sf_dir: str):
     """IVF-bucketed approximate top-k (scale ANN path; recall vs brute
-    force measured in tests)."""
+    force measured in tests).  The gate uses the FIXED seeded quantizer
+    (``fixed_random_centroids``) so the DuckDB oracle reproduces the
+    cell assignment + probe set exactly at any sf; production pipelines
+    train the quantizer on a sample (``train_centroids``) instead."""
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     V = (
         emb.column("embedding").combine_chunks().flatten()
@@ -1161,10 +1228,18 @@ def q_ivf_topk(sf_dir: str):
     ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
     sel = np.isin(ids, TOPK_QUERY_IDS)
     queries = {"query_id": ids[sel].tolist(), "vectors": V[sel]}
-    cents = similarity.train_centroids(V[: min(len(V), 1000)], n_centroids=16)
+    cents = similarity.fixed_random_centroids(EMB_DIM, IVF_CENTROIDS)
     ds = dt.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return similarity.ivf_topk(ds, queries, cents, TOPK_K, EMB_DIM, nprobe=4,
-                               concurrency=4)
+    out = similarity.ivf_topk(ds, queries, cents, TOPK_K, EMB_DIM,
+                              nprobe=IVF_NPROBE, concurrency=4)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b.column("query_id"),
+            "vec_id": b.column("vec_id"),
+            "score": pa.array(np.round(b.column("score").to_numpy(zero_copy_only=False), 6)),
+        }),
+        batch_format="pyarrow",
+    )
 
 
 QUERIES = {
@@ -1192,7 +1267,6 @@ QUERIES = {
     "canopy_pct_rect": q_canopy_pct_rect,
     "line_buffer_ndvi": q_line_buffer_ndvi,
     "cosine_pairs_exact": q_cosine_pairs_exact,
-    "spans_mean_ndvi": q_spans_mean_ndvi,
     "spans_mean_ndvi_metrics": q_spans_mean_ndvi_metrics,
     "spans_mean_ndvi_payload": q_spans_mean_ndvi_payload,
     "viewshed_gvi": q_viewshed_gvi,

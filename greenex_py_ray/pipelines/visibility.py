@@ -169,19 +169,26 @@ def streetview_gvi(
 
     pts = bucket_dedup(pts, subset=["sp_x", "sp_y"])  # D2: exact geometry dedup
     poi_is_ds = isinstance(poi_table, ray.data.Dataset)
-    use_shuffle = poi_is_ds and poi_table.count() > broadcast_threshold
-    if use_shuffle:
-        # materialize once: the PoI projection feeds BOTH join stages
-        # (fanning out an unmaterialized shared lineage — especially one
-        # containing a limit() — re-executes it per consumer and can
-        # stall the streaming executor); 3 columns spill fine at scale
+    if poi_is_ds:
+        # materialize the 3-column projection ONCE: it feeds count() and
+        # both join stages (fanning out an unmaterialized shared lineage
+        # — especially one containing a limit() — re-executes the decode
+        # per consumer and can stall the streaming executor); 3 columns
+        # spill fine at scale
         poi_ds = poi_table.select_columns([key_col, "x", "y"]).materialize()
+        use_shuffle = poi_ds.count() > broadcast_threshold
+    else:
+        poi_ds = None
+        use_shuffle = False
+    if use_shuffle:
         pts = cell_buffer_join(pts, poi_ds, buffer_dist, key_col=key_col,
                                semi=True)
     else:
         if poi_is_ds:
-            poi_table = pa.Table.from_pandas(poi_table.to_pandas(),
-                                             preserve_index=False)
+            poi_table = pa.concat_tables(
+                t.select([key_col, "x", "y"])
+                for t in ray.get(poi_ds.to_arrow_refs())
+            )
         pref = ray.put(poi_table)
         pts = pts.map_batches(
             vis.PointsToPoi,

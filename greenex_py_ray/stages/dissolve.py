@@ -139,6 +139,11 @@ def dissolve_polygons(polys, ids: list[int] | None = None,
            "centroid_x": [], "centroid_y": [], "groups_rings": []}
     for root in np.unique(roots):
         members = np.flatnonzero(roots == root)
+        # order members by id: the distributed path's blob reducer sorts
+        # by key, and _union_moments_convex / overlay accumulation is
+        # float-summation-order dependent — identical order keeps the
+        # two paths bit-identical (round-2 advice)
+        members = members[np.argsort([ids[m] for m in members], kind="stable")]
         grp = [polys[m] for m in members]
         all_convex_single = all(
             len(p) == 1 and geom.is_convex(p[0]) for p in grp

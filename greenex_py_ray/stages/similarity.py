@@ -112,6 +112,17 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 
+def fixed_random_centroids(dim: int, n_centroids: int = 16,
+                           seed: int = 17) -> np.ndarray:
+    """Deterministic, data-independent coarse centroids (seeded standard
+    gaussian).  Production IVF trains the quantizer on a sample
+    (:func:`train_centroids`); the correctness GATE uses this fixed
+    quantizer so the DuckDB oracle can embed the centroid constants as
+    full-precision literals regardless of scale factor."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_centroids, dim))
+
+
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
                     seed: int = 17) -> np.ndarray:
     """Lloyd k-means on a driver-side sample (the coarse quantizer)."""

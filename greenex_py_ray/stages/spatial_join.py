@@ -88,7 +88,10 @@ def cell_pip_join(
         cell = cells.cell_of(x, y, cell_size)
         smap = ray.get(salt_ref)
         keys = batch.column(key_col)
-        kh = pd.util.hash_pandas_object(pd.Series(keys.to_pylist()),
+        # typed-array hashing (same trick as bucket_dedup): no
+        # to_pylist() python-object round-trip; the hash only drives
+        # salt-bucket placement
+        kh = pd.util.hash_pandas_object(keys.to_pandas(),
                                         index=False).to_numpy()
         ks = np.ones(len(cell), dtype=np.int64)
         if smap:

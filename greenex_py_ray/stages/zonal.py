@@ -712,8 +712,12 @@ class LineZonalLocal:
             mean = psum / pcount
             var = psumsq / pcount - mean * mean
         std = np.sqrt(np.maximum(var, 0.0))
+        # drop edges whose buffer covers no stored pixel: the SQL oracle
+        # GROUP BYs over matched pixels and omits them — emitting NaN
+        # rows here would be a latent gate mismatch (round-2 advice)
+        keep = pa.array(pcount > 0)
         return pa.table({
             self.key_col: batch.column(self.key_col),
             self.mean_name: pa.array(np.round(mean, 3)),
             self.std_name: pa.array(np.round(std, 3)),
-        })
+        }).filter(keep)
