@@ -179,9 +179,12 @@ def canopy_percentage(
     concurrency: int | None = None,
     stringify: bool = False,
     name: str = "canopy_cover",
+    aoi_shape: str = "circle",
 ) -> "ray.data.Dataset":
     """get_canopy_percentage (availability.py:600-780): percent of the
-    buffer AoI covered by canopy polygons (broadcast small side)."""
+    buffer AoI covered by canopy polygons (broadcast small side).
+    ``aoi_shape="square"`` is the SQL-verifiable gate form (exact square
+    AoI instead of the shapely 64-gon buffer)."""
     import pyarrow as pa  # noqa: F811
 
     import ray as _ray
@@ -193,7 +196,7 @@ def canopy_percentage(
         PolygonCoverage,
         fn_constructor_kwargs=dict(
             polys_ref=ref, buffer_dist=buffer_dist, key_col=key_col,
-            name=name, stringify=stringify,
+            name=name, stringify=stringify, aoi_shape=aoi_shape,
         ),
         batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
@@ -206,12 +209,13 @@ def greenspace_percentage(
     key_col: str = "doc_id",
     concurrency: int | None = None,
     stringify: bool = False,
+    aoi_shape: str = "circle",
 ) -> "ray.data.Dataset":
     """get_greenspace_percentage (availability.py:783-1010): same
     machinery with the dissolved greenspace table."""
     return canopy_percentage(
         poi, greenspace, buffer_dist, key_col, concurrency, stringify,
-        name="greenspace_cover",
+        name="greenspace_cover", aoi_shape=aoi_shape,
     )
 
 

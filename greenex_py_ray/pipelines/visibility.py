@@ -239,10 +239,14 @@ def streetview_gvi(
         n = batch.column("sum(gvi_n)").to_numpy(zero_copy_only=False)
         with np.errstate(divide="ignore", invalid="ignore"):
             mean = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+        # a PoI whose every sample point lacks an image gets a NULL GVI
+        # (pandas mean-of-empty semantics AND what SQL avg() yields —
+        # a NaN here would hash-mismatch the oracle's NULL)
+        gvi = pa.array(np.round(mean, 3), pa.float64(), mask=(n == 0))
         return pa.table(
             {
                 key_col: batch.column(key_col),
-                "GVI": pa.array(np.round(mean, 3)),
+                "GVI": gvi,
                 "nr_of_points": pa.array(n),
             }
         )

@@ -184,6 +184,36 @@ BAND_DTYPE = {"ndvi": np.float64, "lulc": np.int16, "dsm": np.float64,
               "dtm": np.float64, "green": np.float64}
 
 
+def write_pixel_tables(root: str,
+                       bands=("dsm", "dtm", "green", "ndvi")) -> dict[str, str]:
+    """Per-pixel ``(r, c, v)`` parquet tables for gate oracles that need
+    BIT-EXACT raster values — the viewshed's strict line-of-sight
+    comparison cannot tolerate the last-ulp differences between numpy's
+    and DuckDB's libm ``sin``/``cos``, so the oracle joins against the
+    exact float64 values the TileStore serves instead of recomputing the
+    closed form.  Lazily written next to the world (oracle-build only —
+    bench worlds never pay this cost); idempotent."""
+    paths = {}
+    ntiles = int(np.ceil(WORLD / TILE_SIZE))
+    npx = ntiles * TILE_PX
+    for band in bands:
+        p = os.path.join(root, f"pixels_{band}.parquet")
+        paths[band] = p
+        if os.path.exists(p):
+            continue
+        full = np.empty((npx, npx))
+        for tix in range(ntiles):
+            for tiy in range(ntiles):
+                full[tiy * TILE_PX:(tiy + 1) * TILE_PX,
+                     tix * TILE_PX:(tix + 1) * TILE_PX] = tile_array(band, tix, tiy)
+        rr, cc = np.meshgrid(np.arange(npx, dtype=np.int32),
+                             np.arange(npx, dtype=np.int32), indexing="ij")
+        t = pa.table({"r": pa.array(rr.ravel()), "c": pa.array(cc.ravel()),
+                      "v": pa.array(full.ravel().astype(np.float64))})
+        pq.write_table(t, p)
+    return paths
+
+
 # ---------------------------------------------------------------------------
 # Documents (interleaved spans)
 # ---------------------------------------------------------------------------
@@ -286,37 +316,57 @@ def _poly_table(rings_list, ids) -> pa.Table:
     )
 
 
+def _rect_table(cx, cy, w, h, ids) -> pa.Table:
+    rings = [
+        np.array([[cx[i] - w[i], cy[i] - h[i]], [cx[i] + w[i], cy[i] - h[i]],
+                  [cx[i] + w[i], cy[i] + h[i]], [cx[i] - w[i], cy[i] + h[i]]])
+        for i in range(len(cx))
+    ]
+    t = _poly_table(rings, ids)
+    # rect bounds as flat columns: the DuckDB gate oracles use closed
+    # forms (boundary distance, slab-decomposition union area) that read
+    # these directly instead of unnesting the rings
+    return (t.append_column("x0", pa.array(cx - w))
+             .append_column("y0", pa.array(cy - h))
+             .append_column("x1", pa.array(cx + w))
+             .append_column("y1", pa.array(cy + h)))
+
+
 def make_greenspace(n: int = 120, seed: int = 43) -> pa.Table:
-    """Axis-aligned rectangles + convex n-gons, some overlapping (to
-    exercise the dissolve of ``accessibility.py:125-127``)."""
+    """Axis-aligned rectangles, a third of them chained onto the
+    previous rect's center so overlapping clusters exist (exercises the
+    dissolve of ``accessibility.py:125-127``).
+
+    World v3: rect-only.  Every engine path still treats these as
+    general polygons (the ``rings`` column); the rect shape is what
+    makes the pillar-gate DuckDB oracles exactly expressible (boundary
+    distance, components, slab-decomposition union area/centroid).
+    General/concave/holed geometry stays covered by the pytest parity
+    fixtures in ``tests/``."""
     rng = np.random.default_rng(seed)
-    rings = []
+    cx = np.empty(n)
+    cy = np.empty(n)
     for i in range(n):
-        cx, cy = rng.uniform(500, WORLD - 500, 2)
-        if i % 3 == 0:
-            w, h = rng.uniform(80, 600, 2)
-            ring = np.array(
-                [[cx - w, cy - h], [cx + w, cy - h], [cx + w, cy + h], [cx - w, cy + h]]
-            )
+        if i % 3 == 2:
+            # chain onto the previous rect → guaranteed overlaps
+            cx[i] = np.clip(cx[i - 1] + rng.uniform(-400, 400), 500, WORLD - 500)
+            cy[i] = np.clip(cy[i - 1] + rng.uniform(-400, 400), 500, WORLD - 500)
         else:
-            k = int(rng.integers(5, 9))
-            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
-            rad = rng.uniform(60, 400)
-            ring = np.column_stack((cx + rad * np.cos(ang), cy + rad * np.sin(ang)))
-        rings.append(ring)
-    return _poly_table(rings, list(range(n)))
+            cx[i], cy[i] = rng.uniform(500, WORLD - 500, 2)
+    w = rng.uniform(80, 600, n)
+    h = rng.uniform(80, 600, n)
+    return _rect_table(cx, cy, w, h, list(range(n)))
 
 
 def make_canopy(n: int = 300, seed: int = 44) -> pa.Table:
+    """Axis-aligned canopy rectangles (world v3, same rationale as
+    :func:`make_greenspace`)."""
     rng = np.random.default_rng(seed)
-    rings = []
-    for _ in range(n):
-        cx, cy = rng.uniform(200, WORLD - 200, 2)
-        k = int(rng.integers(5, 10))
-        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
-        rad = rng.uniform(15, 120)
-        rings.append(np.column_stack((cx + rad * np.cos(ang), cy + rad * np.sin(ang))))
-    return _poly_table(rings, list(range(n)))
+    cx = rng.uniform(200, WORLD - 200, n)
+    cy = rng.uniform(200, WORLD - 200, n)
+    w = rng.uniform(15, 120, n)
+    h = rng.uniform(15, 120, n)
+    return _rect_table(cx, cy, w, h, list(range(n)))
 
 
 # ---------------------------------------------------------------------------
@@ -388,7 +438,7 @@ def make_image_features(n: int = 2000, seed: int = 46) -> pa.Table:
 
 #: bump when any generator above changes — cached /tmp worlds carry the
 #: version in their completion marker and regenerate on mismatch
-WORLD_VERSION = 2
+WORLD_VERSION = 3
 
 
 def ensure_world(root: str, n_docs: int = 2000, seed: int = 42) -> dict[str, str]:

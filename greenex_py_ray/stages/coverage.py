@@ -54,7 +54,7 @@ def _polys_list(gs: pa.Table) -> "list[list[np.ndarray]]":
     return out
 
 
-def union_area_of_convex(polys: list[np.ndarray], max_depth: int = 6) -> float:
+def union_area_of_convex(polys: list[np.ndarray], max_depth: int = 12) -> float:
     """Area of the union of CONVEX polygons via inclusion–exclusion.
 
     Intersections of convex sets are convex (successive S–H clips), so
@@ -145,7 +145,8 @@ class PolygonCoverage:
 
     def __init__(self, polys_ref, buffer_dist: float, key_col: str = "doc_id",
                  name: str = "canopy_cover", stringify: bool = False,
-                 quad_segs: int = 16, dissolve: bool = True):
+                 quad_segs: int = 16, dissolve: bool = True,
+                 aoi_shape: str = "circle"):
         t = _resolve(polys_ref)
         polys = _polys_list(t)
         if dissolve:
@@ -183,31 +184,64 @@ class PolygonCoverage:
         self.name = name
         self.stringify = stringify
         self.quad_segs = quad_segs
+        # "circle" = the reference's shapely buffer discretization (a
+        # 4·quad_segs-gon); "square" = an exact square AoI of half-width
+        # buffer_dist — the SQL-verifiable gate form (its area and every
+        # clip bound are closed-form expressible in the DuckDB oracle)
+        if aoi_shape not in ("circle", "square"):
+            raise ValueError(f"aoi_shape must be circle|square, got {aoi_shape!r}")
+        self.aoi_shape = aoi_shape
 
     def _pct(self, x: float, y: float) -> float:
-        aoi = geom.buffer_ngon(x, y, self.buffer_dist, self.quad_segs)
-        aoi_area = geom.polygon_area(aoi)
+        if self.aoi_shape == "square":
+            d = self.buffer_dist
+            aoi = np.array([[x - d, y - d], [x + d, y - d],
+                            [x + d, y + d], [x - d, y + d]])
+            aoi_area = (2.0 * d) * (2.0 * d)
+        else:
+            aoi = geom.buffer_ngon(x, y, self.buffer_dist, self.quad_segs)
+            aoi_area = geom.polygon_area(aoi)
+        # prefilter radius must dominate (distance center → farthest AoI
+        # point) + (candidate diameter): corner of a square AoI is √2·d
+        # from the center
+        reach = (self.buffer_dist * np.sqrt(2.0)
+                 if self.aoi_shape == "square" else self.buffer_dist)
         _, pj, _ = self.vert_index.within(
-            np.array([x]), np.array([y]), self.buffer_dist + self.max_span
+            np.array([x]), np.array([y]), reach + self.max_span
         )
         if not len(pj):
             return 0.0
         cand = np.unique(self.vert_owner[pj])
         if all(self.convex_simple[gi] for gi in cand):
-            clipped: list[np.ndarray] = []
+            # per-group inclusion–exclusion, summed: bit-identical to
+            # the round-1 all-candidates call for dissolved (disjoint)
+            # blobs — cross-group intersection terms were exact zeros
+            # skipped before any accumulation — and the reference's own
+            # double-counting sum semantics when dissolve=False
+            area = 0.0
             for gi in cand:
+                clipped: list[np.ndarray] = []
                 for p in self.groups[gi]:
                     c = geom.clip_polygon_convex(p[0], aoi)
                     if len(c) >= 3:
                         clipped.append(c)
-            if not clipped:
-                return 0.0
-            area = union_area_of_convex(clipped)
+                if clipped:
+                    area += union_area_of_convex(clipped)
         else:
-            # general overlay: AoI ∩ union(members) — exact for concave
-            # rings, holes and multipolygons
-            layers = [[aoi]] + [p for gi in cand for p in self.groups[gi]]
-            area = geom.overlay_area(layers, "first_and_rest")
+            # general overlay: AoI ∩ union(members), PER GROUP, summed.
+            # Dissolved blobs are pairwise disjoint so the union area is
+            # the sum of per-blob clip areas; with dissolve=False the
+            # reference itself sums per-polygon clip areas (overlaps
+            # double-count, availability.py:764).  Per-group overlays
+            # keep the O(E²) slab decomposition bounded by one blob's
+            # edge count instead of every candidate's (a 274-polygon
+            # segmentation corpus in one overlay ran minutes; per-group
+            # it is milliseconds).
+            area = 0.0
+            for gi in cand:
+                area += geom.overlay_area(
+                    [[aoi]] + list(self.groups[gi]), "first_and_rest"
+                )
         return area / aoi_area * 100.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -238,10 +238,13 @@ class IsochroneZonal:
         stds = np.empty(len(x))
         for i in range(len(x)):
             means[i], stds[i] = self._aoi_stats(x[i], y[i])
+        # empty AoI (no ego edges / no pixels) → NULL, matching the SQL
+        # oracle's empty-group aggregate (a NaN would hash-mismatch)
+        miss = ~np.isfinite(means)
         return pa.table(
             {
                 self.key_col: batch.column(self.key_col),
-                self.mean_name: pa.array(means),
-                self.std_name: pa.array(stds),
+                self.mean_name: pa.array(means, pa.float64(), mask=miss),
+                self.std_name: pa.array(stds, pa.float64(), mask=miss),
             }
         )

@@ -377,28 +377,34 @@ class FakeSegmentation:
 
     Interface-compatible with a real scorer actor: ``media_ref →
     (H, W) uint8 class array`` (cityscapes ids; 8 = vegetation,
-    0 = road).  The array is generated from a hash of the image id so
-    results are stable across actors and runs.  Swap this class for a
-    real model-backed scorer on a GPU cluster; nothing else changes.
+    11 = building, 0 = road).  Since world v3 the pattern is a
+    COLUMN-STRIPE closed form of the numeric image id (vegetation where
+    ``(col·a + b) mod W < thresh`` on the upper rows, a road band on the
+    bottom quarter): per-image distinct, stable across actors/runs, and
+    — the point — exactly reproducible by the ``streetview_gvi`` DuckDB
+    oracle, which recomputes the post-crop green fraction from the same
+    arithmetic.  Swap this class for a real model-backed scorer on a GPU
+    cluster; nothing else changes.
     """
 
     H, W = 96, 192
 
-    def segment(self, image_id: str) -> np.ndarray:
-        # hash the WHOLE id: raw leading bytes would collapse every
-        # "img-XXXXXXXX" id to the same seed (identical segmentations)
-        import hashlib
+    @classmethod
+    def params(cls, image_id: str) -> tuple[int, int, int]:
+        """(stripe stride a, phase b, green threshold) — closed form of
+        the trailing integer of ``img-XXXXXXXX`` ids (the SQL oracle
+        parses the same digits)."""
+        num = int(image_id.rsplit("-", 1)[-1])
+        a = 1 + 2 * (num % 48)
+        b = (num * 31) % cls.W
+        thresh = 30 + (num * 7) % 60
+        return a, b, thresh
 
-        seed = int.from_bytes(
-            hashlib.blake2b(image_id.encode(), digest_size=8).digest(), "big"
-        )
-        rng = np.random.default_rng(seed)
-        veg_p = 0.05 + (seed % 30) / 100.0  # in [0.05, 0.34]: keeps p >= 0
-        seg = rng.choice(
-            np.array([0, 1, 2, 8, 11], dtype=np.uint8),
-            size=(self.H, self.W),
-            p=[0.3, 0.15, 0.2, veg_p, 0.35 - veg_p],
-        )
+    def segment(self, image_id: str) -> np.ndarray:
+        a, b, thresh = self.params(image_id)
+        green_col = ((np.arange(self.W) * a + b) % self.W) < thresh
+        seg = np.where(green_col[None, :], np.uint8(8), np.uint8(11))
+        seg = np.broadcast_to(seg, (self.H, self.W)).copy()
         # a road band near the bottom so road-centre detection has signal
         seg[int(self.H * 0.75) :, :] = 0
         return seg

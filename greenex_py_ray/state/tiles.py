@@ -62,7 +62,8 @@ class TileStore:
         from ..sources import synth
 
         px = synth.TILE_PX
-        dtype = synth.BAND_DTYPE[band]
+        # unknown (ingested) bands store float64 (sources/geotiff.py)
+        dtype = synth.BAND_DTYPE.get(band, np.float64)
         # fast path: window fully inside one tile → zero-copy view
         if (row0 >= 0 and col0 >= 0 and row0 // px == (row0 + h - 1) // px
                 and col0 // px == (col0 + w - 1) // px):
@@ -102,5 +103,5 @@ class TileStore:
         w = t.column("w")[0].as_py()
         h = t.column("h")[0].as_py()
         buf = t.column("data")[0].as_py()
-        dtype = synth.BAND_DTYPE[band]
+        dtype = synth.BAND_DTYPE.get(band, np.float64)
         return np.frombuffer(buf, dtype=dtype).reshape(h, w)
