@@ -33,6 +33,51 @@ def read_documents(path: str, **kwargs) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, **kwargs)
 
 
+def read_documents_pruned(path: str, fields=("kind", "text"),
+                          rgs_per_task: int = 8) -> "ray.data.Dataset":
+    """Leaf-pruned spans read for metrics-only pipelines.
+
+    ``ray.data.read_parquet(columns=...)`` (and pyarrow's dataset
+    scanner) cannot prune struct subfields inside a ``list`` column, so
+    a metrics pipeline that only needs each row's geom span would still
+    stream the whole spans payload (``media_ref``/``offset``/…) through
+    the object store.  This reader drops to parquet LEAF columns
+    (``spans.list.element.<field>`` via ``pq.ParquetFile.read_row_group``
+    — measured 2.3× fewer in-memory bytes with kind+text) and fans out
+    one Ray task per ``rgs_per_task`` row groups, preserving source
+    parallelism.  Only for pipelines that do NOT re-emit spans (the
+    payload invariant requires the full column)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = ([path] if _os.path.isfile(path) else
+             sorted(_glob.glob(_os.path.join(path, "*.parquet"))))
+    items = []
+    for f in files:
+        nrg = _pq.ParquetFile(f).metadata.num_row_groups
+        items += [{"path": f, "rg0": lo, "rg1": min(lo + rgs_per_task, nrg)}
+                  for lo in range(0, nrg, rgs_per_task)]
+    leafs = ["doc_id"] + [f"spans.list.element.{c}" for c in fields]
+
+    def _read(batch: pa.Table) -> "pa.Table":
+        tabs = []
+        for p, lo, hi in zip(batch.column("path").to_pylist(),
+                             batch.column("rg0").to_pylist(),
+                             batch.column("rg1").to_pylist()):
+            pf = _pq.ParquetFile(p)
+            for rg in range(lo, hi):
+                tabs.append(pf.read_row_group(rg, columns=leafs))
+        return pa.concat_tables(tabs)
+
+    # one block per item — map_batches tasks parallelize per BLOCK, so
+    # packing the item list into a few blocks would serialize the read
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        _read, batch_size=1, batch_format="pyarrow"
+    )
+
+
 def _first_geom_texts(spans: pa.ListArray) -> tuple[np.ndarray, np.ndarray]:
     """For each row, (x, y) parsed from its first kind='geom' span.
 

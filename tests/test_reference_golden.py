@@ -1,0 +1,243 @@
+"""Golden-run parity against the reference's OWN TestData fixtures.
+
+The reference ships no test suite; its correctness record is the stored
+notebook/README outputs (SURVEY.md §5).  Everything here replays those
+runs on the actual ``/root/reference/TestData`` files through the new
+engine's pure-python GPKG/GeoTIFF readers and asserts the published
+numbers:
+
+* ``get_canopy_percentage`` (README.md:200-223): AMS point +
+  EPSG:3857 canopy segments, euclidean 250 m → ``"12.31%"`` — the one
+  pipeline whose inputs are ALL local (every other golden run pulls
+  rasters from Planetary Computer or networks from OSM at runtime, so
+  they cannot be replayed offline; their kernels are covered by the
+  synthetic-fixture parity tests instead).
+* fixture geometry round trips: the exact POINT coordinates printed in
+  README.md:107-111 and Viewshed.ipynb cell 9.
+* raster fixtures: shapes/dtypes/value domains per FIXTURES.md §2.
+* CRS engine: published worked examples for EPSG:27700 (OS "A guide to
+  coordinate systems in Great Britain", Annex C) and EPSG:28992 (EPSG
+  Guidance Note 7-2 §3.2.2 oblique stereographic example).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from greenex_py_ray import geom, geoproj
+from greenex_py_ray.sources.geotiff import read_geotiff
+from greenex_py_ray.sources.gpkg import polygons_to_rings, read_gpkg
+
+TD = "/root/reference/TestData"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TD), reason="reference TestData not present"
+)
+
+
+# ---------------------------------------------------------------------------
+# GPKG reader vs the coordinates the reference itself printed
+# ---------------------------------------------------------------------------
+
+
+def test_gpkg_ams_points_match_readme():
+    # README.md:107-111 prints the AMS example points to 3 decimals
+    t = read_gpkg(os.path.join(TD, "AMS_example_data.gpkg"))
+    assert t.schema.metadata[b"crs"] == b"EPSG:28992"
+    xy = sorted(zip(np.round(t.column("x").to_numpy(), 3),
+                    np.round(t.column("y").to_numpy(), 3)))
+    assert xy == [(118246.855, 488082.089), (118883.345, 485054.641),
+                  (122483.550, 487728.517)]
+
+
+def test_gpkg_gm_points_match_viewshed_notebook():
+    # Viewshed.ipynb cell 9 prints the GM points (EPSG:27700)
+    t = read_gpkg(os.path.join(TD, "GM_home_locations3.gpkg"))
+    assert t.schema.metadata[b"crs"] == b"EPSG:27700"
+    assert t.num_rows == 3
+    # the fixture's own id column is NULL — the notebook's ids 1..3 come
+    # from the reference's id-assignment step (M4), which numbers rows
+    # in file order
+    assert t.column("id").null_count == 3
+    xy = [(round(x, 3), round(y, 3)) for x, y in
+          zip(t.column("x").to_numpy(), t.column("y").to_numpy())]
+    assert xy == [(388644.249, 392861.634), (385981.911, 393805.494),
+                  (388631.230, 395322.181)]
+
+
+def test_gpkg_fixture_inventory():
+    # row counts / geometry kinds per FIXTURES.md §1
+    cases = {
+        "AMS_points_1000.gpkg": (1000, "x"),
+        "AMS_points_500.gpkg": (518, "x"),
+        "AMS_neighborhoods.gpkg": (518, "ring_x"),
+        "AMS_canopy_segment.gpkg": (274, "ring_x"),
+        "GM_home_location1.gpkg": (1, "x"),
+        "GM_polygon1.gpkg": (1, "ring_x"),
+        "GM_canopy_single_home_500m.gpkg": (3505, "ring_x"),
+    }
+    for fname, (rows, col) in cases.items():
+        t = read_gpkg(os.path.join(TD, fname))
+        assert t.num_rows == rows, fname
+        assert col in t.column_names, fname
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF reader vs FIXTURES.md §2
+# ---------------------------------------------------------------------------
+
+
+def test_geotiff_ndvi_fixture():
+    arr, meta = read_geotiff(os.path.join(TD, "GM_NDVI_data_test.tif"))
+    assert arr.shape == (459, 694)
+    assert meta["res_x"] == 10.0 and meta["res_y"] == 10.0
+    finite = arr[np.isfinite(arr)]
+    assert finite.size > 0.9 * arr.size
+    assert -1.0 <= finite.min() and finite.max() <= 1.0
+
+
+def test_geotiff_landcover_fixture():
+    # the GM landcover fixture is NOT ESA WorldCover: its int16 codes
+    # are class*100 + quintile (10xx..20xx, xx in 01..05) with -32768
+    # nodata — assert that observed structure, not the product guess
+    arr, meta = read_geotiff(os.path.join(TD, "GM_landcover_data_test.tif"))
+    assert arr.shape == (460, 694)
+    finite = arr[np.isfinite(arr)].astype(int)
+    assert finite.size > 0.9 * arr.size  # nodata fringe only
+    classes, quint = finite // 100, finite % 100
+    assert set(classes.tolist()) <= set(range(10, 21))
+    assert set(quint.tolist()) <= {1, 2, 3, 4, 5}
+
+
+def test_geotiff_trees_fixture():
+    arr, _ = read_geotiff(os.path.join(TD, "GM_trees_binary.tif"))
+    assert arr.shape == (460, 694)
+    vals = set(np.unique(arr[np.isfinite(arr)]).tolist())
+    assert vals <= {0.0, 1.0}
+
+
+def test_geotiff_rasters_share_gm_extent():
+    # the three GM rasters cover the same 10 m grid area as the GM
+    # points (EPSG:27700 Greater Manchester)
+    _, meta = read_geotiff(os.path.join(TD, "GM_NDVI_data_test.tif"))
+    pts = read_gpkg(os.path.join(TD, "GM_home_locations3.gpkg"))
+    x = pts.column("x").to_numpy()
+    y = pts.column("y").to_numpy()
+    assert np.all(x > meta["x0"]) and np.all(x < meta["x0"] + 694 * 10.0)
+    assert np.all(y < meta["y0"]) and np.all(y > meta["y0"] - 459 * 10.0)
+
+
+# ---------------------------------------------------------------------------
+# CRS worked examples (published truth, not self-derived)
+# ---------------------------------------------------------------------------
+
+
+def test_epsg27700_os_worked_example():
+    # OS "A guide to coordinate systems in Great Britain", Annex C:
+    # φ 52°39'27.2531"N, λ 1°43'4.5177"E (on OSGB36/Airy) →
+    # E 651409.903, N 313177.270
+    grid = geoproj.GRIDS["EPSG:27700"]
+    lat = np.deg2rad(np.array([52.0 + 39.0 / 60.0 + 27.2531 / 3600.0]))
+    lon = np.deg2rad(np.array([1.0 + 43.0 / 60.0 + 4.5177 / 3600.0]))
+    e, n = grid.forward(lon, lat)
+    assert abs(e[0] - 651409.903) < 2e-3
+    assert abs(n[0] - 313177.270) < 2e-3
+    lon2, lat2 = grid.inverse(e, n)
+    assert abs(lon2[0] - lon[0]) < 1e-12 and abs(lat2[0] - lat[0]) < 1e-12
+
+
+def test_epsg28992_epsg_gn7_worked_example():
+    # EPSG Guidance Note 7-2 §3.2.2 (oblique stereographic, RD New):
+    # φ 53°N, λ 6°E (on Amersfoort/Bessel) → E 196105.283, N 557057.739
+    grid = geoproj.GRIDS["EPSG:28992"]
+    e, n = grid.forward(np.deg2rad(np.array([6.0])),
+                        np.deg2rad(np.array([53.0])))
+    assert abs(e[0] - 196105.283) < 2e-3
+    assert abs(n[0] - 557057.739) < 2e-3
+    lon2, lat2 = grid.inverse(e, n)
+    assert abs(np.rad2deg(lon2[0]) - 6.0) < 1e-11
+    assert abs(np.rad2deg(lat2[0]) - 53.0) < 1e-11
+
+
+def test_grid_transform_round_trips():
+    rng = np.random.default_rng(7)
+    # points around Amsterdam / Manchester in the grids' native frames
+    for crs, (ex, ey) in {
+        "EPSG:27700": (388000.0, 393000.0),
+        "EPSG:28992": (120000.0, 487000.0),
+        "EPSG:3857": (500000.0, 6800000.0),
+    }.items():
+        x = ex + rng.uniform(-5000, 5000, 32)
+        y = ey + rng.uniform(-5000, 5000, 32)
+        lon, lat = geoproj.transform(x, y, crs, "EPSG:4326")
+        x2, y2 = geoproj.transform(lon, lat, "EPSG:4326", crs)
+        # national grids round-trip to ~1 mm, not machine precision: the
+        # 2D hub drops the ellipsoidal height a Helmert shift induces
+        # (~50 m for OSGB36), the same convention pyproj's 2D transforms
+        # use; the Helmert sets themselves are only metre-accurate vs
+        # the national correction grids anyway
+        assert np.max(np.abs(x2 - x)) < 2e-3
+        assert np.max(np.abs(y2 - y)) < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# THE golden run: get_canopy_percentage → "12.31%"
+# ---------------------------------------------------------------------------
+
+
+def _canopy_inputs():
+    poi = read_gpkg(os.path.join(TD, "AMS_canopy_example.gpkg"))
+    seg = read_gpkg(os.path.join(TD, "AMS_canopy_segment.gpkg"))
+    # reference: "Adjusting CRS of Greenspace file to match with Point
+    # of Interest CRS" — canopy 3857 → PoI 28992 (availability.py:633-637)
+    can = polygons_to_rings(seg, dst_crs="EPSG:28992")
+    return poi, can
+
+
+def test_canopy_percentage_golden_kernel():
+    """Straight-line replay of availability.py:764 on the real fixtures:
+    sum(clip(aoi).area) / aoi.area, 64-gon buffer (geopandas default
+    resolution=16), no dissolve → the README's published 12.31%."""
+    poi, can = _canopy_inputs()
+    px = poi.column("x")[0].as_py()
+    py = poi.column("y")[0].as_py()
+    aoi = geom.buffer_ngon(px, py, 250.0, 16)
+    aoi_area = geom.polygon_area(aoi)
+    tot = 0.0
+    for rlist in can.column("rings").to_pylist():
+        rings = [np.array([[p["x"], p["y"]] for p in ring]) for ring in rlist]
+        tot += geom.overlay_area([rings, [aoi]], "intersection")
+    assert round(tot / aoi_area * 100.0, 2) == 12.31
+
+
+def test_canopy_percentage_golden_pipeline(ray_session):
+    """The same golden number through the DISTRIBUTED path: Ray Dataset
+    of the PoI → broadcast canopy table → PolygonCoverage actor pool
+    with the reference's stringified output ("12.31%")."""
+    import pyarrow as pa
+
+    import ray
+
+    from greenex_py_ray.stages.coverage import PolygonCoverage
+
+    poi, can = _canopy_inputs()
+    ds = ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(["poi-0"]),
+            "x": poi.column("x"),
+            "y": poi.column("y"),
+        })
+    )
+    out = ds.map_batches(
+        PolygonCoverage,
+        fn_constructor_kwargs=dict(
+            polys_ref=ray.put(can), buffer_dist=250.0, key_col="doc_id",
+            name="canopy_cover", stringify=True, quad_segs=16,
+            dissolve=False,
+        ),
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.25,
+    ).to_pandas()
+    assert out["canopy_cover"].tolist() == ["12.31%"]
