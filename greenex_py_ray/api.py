@@ -56,9 +56,131 @@ def _resolve_buffer(buffer_dist, travel_speed, trip_time):
     return buffer_dist
 
 
+def _docs_from_gpkg(path: str) -> "ray.data.Dataset":
+    """GeoPackage point layer → a spans-documents-shaped Dataset.
+
+    Reference users hand every function a ``.gpkg`` path
+    (``gpd.read_file``, availability.py:45-48); this adapter reads it
+    with the stdlib GPKG reader and wraps each point as a one-geom-span
+    document, so every downstream stage (decode, joins, span
+    passthrough) runs unchanged.  ``doc_id`` follows the reference's id
+    assignment (M4): the layer's ``id`` column when present and
+    non-null, else 1..n in file order."""
+    import pyarrow as pa
+
+    from .sources.gpkg import read_gpkg
+
+    t = read_gpkg(path)
+    n = t.num_rows
+    if "id" in t.column_names and t.column("id").null_count == 0:
+        ids = [str(v) for v in t.column("id").to_pylist()]
+    else:
+        ids = [str(i + 1) for i in range(n)]
+    x = t.column("x").to_pylist()
+    y = t.column("y").to_pylist()
+    spans = [[{"kind": "geom", "text": f"POINT({x[i]!r} {y[i]!r})",
+               "media_ref": "", "offset": 0}] for i in range(n)]
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "spans": pa.array(spans, pa.list_(span_t)),
+    }))
+
+
 def _poi(poi) -> "ray.data.Dataset":
+    if isinstance(poi, str) and poi.lower().endswith(".gpkg"):
+        return _docs_from_gpkg(poi)
     docs = doc_src.read_documents(poi) if isinstance(poi, str) else poi
     return docs
+
+
+def _poi_crs(poi) -> str | None:
+    """CRS tag of a ``.gpkg`` PoI input (None for spans tables, which
+    live in the engine's working frame) — the target CRS for vector
+    side inputs, like the reference's ``to_crs(poi.crs)``."""
+    if isinstance(poi, str) and poi.lower().endswith(".gpkg"):
+        from .sources.gpkg import gpkg_crs
+
+        return gpkg_crs(poi)
+    return None
+
+
+def _vector_table(src, dst_crs: str | None = None):
+    """Polygon side input: parquet rings table, or a ``.gpkg`` polygon
+    layer converted into the engine's rings model (reprojected to the
+    PoI CRS like the reference's ``to_crs``, availability.py:633-637)
+    with area/centroid columns appended."""
+    if not (isinstance(src, str) and src.lower().endswith(".gpkg")):
+        return pq.read_table(src)
+    import numpy as np
+    import pyarrow as pa
+
+    from . import geom
+    from .sources.gpkg import polygons_to_rings, read_gpkg
+
+    t = polygons_to_rings(read_gpkg(src), dst_crs=dst_crs)
+    areas, cxs, cys = [], [], []
+    for rlist in t.column("rings").to_pylist():
+        rings = [np.array([[p["x"], p["y"]] for p in ring]) for ring in rlist]
+        a, cx, cy = geom.overlay_moments([rings], "union")
+        areas.append(a)
+        cxs.append(cx)
+        cys.append(cy)
+    return (t.append_column("area", pa.array(areas, pa.float64()))
+             .append_column("centroid_x", pa.array(cxs, pa.float64()))
+             .append_column("centroid_y", pa.array(cys, pa.float64())))
+
+
+def _tiles(src: str, band: str):
+    """Raster side input: a tile-store dir, or a ``.tif`` ingested into
+    one (cached under /tmp keyed by path+mtime).  Returns
+    ``(tile_dir, (shift_x, shift_y))`` — the translation into the tile
+    store's local frame, to be applied to the PoI coordinates (areas and
+    distances are translation-invariant)."""
+    if not (isinstance(src, str) and src.lower().endswith((".tif", ".tiff"))):
+        return src, (0.0, 0.0)
+    import hashlib
+    import json
+    import os
+
+    from .sources.geotiff import ingest_to_tiles
+
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{band}".encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/greenex_ingest_{key}"
+    marker = os.path.join(out, "DONE")
+    if not os.path.exists(marker):
+        info = ingest_to_tiles(src, out, band)
+        with open(marker, "w") as f:
+            json.dump(info, f)
+    with open(marker) as f:
+        info = json.load(f)
+    from .sources import synth as _synth
+
+    if abs(info["res"] - _synth.RASTER_RES) > 1e-9:
+        raise ValueError(
+            f"{src}: pixel size {info['res']} != the engine lattice "
+            f"{_synth.RASTER_RES}; regrid first (stages/regrid.py)"
+        )
+    return out, (float(info["shift_x"]), float(info["shift_y"]))
+
+
+def _shift_xy(pts: "ray.data.Dataset", dx: float, dy: float):
+    if dx == 0.0 and dy == 0.0:
+        return pts
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add(b: pa.Table) -> pa.Table:
+        b = b.set_column(b.schema.get_field_index("x"), "x",
+                         pc.add(b.column("x"), pa.scalar(dx, pa.float64())))
+        return b.set_column(b.schema.get_field_index("y"), "y",
+                            pc.add(b.column("y"), pa.scalar(dy, pa.float64())))
+
+    return pts.map_batches(add, batch_format="pyarrow")
 
 
 def _attach(docs, metrics):
@@ -79,12 +201,14 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    tile_dir, shift = _tiles(ndvi_tile_dir, "ndvi")
+    pts = _shift_xy(pts, *shift)
     if buffer_type == "euclidean":
-        metrics = _av.mean_ndvi(pts, ndvi_tile_dir, dist, concurrency=concurrency)
+        metrics = _av.mean_ndvi(pts, tile_dir, dist, concurrency=concurrency)
     else:
         metrics = _av.mean_ndvi_isochrone(
             pts, pq.read_table(network_nodes_file), pq.read_table(network_edges_file),
-            ndvi_tile_dir, buffer_dist=dist, concurrency=concurrency,
+            tile_dir, buffer_dist=dist, concurrency=concurrency,
         )
     return _attach(docs, metrics)
 
@@ -93,14 +217,21 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
                               buffer_dist: float = 500.0,
                               stringify: bool = True,
                               concurrency: int | None = None,
+                              classmap: dict[int, str] | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
-    """availability.get_landcover_percentages (availability.py:344-597)."""
+    """availability.get_landcover_percentages (availability.py:344-597).
+
+    ``classmap`` maps raster class codes to column names (the
+    reference's esa_landcover dict); defaults to the synthetic world's
+    classes — pass your raster's own codes for file inputs."""
     _validate_positive("buffer_dist", buffer_dist)
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    tile_dir, shift = _tiles(landcover_tile_dir, "lulc")
+    pts = _shift_xy(pts, *shift)
     metrics = _av.landcover_percentages(
-        pts, landcover_tile_dir, buffer_dist, stringify=stringify,
-        concurrency=concurrency,
+        pts, tile_dir, buffer_dist, stringify=stringify,
+        concurrency=concurrency, classmap=classmap,
     )
     return _attach(docs, metrics)
 
@@ -114,8 +245,9 @@ def get_canopy_percentage(poi, canopy_vector_file: str,
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     metrics = _av.canopy_percentage(
-        pts, pq.read_table(canopy_vector_file), buffer_dist,
-        stringify=stringify, concurrency=concurrency,
+        pts, _vector_table(canopy_vector_file, dst_crs=_poi_crs(poi)),
+        buffer_dist, stringify=stringify, concurrency=concurrency,
+        dissolve=False,
     )
     return _attach(docs, metrics)
 
@@ -132,8 +264,8 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     metrics = _av.greenspace_percentage(
-        pts, pq.read_table(greenspace_vector_file), dist,
-        stringify=stringify, concurrency=concurrency,
+        pts, _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi)),
+        dist, stringify=stringify, concurrency=concurrency,
     )
     return _attach(docs, metrics)
 
@@ -156,7 +288,7 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     flag = f"greenspace_within_{int(target_dist)}m"
-    gs = pq.read_table(greenspace_vector_file)
+    gs = _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi))
     if distance_type == "euclidean" and destination == "centroids":
         import pyarrow as pa
 

@@ -171,7 +171,14 @@ def heavy_pool(concurrency=None) -> dict:
     gets all-but-two CPUs reserved up front.  Rule: at most ONE heavy
     pool per pipeline — the two spare CPUs keep reads/shuffles moving.
     """
-    if concurrency is not None and not isinstance(concurrency, tuple):
+    if isinstance(concurrency, tuple):
+        # a tuple spec pins the pool at its MAX (heavy stages need a
+        # fixed pool; silently ignoring the caller's width made a
+        # (1, 4) gate spec into a 16-actor pool whose ramp dominated
+        # small inputs)
+        n = max(1, int(concurrency[-1]))
+        return dict(concurrency=(n, n), num_cpus=1)
+    if concurrency is not None:
         n = max(1, int(concurrency))
         return dict(concurrency=(n, n), num_cpus=1)
     try:

@@ -180,11 +180,14 @@ def canopy_percentage(
     stringify: bool = False,
     name: str = "canopy_cover",
     aoi_shape: str = "circle",
+    dissolve: bool = True,
 ) -> "ray.data.Dataset":
     """get_canopy_percentage (availability.py:600-780): percent of the
     buffer AoI covered by canopy polygons (broadcast small side).
     ``aoi_shape="square"`` is the SQL-verifiable gate form (exact square
-    AoI instead of the shapely 64-gon buffer)."""
+    AoI instead of the shapely 64-gon buffer); ``dissolve=False``
+    reproduces the reference's raw ``clip().area.sum()`` (overlaps
+    double-count, availability.py:764)."""
     import pyarrow as pa  # noqa: F811
 
     import ray as _ray
@@ -197,6 +200,7 @@ def canopy_percentage(
         fn_constructor_kwargs=dict(
             polys_ref=ref, buffer_dist=buffer_dist, key_col=key_col,
             name=name, stringify=stringify, aoi_shape=aoi_shape,
+            dissolve=dissolve,
         ),
         batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )

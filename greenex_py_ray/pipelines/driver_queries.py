@@ -190,9 +190,13 @@ def q_zonal_mean_ndvi(sf_dir: str):
     """Zonal NDVI mean/std per doc against the synthetic tile store
     (SURVEY M14/A1: clamp ≥0, population std, round 3)."""
     ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    # explicit small fixed pool: heavy_pool() used to ignore tuple
+    # specs, so (1, 4) silently became a 16-actor fixed pool whose ramp
+    # dominated this 5k-row gate (~0.5 s measured — the round-2
+    # zonal_mean_ndvi "regression")
     return availability.mean_ndvi(
         ds.select_columns(["doc_id", "x", "y"]), _world_tiles_root(), NDVI_RADIUS,
-        key_col="doc_id", concurrency=(1, 4),
+        key_col="doc_id", concurrency=4,
     )
 
 
@@ -201,7 +205,7 @@ def q_landcover_pct(sf_dir: str):
     ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
     return availability.landcover_percentages(
         ds.select_columns(["doc_id", "x", "y"]), _world_tiles_root(), LULC_RADIUS,
-        key_col="doc_id", concurrency=(1, 4), stringify=False,
+        key_col="doc_id", concurrency=4, stringify=False,
     )
 
 

@@ -128,7 +128,21 @@ def ingest_to_tiles(path: str, out_dir: str, band: str,
     res = meta["res_x"]
     if abs(meta["res_y"] - res) > 1e-9:
         raise ValueError("non-square pixels not supported")
-    south = np.flipud(arr)  # row 0 = southmost, matching the tile store
+    # store in the band's canonical TileStore dtype (state/tiles.py
+    # decodes via BAND_DTYPE); integer bands can't hold NaN — keep the
+    # raster's own nodata sentinel there
+    from . import synth as _synth
+
+    dtype = _synth.BAND_DTYPE.get(band, np.float64)
+    if not np.issubdtype(dtype, np.floating):
+        fill = 0.0
+        if meta["nodata"] is not None:
+            try:
+                fill = float(meta["nodata"])
+            except ValueError:
+                pass
+        arr = np.where(np.isfinite(arr), arr, fill)
+    south = np.flipud(arr).astype(dtype)  # row 0 = southmost (tile store)
     h, w = south.shape
     # model coords of the raster's south-west OUTER corner
     sw_x = meta["x0"]
@@ -139,9 +153,10 @@ def ingest_to_tiles(path: str, out_dir: str, band: str,
     os.makedirs(out_dir, exist_ok=True)
     rows = {k: [] for k in ("tile_id", "band", "tix", "tiy", "x0", "y0",
                             "res", "w", "h", "data")}
+    pad = np.nan if np.issubdtype(dtype, np.floating) else fill
     for tix in range(ntx):
         for tiy in range(nty):
-            tile = np.full((tile_px, tile_px), np.nan)
+            tile = np.full((tile_px, tile_px), pad, dtype=dtype)
             src = south[tiy * tile_px:(tiy + 1) * tile_px,
                         tix * tile_px:(tix + 1) * tile_px]
             tile[: src.shape[0], : src.shape[1]] = src

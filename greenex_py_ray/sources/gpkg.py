@@ -158,6 +158,22 @@ def read_gpkg(path: str, layer: str | None = None) -> pa.Table:
     return t.replace_schema_metadata({b"crs": f"EPSG:{srs}".encode()})
 
 
+def gpkg_crs(path: str, layer: str | None = None) -> str:
+    """CRS tag (``EPSG:<srs_id>``) of a layer — metadata-only query."""
+    con = sqlite3.connect(path)
+    try:
+        rows = con.execute(
+            "SELECT table_name, srs_id FROM gpkg_geometry_columns"
+        ).fetchall()
+    finally:
+        con.close()
+    if layer is not None:
+        rows = [r for r in rows if r[0] == layer]
+    if not rows:
+        raise ValueError(f"no feature layer {layer!r} in {path}")
+    return f"EPSG:{rows[0][1]}"
+
+
 def polygons_to_rings(t: pa.Table, dst_crs: str | None = None,
                       id_col: str | None = None) -> pa.Table:
     """Flattened ``ring_x``/``ring_y``/``ring_sizes`` (as produced by

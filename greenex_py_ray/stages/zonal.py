@@ -465,9 +465,17 @@ class ZonalStatsLocal:
             self._sat[key] = None
             return None
         v = np.maximum(arr, self.clamp_min) if self.clamp_min is not None else arr
+        # nodata (NaN) pixels contribute nothing — the reference's
+        # xarray mean/std skip NaN (skipna).  On the all-finite
+        # synthetic world fin is all-ones, so c1/c2/c0 and every chord
+        # segment are bit-identical to the unmasked form (gates green).
+        fin = np.isfinite(arr)
+        if not fin.all():
+            v = np.where(fin, v, 0.0)
         c1 = np.cumsum(v, axis=1)
         c2 = np.cumsum(v * v, axis=1)
-        self._sat[key] = (c1, c2, arr.shape[0], arr.shape[1])
+        c0 = np.cumsum(fin, axis=1, dtype=np.int64)
+        self._sat[key] = (c1, c2, c0, arr.shape[0], arr.shape[1])
         if len(self._sat) > 512:
             self._sat.pop(next(iter(self._sat)))
         return self._sat[key]
@@ -483,14 +491,14 @@ class ZonalStatsLocal:
         if sat is None:
             z = np.zeros(m)
             return z, z.copy(), np.zeros(m, dtype=np.int64)
-        c1, c2, h, w = sat
+        c1, c2, c0, h, w = sat
         rows_c, lo, hi, use = _disk_chords(
             x, y, self.radius, tix * synth.TILE_SIZE, tiy * synth.TILE_SIZE,
             h, w)
         lo1 = np.maximum(lo - 1, 0)
         seg1 = c1[rows_c, hi] - np.where(lo > 0, c1[rows_c, lo1], 0.0)
         seg2 = c2[rows_c, hi] - np.where(lo > 0, c2[rows_c, lo1], 0.0)
-        cnt = (hi - lo + 1) * use
+        cnt = (c0[rows_c, hi] - np.where(lo > 0, c0[rows_c, lo1], 0)) * use
         return (
             np.where(use, seg1, 0.0).sum(axis=1),
             np.where(use, seg2, 0.0).sum(axis=1),

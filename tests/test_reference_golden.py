@@ -213,6 +213,60 @@ def test_canopy_percentage_golden_kernel():
     assert round(tot / aoi_area * 100.0, 2) == 12.31
 
 
+def test_canopy_percentage_golden_api_files(ray_session):
+    """The golden 12.31% through the PUBLIC API handed the reference's
+    own file paths — the exact call a reference user makes
+    (README.md:200-205): gpkg PoI + gpkg canopy, 3857→28992 reproject,
+    euclidean 250 m, stringified output."""
+    import greenex_py_ray as gx
+
+    out = gx.get_canopy_percentage(
+        os.path.join(TD, "AMS_canopy_example.gpkg"),
+        os.path.join(TD, "AMS_canopy_segment.gpkg"),
+        buffer_dist=250.0,
+    ).to_pandas()
+    assert out["canopy_cover"].tolist() == ["12.31%"]
+
+
+def test_mean_ndvi_api_real_raster(ray_session):
+    """get_mean_NDVI over the reference's ACTUAL GM fixtures (gpkg
+    points + GeoTIFF NDVI raster) — engine output vs a straight-line
+    numpy replay of availability.py:289 on the same raster.  (The
+    README's published NDVI numbers used a live Planetary Computer
+    scene, so the reference's own values are not offline-replayable;
+    this pins the full file→ingest→shift→zonal path instead.)"""
+    import greenex_py_ray as gx
+
+    poi_path = os.path.join(TD, "GM_home_locations3.gpkg")
+    tif = os.path.join(TD, "GM_NDVI_data_test.tif")
+    out = gx.get_mean_NDVI(poi_path, tif, buffer_dist=300.0).to_pandas()
+    out = out.set_index("doc_id")
+    assert len(out) == 3
+
+    # straight-line oracle: same clamp>=0 / population-std / round-3
+    arr, meta = read_geotiff(tif)
+    south = np.flipud(arr)
+    res = meta["res_x"]
+    sw_x, sw_y = meta["x0"], meta["y0"] - arr.shape[0] * res
+    pts = read_gpkg(poi_path)
+    for i, (x, y) in enumerate(zip(pts.column("x").to_numpy(),
+                                   pts.column("y").to_numpy())):
+        lx, ly = x - sw_x, y - sw_y
+        rr, cc = np.meshgrid(np.arange(south.shape[0]),
+                             np.arange(south.shape[1]), indexing="ij")
+        px = (cc + 0.5) * res
+        py = (rr + 0.5) * res
+        m = (px - lx) ** 2 + (py - ly) ** 2 <= 300.0 ** 2
+        vals = south[m]
+        vals = vals[np.isfinite(vals)]
+        vals = np.maximum(vals, 0.0)
+        want_mean = round(float(vals.mean()), 3)
+        want_std = round(float(vals.std()), 3)
+        got = out.loc[str(i + 1)]
+        assert got["mean_NDVI"] == want_mean, (i, got["mean_NDVI"], want_mean)
+        assert got["std_NDVI"] == want_std
+
+
 def test_canopy_percentage_golden_pipeline(ray_session):
     """The same golden number through the DISTRIBUTED path: Ray Dataset
     of the PoI → broadcast canopy table → PolygonCoverage actor pool
