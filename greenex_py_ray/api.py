@@ -132,6 +132,17 @@ def _vector_table(src, dst_crs: str | None = None):
              .append_column("centroid_y", pa.array(cys, pa.float64())))
 
 
+#: ESA WorldCover class legend (public; the reference's only landcover
+#: source is the esa-worldcover collection, availability.py:439, whose
+#: STAC classification metadata carries exactly these descriptions)
+_WORLDCOVER_LEGEND = {
+    10: "Tree cover", 20: "Shrubland", 30: "Grassland", 40: "Cropland",
+    50: "Built-up", 60: "Bare / sparse vegetation", 70: "Snow and ice",
+    80: "Permanent water bodies", 90: "Herbaceous wetland",
+    95: "Mangroves", 100: "Moss and lichen",
+}
+
+
 def _tiles(src: str, band: str):
     """Raster side input: a tile-store dir, or a ``.tif`` ingested into
     one (cached under /tmp keyed by path+mtime).  Returns
@@ -139,7 +150,7 @@ def _tiles(src: str, band: str):
     store's local frame, to be applied to the PoI coordinates (areas and
     distances are translation-invariant)."""
     if not (isinstance(src, str) and src.lower().endswith((".tif", ".tiff"))):
-        return src, (0.0, 0.0)
+        return src, (0.0, 0.0), {}
     import hashlib
     import json
     import os
@@ -165,7 +176,7 @@ def _tiles(src: str, band: str):
             f"{src}: pixel size {info['res']} != the engine lattice "
             f"{_synth.RASTER_RES}; regrid first (stages/regrid.py)"
         )
-    return out, (float(info["shift_x"]), float(info["shift_y"]))
+    return out, (float(info["shift_x"]), float(info["shift_y"])), info
 
 
 def _shift_xy(pts: "ray.data.Dataset", dx: float, dy: float):
@@ -201,7 +212,7 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
-    tile_dir, shift = _tiles(ndvi_tile_dir, "ndvi")
+    tile_dir, shift, _ = _tiles(ndvi_tile_dir, "ndvi")
     pts = _shift_xy(pts, *shift)
     if buffer_type == "euclidean":
         metrics = _av.mean_ndvi(pts, tile_dir, dist, concurrency=concurrency)
@@ -221,13 +232,23 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_landcover_percentages (availability.py:344-597).
 
-    ``classmap`` maps raster class codes to column names (the
-    reference's esa_landcover dict); defaults to the synthetic world's
-    classes — pass your raster's own codes for file inputs."""
+    ``classmap`` maps raster class codes to column names.  Default: for
+    a ``.tif`` input the classmap is derived from the raster's own
+    distinct codes — ESA WorldCover legend names where the codes match
+    that public legend, the numeric code otherwise — mirroring the
+    reference, which takes the legend from the source's classification
+    metadata and passes unknown codes through numerically
+    (availability.py:447-450,556); for a prebuilt tile store it defaults
+    to the synthetic world's classes."""
     _validate_positive("buffer_dist", buffer_dist)
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
-    tile_dir, shift = _tiles(landcover_tile_dir, "lulc")
+    tile_dir, shift, info = _tiles(landcover_tile_dir, "lulc")
+    if classmap is None and info.get("codes"):
+        nodata = info.get("nodata_code")
+        classmap = {c: _WORLDCOVER_LEGEND.get(
+                        c, "nodata" if c == nodata else str(c))
+                    for c in info["codes"]}
     pts = _shift_xy(pts, *shift)
     metrics = _av.landcover_percentages(
         pts, tile_dir, buffer_dist, stringify=stringify,

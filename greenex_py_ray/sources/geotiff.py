@@ -184,5 +184,14 @@ def ingest_to_tiles(path: str, out_dir: str, band: str,
     })
     pq.write_table(t, os.path.join(out_dir, f"tiles_{band}.parquet"),
                    row_group_size=4)
-    return {"shift_x": shift_x, "shift_y": shift_y, "res": res,
+    info = {"shift_x": shift_x, "shift_y": shift_y, "res": res,
             "width": w, "height": h, "nodata": meta["nodata"]}
+    if not np.issubdtype(dtype, np.floating):
+        # categorical band: record the distinct class codes so callers
+        # can derive a classmap from the raster itself — the reference
+        # takes its classmap from the source's classification metadata
+        # and passes unknown codes through numerically
+        # (availability.py:447-450,556 ``classmap.get(x, x)``)
+        info["codes"] = sorted(int(c) for c in np.unique(south).tolist())
+        info["nodata_code"] = int(fill)
+    return info

@@ -150,6 +150,11 @@ class ZonalStatsPartial:
             )
             if len(vals) == 0:
                 continue
+            # skip nodata (NaN) pixels — same skipna semantics as the
+            # fused path's finite-masked SATs; no-op on the synth world
+            fin = np.isfinite(vals)
+            if not fin.all():
+                li, vals = li[fin], vals[fin]
             if self.clamp_min is not None:
                 vals = np.maximum(vals, self.clamp_min)
             rows = sel[li]

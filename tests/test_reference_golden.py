@@ -267,6 +267,66 @@ def test_mean_ndvi_api_real_raster(ray_session):
         assert got["std_NDVI"] == want_std
 
 
+def test_landcover_api_real_raster(ray_session):
+    """get_landcover_percentages over the real GM fixtures (gpkg points
+    + int16 landcover GeoTIFF with a user classmap) — engine per-class
+    percentages vs a direct numpy replay.  All three PoI disks are
+    interior to the raster, so extent/padding effects cannot blur the
+    comparison."""
+    import greenex_py_ray as gx
+
+    poi_path = os.path.join(TD, "GM_home_locations3.gpkg")
+    tif = os.path.join(TD, "GM_landcover_data_test.tif")
+    arr, meta = read_geotiff(tif)
+    res = meta["res_x"]
+    south = np.flipud(arr)
+    sw_x, sw_y = meta["x0"], meta["y0"] - arr.shape[0] * res
+    codes = sorted(set(np.unique(arr[np.isfinite(arr)]).astype(int).tolist()))
+    classmap = {c: f"lc_{c}" for c in codes}
+    classmap[-32768] = "nodata"
+
+    out = gx.get_landcover_percentages(
+        poi_path, tif, buffer_dist=500.0, stringify=False, classmap=classmap,
+    ).to_pandas().set_index("doc_id")
+    assert len(out) == 3
+
+    pts = read_gpkg(poi_path)
+    canvas = np.where(np.isfinite(south), south, -32768.0)
+    for i, (x, y) in enumerate(zip(pts.column("x").to_numpy(),
+                                   pts.column("y").to_numpy())):
+        lx, ly = x - sw_x, y - sw_y
+        rr, cc = np.meshgrid(np.arange(south.shape[0]),
+                             np.arange(south.shape[1]), indexing="ij")
+        m = (((cc + 0.5) * res - lx) ** 2
+             + ((rr + 0.5) * res - ly) ** 2) <= 500.0 ** 2
+        vals = canvas[m]
+        got = out.loc[str(i + 1)]
+        for c in sorted(classmap):
+            want = round(float((vals == c).sum()) / vals.size * 100.0, 3)
+            assert got[classmap[c]] == want, (i, c, got[classmap[c]], want)
+
+
+def test_landcover_api_default_classmap_from_raster(ray_session):
+    """With classmap=None a .tif input derives its classmap from the
+    raster's own distinct codes (numeric passthrough for codes outside
+    the WorldCover legend — reference availability.py:556
+    ``classmap.get(x, x)``) instead of the synth-world default, which
+    would silently histogram nothing."""
+    import greenex_py_ray as gx
+
+    out = gx.get_landcover_percentages(
+        os.path.join(TD, "GM_home_locations3.gpkg"),
+        os.path.join(TD, "GM_landcover_data_test.tif"),
+        buffer_dist=500.0, stringify=False,
+    ).to_pandas().set_index("doc_id")
+    # GM raster is UK CEH-coded (1001..2005): numeric passthrough columns
+    assert "1001" in out.columns and "nodata" in out.columns
+    pct = out.drop(columns=["spans"])
+    # every PoI's class percentages sum to ~100 (nodata included)
+    assert np.allclose(pct.sum(axis=1).to_numpy(), 100.0, atol=0.1)
+    assert (pct["1001"] > 0).all()  # broadleaf woodland present at all 3
+
+
 def test_canopy_percentage_golden_pipeline(ray_session):
     """The same golden number through the DISTRIBUTED path: Ray Dataset
     of the PoI → broadcast canopy table → PolygonCoverage actor pool
