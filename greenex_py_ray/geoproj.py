@@ -462,11 +462,17 @@ def _parse_crs(tag: str):
         z = t[4:]
         south = z.endswith("S")
         return ("utm", int(z.rstrip("NS")), south)
+    # standard EPSG codes for WGS84/UTM: 326xx = zone xx north,
+    # 327xx = zone xx south (what a user's UTM files actually carry)
+    if t.startswith("EPSG:326") and len(t) == 10 and t[8:].isdigit():
+        return ("utm", int(t[8:]), False)
+    if t.startswith("EPSG:327") and len(t) == 10 and t[8:].isdigit():
+        return ("utm", int(t[8:]), True)
     if t in GRIDS:
         return ("grid", t)
     raise ValueError(f"unsupported CRS tag {tag!r} (supported: EPSG:4326, "
                      "EPSG:3395, EPSG:3857, EPSG:27700, EPSG:28992, "
-                     "UTM:<zone><N|S>)")
+                     "EPSG:326xx/327xx (UTM), UTM:<zone><N|S>)")
 
 
 def transform(x, y, src: str, dst: str):

@@ -49,6 +49,8 @@ _Y = dt.SQL_Y.format(k="doc_id")
 _GX = dt.SQL_X.format(k="p_partkey")
 _GY = dt.SQL_Y.format(k="p_partkey")
 _CELL = dt.SQL_CELL.format(k="doc_id", cs=CELL_SIZE)
+_CX = dt.SQL_X.format(k="c_custkey")
+_CY = dt.SQL_Y.format(k="c_custkey")
 
 #: world pixel index bounds of the synthetic tile store (8×8 tiles of
 #: 256 px → indices 0..2047); SQL pixel loops are clamped to this range
@@ -142,6 +144,52 @@ def q_pip_count_shuffle(sf_dir: str):
         cell_size=CELL_SIZE, hot_threshold=20, target_per_salt=10,
     )
     return pairs.groupby("gs_id").aggregate(Count(alias_name="n_docs"))
+
+
+def _stac_catalog_from_supplier(sf_dir: str) -> pa.Table:
+    """Synthetic STAC item catalog derived from ``supplier`` (small side —
+    broadcast): footprint bbox, cloud cover and acquisition year all
+    arithmetic in s_suppkey.  Pre-filtered to year == 2021, mirroring the
+    reference's datetime search window (availability.py:158-163)."""
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    year = 2020 + (k * 13 % 2)
+    k = k[year == 2021]
+    cx, cy = dt.derive_xy(k)
+    hw = 3000.0 + (k * 17 % 4000).astype(np.float64)
+    hh = 3000.0 + (k * 31 % 4000).astype(np.float64)
+    cloud = (k * 7919 % 997) / 25.0
+    return pa.table({
+        "item_id": pa.array(k), "x0": pa.array(cx - hw), "y0": pa.array(cy - hh),
+        "x1": pa.array(cx + hw), "y1": pa.array(cy + hh),
+        "cloud_cover": pa.array(cloud),
+    })
+
+
+def q_stac_lowest_cloud(sf_dir: str):
+    """Lowest-cloud STAC item per AoI (SURVEY A9: the reference's
+    planetary-computer argmin selection, availability.py:157-175, made
+    per-AoI).  Catalog broadcast; AoIs stream; no shuffle."""
+    from ..stages.stac import LowestCloudSelector
+
+    cat_ref = ray.put(_stac_catalog_from_supplier(sf_dir))
+    ds = dt.read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def aoi(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = dt.derive_xy(k)
+        half = 50.0 + (k * 11 % 200).astype(np.float64)
+        return pa.table({
+            "aoi_id": pa.array(k), "x0": pa.array(cx - half), "y0": pa.array(cy - half),
+            "x1": pa.array(cx + half), "y1": pa.array(cy + half),
+        })
+
+    a = ds.map_batches(aoi, batch_format="pyarrow", zero_copy_batch=True)
+    return a.map_batches(
+        LowestCloudSelector,
+        fn_constructor_kwargs=dict(catalog_ref=cat_ref, max_cloud=20.0),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.25,
+    )
 
 
 def q_line_buffer_ndvi(sf_dir: str):
@@ -577,6 +625,38 @@ ORACLE_SQL: dict[str, str] = {
                round(rawd, 0) <= {KNN_TARGET} AS greenspace_within_target,
                gs_id AS nearest_gs_id
         FROM d WHERE rn = 1
+    """,
+    "stac_lowest_cloud": f"""
+        WITH items AS (
+          SELECT s_suppkey AS item_id,
+                 {dt.SQL_X.format(k="s_suppkey")} - (3000.0 + (s_suppkey * 17) % 4000) AS x0,
+                 {dt.SQL_X.format(k="s_suppkey")} + (3000.0 + (s_suppkey * 17) % 4000) AS x1,
+                 {dt.SQL_Y.format(k="s_suppkey")} - (3000.0 + (s_suppkey * 31) % 4000) AS y0,
+                 {dt.SQL_Y.format(k="s_suppkey")} + (3000.0 + (s_suppkey * 31) % 4000) AS y1,
+                 ((s_suppkey * 7919) % 997) / 25.0 AS cloud_cover
+          FROM supplier
+          WHERE (2020 + (s_suppkey * 13) % 2) = 2021
+            AND ((s_suppkey * 7919) % 997) / 25.0 < 20.0
+        ),
+        aoi AS (
+          SELECT c_custkey AS aoi_id,
+                 {_CX} - (50.0 + (c_custkey * 11) % 200) AS x0,
+                 {_CX} + (50.0 + (c_custkey * 11) % 200) AS x1,
+                 {_CY} - (50.0 + (c_custkey * 11) % 200) AS y0,
+                 {_CY} + (50.0 + (c_custkey * 11) % 200) AS y1
+          FROM customer
+        ),
+        j AS (
+          SELECT aoi.aoi_id, items.item_id, items.cloud_cover,
+                 row_number() OVER (
+                   PARTITION BY aoi.aoi_id
+                   ORDER BY items.cloud_cover ASC, items.item_id ASC
+                 ) AS rn
+          FROM aoi JOIN items
+            ON aoi.x0 >= items.x0 AND aoi.x1 <= items.x1
+           AND aoi.y0 >= items.y0 AND aoi.y1 <= items.y1
+        )
+        SELECT aoi_id, item_id, cloud_cover FROM j WHERE rn = 1
     """,
     "pip_count_shuffle": f"""
         WITH docs AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
@@ -1837,6 +1917,7 @@ QUERIES = {
     "knn_greenspace": q_knn_greenspace,
     "pip_count": q_pip_count,
     "pip_count_shuffle": q_pip_count_shuffle,
+    "stac_lowest_cloud": q_stac_lowest_cloud,
     "zonal_mean_ndvi": q_zonal_mean_ndvi,
     "landcover_pct": q_landcover_pct,
     "dedup_exact": q_dedup_exact,

@@ -475,11 +475,15 @@ class ZonalStatsLocal:
         # synthetic world fin is all-ones, so c1/c2/c0 and every chord
         # segment are bit-identical to the unmasked form (gates green).
         fin = np.isfinite(arr)
-        if not fin.all():
+        allfin = bool(fin.all())
+        if not allfin:
             v = np.where(fin, v, 0.0)
         c1 = np.cumsum(v, axis=1)
         c2 = np.cumsum(v * v, axis=1)
-        c0 = np.cumsum(fin, axis=1, dtype=np.int64)
+        # all-finite tiles (the common case) need no count table: the
+        # chord count is analytic (hi-lo+1), saving one int64 cumsum per
+        # tile and two gathers per point-tile pair
+        c0 = None if allfin else np.cumsum(fin, axis=1, dtype=np.int64)
         self._sat[key] = (c1, c2, c0, arr.shape[0], arr.shape[1])
         if len(self._sat) > 512:
             self._sat.pop(next(iter(self._sat)))
@@ -503,7 +507,10 @@ class ZonalStatsLocal:
         lo1 = np.maximum(lo - 1, 0)
         seg1 = c1[rows_c, hi] - np.where(lo > 0, c1[rows_c, lo1], 0.0)
         seg2 = c2[rows_c, hi] - np.where(lo > 0, c2[rows_c, lo1], 0.0)
-        cnt = (c0[rows_c, hi] - np.where(lo > 0, c0[rows_c, lo1], 0)) * use
+        if c0 is None:  # all-finite tile: count is the chord length
+            cnt = (hi - lo + 1) * use
+        else:
+            cnt = (c0[rows_c, hi] - np.where(lo > 0, c0[rows_c, lo1], 0)) * use
         return (
             np.where(use, seg1, 0.0).sum(axis=1),
             np.where(use, seg2, 0.0).sum(axis=1),
