@@ -1093,7 +1093,10 @@ def _world_poi(limit: int | None = None):
     # kind/text leaves (geom WKT lives in text); media_ref/offset stay
     # on disk — 2.3× fewer bytes through the object store on the
     # DRAM-bandwidth-bound zonal scan (round-2 verdict #5)
-    docs = doc_src.read_documents_pruned(w["documents"])
+    if os.environ.get("GREENEX_PRUNED_READ", "1") == "1":
+        docs = doc_src.read_documents_pruned(w["documents"])
+    else:
+        docs = doc_src.read_documents(w["documents"])
     if limit:
         # limit BEFORE decode so a large world doesn't decode rows the
         # query then drops; repartition afterwards — a limit collapses
