@@ -194,6 +194,33 @@ def _shift_xy(pts: "ray.data.Dataset", dx: float, dy: float):
     return pts.map_batches(add, batch_format="pyarrow")
 
 
+def _shift_table(tab: "pa.Table", dx: float, dy: float,
+                 xcols=("x",), ycols=("y",)) -> "pa.Table":
+    """Translate coordinate columns of a small side-input pa.Table into
+    the tile store's local frame (the same shift `_shift_xy` applies to
+    the PoI stream — graph nodes / edge geometries must move WITH the
+    points or snapping and raster windows run in mismatched frames).
+    Handles plain float64 columns and list<double> polyline columns."""
+    if dx == 0.0 and dy == 0.0:
+        return tab
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add(col, d):
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return pa.ListArray.from_arrays(
+                ca.offsets, pc.add(ca.values, pa.scalar(d, pa.float64())))
+        return pc.add(col, pa.scalar(d, pa.float64()))
+
+    for names, d in ((xcols, dx), (ycols, dy)):
+        for name in names:
+            if name in tab.column_names:
+                i = tab.schema.get_field_index(name)
+                tab = tab.set_column(i, name, add(tab.column(name), d))
+    return tab
+
+
 def _attach(docs, metrics):
     return bucket_join_attach(docs, metrics, key="doc_id")
 
@@ -217,8 +244,13 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
     if buffer_type == "euclidean":
         metrics = _av.mean_ndvi(pts, tile_dir, dist, concurrency=concurrency)
     else:
+        # the street graph must move into the tile-local frame WITH the
+        # points: nearest-node snapping and the isochrone's raster
+        # windows otherwise compare shifted PoIs against unshifted
+        # node coordinates (silently wrong snaps / empty windows)
+        nodes = _shift_table(pq.read_table(network_nodes_file), *shift)
         metrics = _av.mean_ndvi_isochrone(
-            pts, pq.read_table(network_nodes_file), pq.read_table(network_edges_file),
+            pts, nodes, pq.read_table(network_edges_file),
             tile_dir, buffer_dist=dist, concurrency=concurrency,
         )
     return _attach(docs, metrics)
@@ -347,6 +379,17 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
         _validate_positive(n, v)
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    if isinstance(dsm_tile_dir, str) and dsm_tile_dir.lower().endswith(
+            (".tif", ".tiff")):
+        # the viewshed kernel reads THREE co-registered bands
+        # (dsm/dtm/green) from one tile store; a single GeoTIFF cannot
+        # supply them — ingest each with sources.geotiff.ingest_to_tiles
+        # into one directory and pass that
+        raise ValueError(
+            "get_viewshed_GVI needs a tile-store directory with dsm, dtm "
+            "and green bands; ingest each GeoTIFF via "
+            "sources.geotiff.ingest_to_tiles(path, out_dir, band=...) "
+            "into the same out_dir first")
     edges = _vis.edge_coords_table(network_nodes_file, network_edges_file)
     rollup, per_point = _vis.viewshed_gvi(
         pts, edges, dsm_tile_dir, buffer_dist=buffer_dist,
@@ -388,10 +431,13 @@ def get_mean_NDVI_streets(network_nodes_file: str, network_edges_file: str,
     import numpy as np
     import pyarrow as pa
 
-    edges_tbl = _vis.edge_coords_table(network_nodes_file, network_edges_file)
+    tile_dir, shift, _ = _tiles(ndvi_tile_dir, "ndvi")
+    edges_tbl = _shift_table(
+        _vis.edge_coords_table(network_nodes_file, network_edges_file), *shift,
+        xcols=("ax", "bx", "geom_x"), ycols=("ay", "by", "geom_y"))
     edges_tbl = edges_tbl.append_column(
         "edge_id", pa.array(np.arange(len(edges_tbl), dtype=np.int64)))
     return _av.mean_ndvi_line_aoi(
-        ray.data.from_arrow(edges_tbl), ndvi_tile_dir,
+        ray.data.from_arrow(edges_tbl), tile_dir,
         buffer_dist=buffer_dist, key_col="edge_id", concurrency=concurrency,
     )

@@ -458,16 +458,26 @@ def _parse_crs(tag: str):
         return ("geographic",)
     if t == "EPSG:3395":
         return ("mercator",)
+    def _zone(z: int) -> int:
+        # UTM zones are 1-60; 32661/32761 are UPS (polar stereographic,
+        # not transverse Mercator) and 32600/327xx>60 are unassigned —
+        # running them through the TM series would be silently wrong
+        if not 1 <= z <= 60:
+            raise ValueError(f"unsupported CRS tag {tag!r}: UTM zone "
+                             f"{z} is outside 1-60 (UPS/polar codes are "
+                             "not supported)")
+        return z
+
     if t.startswith("UTM:"):
         z = t[4:]
         south = z.endswith("S")
-        return ("utm", int(z.rstrip("NS")), south)
+        return ("utm", _zone(int(z.rstrip("NS"))), south)
     # standard EPSG codes for WGS84/UTM: 326xx = zone xx north,
     # 327xx = zone xx south (what a user's UTM files actually carry)
     if t.startswith("EPSG:326") and len(t) == 10 and t[8:].isdigit():
-        return ("utm", int(t[8:]), False)
+        return ("utm", _zone(int(t[8:])), False)
     if t.startswith("EPSG:327") and len(t) == 10 and t[8:].isdigit():
-        return ("utm", int(t[8:]), True)
+        return ("utm", _zone(int(t[8:])), True)
     if t in GRIDS:
         return ("grid", t)
     raise ValueError(f"unsupported CRS tag {tag!r} (supported: EPSG:4326, "

@@ -104,17 +104,23 @@ def layer_features(rows: list[dict], kind: str, src_crs: str,
       (the reference's ``poi.buffer(target_dist)`` overlay layer).
     """
     feats = []
-    for r in rows:
+    if kind == "points" and rows:
+        # one vectorized CRS transform for the whole layer — a per-row
+        # transform() pays _parse_crs + ellipsoid series setup per point
+        lons, lats = geoproj.transform(
+            np.array([r["x"] for r in rows], dtype=np.float64),
+            np.array([r["y"] for r in rows], dtype=np.float64),
+            src_crs, "EPSG:4326")
+    for ri, r in enumerate(rows):
         props = ({k: r.get(k) for k in tooltip_fields}
                  if tooltip_fields else {})
         for k, v in list(props.items()):
             if isinstance(v, (np.integer, np.floating)):
                 props[k] = v.item()
         if kind == "points":
-            lon, lat = geoproj.transform(
-                np.array([r["x"]]), np.array([r["y"]]), src_crs, "EPSG:4326")
             g = {"type": "Point",
-                 "coordinates": [round(float(lon[0]), 7), round(float(lat[0]), 7)]}
+                 "coordinates": [round(float(lons[ri]), 7),
+                                 round(float(lats[ri]), 7)]}
         elif kind == "rects":
             ring = np.array([[r["x0"], r["y0"]], [r["x1"], r["y0"]],
                              [r["x1"], r["y1"]], [r["x0"], r["y1"]]])
@@ -191,11 +197,15 @@ def write_map_html(out_path: str, layers: list[dict], title: str | None = None,
             "L.geoJSON(%s, {style: function() { return %s; },"
             " pointToLayer: function(f, ll) {"
             " return L.circleMarker(ll, %s); }%s})"
-            ".addTo(map).addTo(overlays[%s]);"
+            ".addTo(overlays[%s]);"
             % (json.dumps(lyr["geojson"]), json.dumps(lyr["style"]),
                json.dumps(lyr["style"]), tip, json.dumps(lyr["name"])))
+    # features live in their LayerGroup and the GROUP is on the map —
+    # the layer-control checkboxes reflect map.hasLayer(group), so
+    # adding features straight to the map would render them with their
+    # checkboxes unchecked (folium's behavior is checked-and-visible)
     overlay_init = "; ".join(
-        "overlays[%s] = L.layerGroup()" % json.dumps(l["name"])
+        "overlays[%s] = L.layerGroup().addTo(map)" % json.dumps(l["name"])
         for l in rendered)
     title_html = (f'<h3 style="text-align:center">{title}</h3>'
                   if title else "")  # accessibility.py:219

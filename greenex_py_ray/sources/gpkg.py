@@ -61,11 +61,16 @@ def _parse_wkb(cur: _Cursor):
     (order,) = cur.take("B")
     bo = "<" if order == 1 else ">"
     (gtype,) = cur.take(bo + "I")
-    has_z = bool(gtype & 0x80000000) or (1000 <= (gtype % 10000) // 1000 <= 3)
+    # coordinate stride: ISO type codes put Z/M in the thousands digit
+    # (1xxx=Z, 2xxx=M, 3xxx=ZM → 4 doubles per vertex), EWKB uses the
+    # top flag bits (0x80000000=Z, 0x40000000=M)
+    iso_kind = ((gtype & 0x1FFFFFFF) % 10000) // 1000
+    has_z = bool(gtype & 0x80000000) or iso_kind in (1, 3)
+    has_m = bool(gtype & 0x40000000) or iso_kind in (2, 3)
     base = gtype & 0xFF
     if base > 6:
         base = gtype % 1000
-    dim = 3 if has_z else 2
+    dim = 2 + int(has_z) + int(has_m)
 
     def coords(n):
         a = cur.doubles(n * dim, bo)
@@ -92,6 +97,14 @@ def _parse_wkb(cur: _Cursor):
             rings = [r for _, rs in parts for r in rs]
             return ("polygon", rings)
         if base == _WKB_MULTIPOINT:
+            if len(parts) != 1:
+                # one row per feature with a single (x, y) is the reader's
+                # contract; silently keeping only the first member would
+                # drop coordinates — refuse loudly instead
+                raise ValueError(
+                    f"MULTIPOINT with {len(parts)} members is not "
+                    "representable as a single PoI row; explode the layer "
+                    "to POINT features first")
             return ("point", parts[0][1])
         return ("line", np.vstack([p[1] for p in parts]))
     raise ValueError(f"unsupported WKB geometry type {gtype}")

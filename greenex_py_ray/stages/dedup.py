@@ -48,10 +48,16 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pc.fill_null(col, "")
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        # large_* offsets are int64 — reading them as int32 silently
+        # misreads every string past the first
+        odt, osz = np.int64, 8
+    else:
+        odt, osz = np.int32, 4
     buf = col.buffers()
     # hash the utf-8 bytes straight off the Arrow buffers (zero-copy)
-    offsets = np.frombuffer(buf[1], dtype=np.int32,
-                            count=len(col) + 1, offset=col.offset * 4).astype(np.int64)
+    offsets = np.frombuffer(buf[1], dtype=odt,
+                            count=len(col) + 1, offset=col.offset * osz).astype(np.int64)
     data = np.frombuffer(buf[2], dtype=np.uint8) if buf[2] is not None else np.empty(0, np.uint8)
     flat = data[offsets[0]:offsets[-1]]
     h = _poly_hash_segments(flat, offsets - offsets[0])

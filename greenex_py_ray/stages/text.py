@@ -78,6 +78,12 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     Mirrors common LLM-corpus quality filters (length/punct/stopword
     ratios); fully vectorized (Arrow regex counts + one token explode,
     no per-row lambdas — round-2 verdict item).
+
+    Semantics are RE2/ASCII by design, in lockstep with the DuckDB
+    oracle: tokens split on regex ``\\s+`` (not Python's Unicode
+    ``str.split()``) and uppercase counts ``[A-Z]`` only (``É`` is not
+    counted).  For a quality HEURISTIC the ASCII forms are adequate and
+    keep engine and oracle bit-identical on any corpus.
     """
     col = pc.fill_null(batch.column(text_col), "")
     n = len(batch)

@@ -355,3 +355,52 @@ def test_canopy_percentage_golden_pipeline(ray_session):
         batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.25,
     ).to_pandas()
     assert out["canopy_cover"].tolist() == ["12.31%"]
+
+
+def test_mean_ndvi_network_buffer_tif_frame(ray_session, tmp_path):
+    """Regression: get_mean_NDVI(buffer_type='network') with a .tif
+    raster must move the street graph into the tile-local frame WITH
+    the PoIs.  Before the fix the nodes stayed in the GM frame
+    (~(385k, 393k)) while points/tiles were shifted to ~(0..4k), so
+    every isochrone window missed the tile store and every row came
+    back NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import greenex_py_ray as gx
+
+    poi_path = os.path.join(TD, "GM_home_locations3.gpkg")
+    tif = os.path.join(TD, "GM_NDVI_data_test.tif")
+    pts = read_gpkg(poi_path)
+    px = pts.column("x").to_numpy()
+    py = pts.column("y").to_numpy()
+    # a small connected path network threaded through the PoIs, in the
+    # ORIGINAL (unshifted) GM frame — exactly what a user's OSM-derived
+    # parquet would carry
+    nx = np.concatenate([px, px + 80.0])
+    ny = np.concatenate([py, py + 60.0])
+    nid = np.arange(len(nx), dtype=np.int64)
+    order = np.argsort(nx, kind="stable")
+    u = nid[order][:-1]
+    v = nid[order][1:]
+    ln = np.hypot(nx[v] - nx[u], ny[v] - ny[u])
+    nodes = tmp_path / "nodes.parquet"
+    edges = tmp_path / "edges.parquet"
+    pq.write_table(pa.table({"node_id": nid, "x": nx, "y": ny}), nodes)
+    pq.write_table(pa.table({"u": u, "v": v, "length": ln}), edges)
+
+    out = gx.get_mean_NDVI(
+        poi_path, tif, buffer_dist=300.0, buffer_type="network",
+        network_nodes_file=str(nodes), network_edges_file=str(edges),
+    ).to_pandas()
+    assert len(out) == 3
+    got = out["mean_NDVI"].to_numpy(dtype=np.float64)
+    # before the fix EVERY row was NULL (the graph stayed in the GM
+    # frame, so every isochrone window missed the shifted tile store);
+    # after it, PoIs whose capsule lands on finite pixels get values.
+    # (Two of the three fixture PoIs sit in nodata pockets at this
+    # 100 m capsule scale — a property of the GM fixture, not of the
+    # frame handling.)
+    fin = got[np.isfinite(got)]
+    assert fin.size >= 1, out
+    assert ((fin >= 0.0) & (fin <= 1.0)).all(), got
