@@ -82,6 +82,19 @@ def viewshed_gvi(
     → ViewshedGVI actor pool (precomputed rays + tile cache) →
     groupby(key) Mean/Count rollup.
     """
+    kernel_conc = concurrency
+    if kernel_conc is None:
+        # the Bresenham kernel is ~95 % of this pipeline's compute and
+        # its feed (decode + sample expansion) is cheap, so the default
+        # heavy_pool width of cpus//2 leaves near-half the box idle —
+        # measured 152 s vs 92 s at 32 cores / 400k PoIs for 16 vs 28
+        # actors.  cpus-4 keeps 4 whole CPUs for the feed stages and the
+        # rollup shuffle (and equals the old width at 8 CPUs)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        kernel_conc = max(1, min(cpus - 4, max(cpus // 2, 1) * 2))
     eref = ray.put(edges_coords)
     pts = poi.map_batches(
         vis.SamplePointsViewshed,
@@ -99,7 +112,7 @@ def viewshed_gvi(
             observer_height=observer_height, key_col=key_col,
         ),
         batch_format="pyarrow", batch_size=batch_size,
-        **heavy_pool(concurrency),
+        **heavy_pool(kernel_conc),
     )
     # partial pre-aggregation: a PoI's sample points are generated
     # contiguously, so per-batch (key, Σgvi, n) partials shrink the
