@@ -267,3 +267,25 @@ def test_multimodal_resize_frames_audio():
         mm.SampleVideoFrames(strict=True)(tbl)
     with _pytest.raises(NotImplementedError):
         mm.AudioFeatures(strict=True)(tbl)
+
+
+def test_content_hash_large_string_offsets():
+    """large_string columns carry int64 offsets; hashing must not
+    reinterpret them as int32 (round-3 review fix: duplicates could
+    silently survive exact dedup on large_string input)."""
+    import pyarrow as pa
+
+    from greenex_py_ray.stages.dedup import content_hash_batch
+
+    texts = ["abc", "hello world", "", "abc"]
+    h_small = content_hash_batch(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).column("content_hash").to_pylist()
+    h_large = content_hash_batch(
+        pa.table({"text": pa.array(texts, pa.large_string())})
+    ).column("content_hash").to_pylist()
+    assert h_small == h_large
+    assert h_small[0] == h_small[3] and h_small[0] != h_small[1]
+    # sliced (non-zero offset) case
+    sl = pa.table({"text": pa.array(texts, pa.large_string())}).slice(1, 2)
+    assert content_hash_batch(sl).column("content_hash").to_pylist() == h_large[1:3]

@@ -158,3 +158,19 @@ def test_regrid_write_back_roundtrip(world, tmp_path):
     exp = np.frombuffer(tbl.column("data")[0].as_py(), dtype=np.float64) \
         .reshape(tbl.column("h")[0].as_py(), tbl.column("w")[0].as_py())
     assert arr is not None and np.array_equal(arr, exp, equal_nan=True)
+
+
+def test_utm_zone_validation():
+    """UPS/polar EPSG codes (32661/32761) and out-of-range zones must
+    raise, not run through the transverse-Mercator series (round-3
+    review fix)."""
+    import pytest
+
+    from greenex_py_ray import geoproj
+
+    for bad in ("EPSG:32661", "EPSG:32761", "EPSG:32600", "EPSG:32699",
+                "UTM:61N", "UTM:0S"):
+        with pytest.raises(ValueError):
+            geoproj._parse_crs(bad)
+    assert geoproj._parse_crs("EPSG:32631") == ("utm", 31, False)
+    assert geoproj._parse_crs("EPSG:32733") == ("utm", 33, True)

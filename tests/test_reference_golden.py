@@ -404,3 +404,36 @@ def test_mean_ndvi_network_buffer_tif_frame(ray_session, tmp_path):
     fin = got[np.isfinite(got)]
     assert fin.size >= 1, out
     assert ((fin >= 0.0) & (fin <= 1.0)).all(), got
+
+
+def test_gpkg_wkb_zm_and_multipoint():
+    """WKB edge cases (round-3 review fixes): ZM geometries stride 4
+    doubles per vertex; EWKB M-flag detected; multi-member MULTIPOINT
+    refuses loudly instead of silently dropping coordinates."""
+    import struct
+
+    import pytest
+
+    from greenex_py_ray.sources.gpkg import _Cursor, _parse_wkb
+
+    k, xy = _parse_wkb(_Cursor(struct.pack("<BIdddd", 1, 3001, 1.5, 2.5,
+                                           5.0, 6.0), 0))
+    assert (k, xy) == ("point", (1.5, 2.5))
+    k, xy = _parse_wkb(_Cursor(struct.pack("<BIddd", 1, 0x40000001,
+                                           3.0, 4.0, 9.0), 0))
+    assert xy == (3.0, 4.0)
+    one = struct.pack("<BII", 1, 4, 1) + struct.pack("<BIdd", 1, 1, 7.0, 8.0)
+    assert _parse_wkb(_Cursor(one, 0))[1] == (7.0, 8.0)
+    two = (struct.pack("<BII", 1, 4, 2)
+           + struct.pack("<BIdd", 1, 1, 1.0, 2.0)
+           + struct.pack("<BIdd", 1, 1, 3.0, 4.0))
+    with pytest.raises(ValueError, match="MULTIPOINT"):
+        _parse_wkb(_Cursor(two, 0))
+    # POLYGON ZM: one square ring, stride-4 vertices
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    blob = struct.pack("<BII", 1, 3003, 1) + struct.pack("<I", len(ring))
+    for x, y in ring:
+        blob += struct.pack("<dddd", x, y, 1.0, 2.0)
+    k, rings = _parse_wkb(_Cursor(blob, 0))
+    assert k == "polygon" and rings[0].shape == (5, 2)
+    assert rings[0][2].tolist() == [4.0, 4.0]
