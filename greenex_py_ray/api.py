@@ -209,8 +209,14 @@ def _shift_table(tab: "pa.Table", dx: float, dy: float,
     def add(col, d):
         if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
             ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            return pa.ListArray.from_arrays(
-                ca.offsets, pc.add(ca.values, pa.scalar(d, pa.float64())))
+            cls = (pa.LargeListArray if pa.types.is_large_list(ca.type)
+                   else pa.ListArray)
+            mask = ca.is_null() if ca.null_count else None
+            # keep the list flavor and the validity bitmap — from_arrays
+            # without a mask would silently turn null rows into []
+            return cls.from_arrays(
+                ca.offsets, pc.add(ca.values, pa.scalar(d, pa.float64())),
+                mask=mask)
         return pc.add(col, pa.scalar(d, pa.float64()))
 
     for names, d in ((xcols, dx), (ycols, dy)):

@@ -27,17 +27,23 @@ import ray
 import ray.data
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Logical CPUs of the current Ray cluster (``default`` when Ray is
+    not initialised / unreachable) — the one shared detection point for
+    every pool-sizing heuristic."""
+    try:
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
 def default_join_partitions(requested: int | None = None) -> int:
     """~half the cluster CPUs (min 2): scales up on real clusters, stays
     small on the 4-CPU test fixture so join aggregator actors don't
     starve the map stages."""
     if requested is not None:
         return requested
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(2, cpus // 2)
+    return max(2, cluster_cpus() // 2)
 
 
 def stable_bucket(keys, num_buckets: int) -> np.ndarray:
@@ -151,10 +157,7 @@ def as_pool(concurrency) -> tuple[int, int]:
     if isinstance(concurrency, tuple):
         return concurrency
     if concurrency is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
+        cpus = cluster_cpus()
         # a nonzero minimum matters: Ray's autoscaling pools ramp far
         # too slowly to use a 32-CPU box within a short pipeline (we
         # measured effective parallelism stuck at the pool minimum)
@@ -181,11 +184,7 @@ def heavy_pool(concurrency=None) -> dict:
     if concurrency is not None:
         n = max(1, int(concurrency))
         return dict(concurrency=(n, n), num_cpus=1)
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
     # half the cluster: the dominant kernel still needs its FEED stages
     # (read/decode tasks at 1 CPU each) to run wide, or the pool starves
-    n = max(1, cpus // 2)
+    n = max(1, cluster_cpus() // 2)
     return dict(concurrency=(n, n), num_cpus=1)

@@ -89,12 +89,12 @@ def viewshed_gvi(
         # heavy_pool width of cpus//2 leaves near-half the box idle —
         # measured 152 s vs 92 s at 32 cores / 400k PoIs for 16 vs 28
         # actors.  cpus-4 keeps 4 whole CPUs for the feed stages and the
-        # rollup shuffle (and equals the old width at 8 CPUs)
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        kernel_conc = max(1, min(cpus - 4, max(cpus // 2, 1) * 2))
+        # rollup shuffle; the cpus//2 floor keeps small boxes (<8 CPUs)
+        # at the old width instead of collapsing to 1 actor
+        from ..functions.joins import cluster_cpus
+
+        cpus = cluster_cpus()
+        kernel_conc = max(1, cpus // 2, cpus - 4)
     eref = ray.put(edges_coords)
     pts = poi.map_batches(
         vis.SamplePointsViewshed,

@@ -67,6 +67,11 @@ def _parse_wkb(cur: _Cursor):
     iso_kind = ((gtype & 0x1FFFFFFF) % 10000) // 1000
     has_z = bool(gtype & 0x80000000) or iso_kind in (1, 3)
     has_m = bool(gtype & 0x40000000) or iso_kind in (2, 3)
+    if gtype & 0x20000000:
+        # EWKB SRID flag: a 4-byte SRID follows the type word — consume
+        # it (silently reading it as coordinate bytes would desync the
+        # cursor and yield garbage geometry)
+        cur.take(bo + "I")
     base = gtype & 0xFF
     if base > 6:
         base = gtype % 1000

@@ -429,6 +429,11 @@ def test_gpkg_wkb_zm_and_multipoint():
            + struct.pack("<BIdd", 1, 1, 3.0, 4.0))
     with pytest.raises(ValueError, match="MULTIPOINT"):
         _parse_wkb(_Cursor(two, 0))
+    # EWKB SRID flag (0x20000000): 4-byte SRID after the type word
+    srid = struct.pack("<BIIdd", 1, 0x20000001, 4326, 9.0, 10.0)
+    assert _parse_wkb(_Cursor(srid, 0))[1] == (9.0, 10.0)
+    srid_z = struct.pack("<BIIddd", 1, 0xA0000001, 28992, 1.0, 2.0, 3.0)
+    assert _parse_wkb(_Cursor(srid_z, 0))[1] == (1.0, 2.0)
     # POLYGON ZM: one square ring, stride-4 vertices
     ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
     blob = struct.pack("<BII", 1, 3003, 1) + struct.pack("<I", len(ring))
