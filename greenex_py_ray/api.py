@@ -263,7 +263,12 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
 
 
 def get_landcover_percentages(poi, landcover_tile_dir: str,
-                              buffer_dist: float = 500.0,
+                              buffer_dist: float | None = 500.0,
+                              buffer_type: str = "euclidean",
+                              network_nodes_file: str | None = None,
+                              network_edges_file: str | None = None,
+                              travel_speed: float | None = None,
+                              trip_time: float | None = None,
                               stringify: bool = True,
                               concurrency: int | None = None,
                               classmap: dict[int, str] | None = None,
@@ -278,7 +283,9 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
     metadata and passes unknown codes through numerically
     (availability.py:447-450,556); for a prebuilt tile store it defaults
     to the synthetic world's classes."""
-    _validate_positive("buffer_dist", buffer_dist)
+    if buffer_type not in ("euclidean", "network"):
+        raise TypeError("buffer_type must be 'euclidean' or 'network'")
+    dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     tile_dir, shift, info = _tiles(landcover_tile_dir, "lulc")
@@ -288,44 +295,86 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
                         c, "nodata" if c == nodata else str(c))
                     for c in info["codes"]}
     pts = _shift_xy(pts, *shift)
-    metrics = _av.landcover_percentages(
-        pts, tile_dir, buffer_dist, stringify=stringify,
-        concurrency=concurrency, classmap=classmap,
-    )
+    if buffer_type == "network":
+        # graph moves into the tile-local frame WITH the points (same
+        # frame rule as the NDVI network branch)
+        nodes = _shift_table(pq.read_table(network_nodes_file), *shift)
+        metrics = _av.landcover_percentages_isochrone(
+            pts, nodes, pq.read_table(network_edges_file), tile_dir, dist,
+            stringify=stringify, concurrency=concurrency, classmap=classmap,
+        )
+    else:
+        metrics = _av.landcover_percentages(
+            pts, tile_dir, dist, stringify=stringify,
+            concurrency=concurrency, classmap=classmap,
+        )
     return _attach(docs, metrics)
 
 
 def get_canopy_percentage(poi, canopy_vector_file: str,
-                          buffer_dist: float = 250.0, stringify: bool = True,
+                          buffer_dist: float | None = 250.0,
+                          buffer_type: str = "euclidean",
+                          network_nodes_file: str | None = None,
+                          network_edges_file: str | None = None,
+                          travel_speed: float | None = None,
+                          trip_time: float | None = None,
+                          stringify: bool = True,
                           concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
-    """availability.get_canopy_percentage (availability.py:600-780)."""
-    _validate_positive("buffer_dist", buffer_dist)
+    """availability.get_canopy_percentage (availability.py:600-780);
+    ``buffer_type='network'`` uses the isochrone AoI
+    (availability.py:682-710 + make_iso_poly)."""
+    if buffer_type not in ("euclidean", "network"):
+        raise TypeError("buffer_type must be 'euclidean' or 'network'")
+    dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
-    metrics = _av.canopy_percentage(
-        pts, _vector_table(canopy_vector_file, dst_crs=_poi_crs(poi)),
-        buffer_dist, stringify=stringify, concurrency=concurrency,
-        dissolve=False,
-    )
+    canopy = _vector_table(canopy_vector_file, dst_crs=_poi_crs(poi))
+    if buffer_type == "network":
+        metrics = _av.canopy_percentage_isochrone(
+            pts, pq.read_table(network_nodes_file),
+            pq.read_table(network_edges_file), canopy, dist,
+            stringify=stringify, concurrency=concurrency, dissolve=False,
+        )
+    else:
+        metrics = _av.canopy_percentage(
+            pts, canopy, dist, stringify=stringify, concurrency=concurrency,
+            dissolve=False,
+        )
     return _attach(docs, metrics)
 
 
 def get_greenspace_percentage(poi, greenspace_vector_file: str,
                               buffer_dist: float | None = 300.0,
+                              buffer_type: str = "euclidean",
+                              network_nodes_file: str | None = None,
+                              network_edges_file: str | None = None,
                               travel_speed: float | None = None,
                               trip_time: float | None = None,
                               stringify: bool = True,
                               concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
-    """availability.get_greenspace_percentage (availability.py:783-1010)."""
+    """availability.get_greenspace_percentage (availability.py:783-1010);
+    ``buffer_type='network'`` uses the isochrone AoI
+    (availability.py:943-997)."""
+    if buffer_type not in ("euclidean", "network"):
+        raise TypeError("buffer_type must be 'euclidean' or 'network'")
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
     pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
-    metrics = _av.greenspace_percentage(
-        pts, _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi)),
-        dist, stringify=stringify, concurrency=concurrency,
-    )
+    gs = _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi))
+    if buffer_type == "network":
+        # dissolved-union semantics: membership in ANY greenspace
+        metrics = _av.canopy_percentage_isochrone(
+            pts, pq.read_table(network_nodes_file),
+            pq.read_table(network_edges_file), gs, dist,
+            stringify=stringify, concurrency=concurrency,
+            name="greenspace_cover", dissolve=True,
+        )
+    else:
+        metrics = _av.greenspace_percentage(
+            pts, gs, dist, stringify=stringify, concurrency=concurrency,
+        )
     return _attach(docs, metrics)
 
 

@@ -252,6 +252,73 @@ def mean_ndvi_isochrone(
     )
 
 
+def landcover_percentages_isochrone(
+    poi: "ray.data.Dataset",
+    nodes: "pa.Table",
+    edges: "pa.Table",
+    tile_root: str,
+    buffer_dist: float = 500.0,
+    classmap: dict[int, str] | None = None,
+    key_col: str = "doc_id",
+    concurrency: int | None = None,
+    stringify: bool = False,
+) -> "ray.data.Dataset":
+    """get_landcover_percentages with buffer_type='network'
+    (availability.py:505-516): per-PoI isochrone AoI, per-class pixel
+    percentages inside the GraphActor pool."""
+    import ray as _ray
+
+    from ..functions.joins import heavy_pool as _hp
+    from ..stages.netaccess import IsochroneLandcover
+
+    classmap = classmap or DEFAULT_CLASSMAP
+    return poi.map_batches(
+        IsochroneLandcover,
+        fn_constructor_kwargs=dict(
+            nodes_ref=_ray.put(nodes), edges_ref=_ray.put(edges),
+            tile_root=tile_root, buffer_dist=buffer_dist, classmap=classmap,
+            key_col=key_col, stringify=stringify,
+        ),
+        batch_format="pyarrow", batch_size=256,
+        **_hp(concurrency),
+    )
+
+
+def canopy_percentage_isochrone(
+    poi: "ray.data.Dataset",
+    nodes: "pa.Table",
+    edges: "pa.Table",
+    polys: "pa.Table",
+    buffer_dist: float = 500.0,
+    key_col: str = "doc_id",
+    concurrency: int | None = None,
+    stringify: bool = False,
+    name: str = "canopy_cover",
+    dissolve: bool = True,
+) -> "ray.data.Dataset":
+    """get_canopy_percentage / get_greenspace_percentage with
+    buffer_type='network' (availability.py:710-764 / 943-997): percent
+    of the isochrone AoI covered by the vector layer (see the
+    raster-analog deviation note on
+    :class:`~greenex_py_ray.stages.netaccess.IsochroneCoverage`)."""
+    import ray as _ray
+
+    from ..functions.joins import heavy_pool as _hp
+    from ..stages.netaccess import IsochroneCoverage
+
+    return poi.map_batches(
+        IsochroneCoverage,
+        fn_constructor_kwargs=dict(
+            nodes_ref=_ray.put(nodes), edges_ref=_ray.put(edges),
+            polys_ref=_ray.put(polys), buffer_dist=buffer_dist,
+            key_col=key_col, name=name, stringify=stringify,
+            dissolve=dissolve,
+        ),
+        batch_format="pyarrow", batch_size=256,
+        **_hp(concurrency),
+    )
+
+
 def mean_ndvi_polygon_aoi(
     poi_polygons: "ray.data.Dataset",
     tile_root: str,

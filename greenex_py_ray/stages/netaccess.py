@@ -33,6 +33,7 @@ import pyarrow as pa
 
 import ray
 
+from .. import geom
 from ..sources import synth
 from ..state.graph import CSRGraph, fill_holes, points_to_segments_dist
 from ..state.index import GridIndex
@@ -179,36 +180,30 @@ class NetworkDistance:
         )
 
 
-class IsochroneZonal:
-    """map_batches actor: per-PoI isochrone AoI + zonal band stats.
+class _IsochroneAoI:
+    """Shared per-PoI isochrone machinery: Dijkstra ego subgraph →
+    25 m edge-capsule mask over the covering pixel window → hole fill —
+    the raster form of the reference's ``make_iso_poly``
+    (availability.py:1042-1065: buffer ego edges by ``edge_buff``,
+    union, take the exterior ring = fill holes)."""
 
-    One actor = graph + tile cache; per row: Dijkstra ego subgraph →
-    capsule mask over the covering pixel window → hole fill → clamped
-    mean/std (availability.py:289 semantics).  Emits final metrics
-    directly (the AoI never leaves the actor — no polygon shuffle).
-    """
-
-    def __init__(self, nodes_ref, edges_ref, tile_root: str,
-                 buffer_dist: float, band: str = "ndvi",
-                 edge_buff: float = 25.0, key_col: str = "doc_id",
-                 mean_name: str = "mean_NDVI", std_name: str = "std_NDVI"):
+    def __init__(self, nodes_ref, edges_ref, buffer_dist: float,
+                 edge_buff: float = 25.0, key_col: str = "doc_id"):
         self.graph = _graph_from_tables(_resolve(nodes_ref), _resolve(edges_ref))
-        self.store = TileStore(tile_root, capacity=256)
         self.buffer_dist = float(buffer_dist)
         self.edge_buff = float(edge_buff)
-        self.band = band
         self.key_col = key_col
-        self.mean_name = mean_name
-        self.std_name = std_name
 
-    def _aoi_stats(self, x: float, y: float):
+    def _aoi_mask(self, x: float, y: float):
+        """(r0, c0, hole-filled bool mask) of the isochrone AoI in
+        global pixel coordinates, or None when the ego graph is empty."""
         g = self.graph
         pos, _ = g.nearest_node(np.array([x]), np.array([y]))
         reach = g.dijkstra(int(pos[0]), cutoff=self.buffer_dist)
         ego = set(reach.keys())
         eu, ev = g.ego_edges(ego)
         if len(eu) == 0:
-            return np.nan, np.nan
+            return None
         ax, ay = g.x[eu], g.y[eu]
         bx, by = g.x[ev], g.y[ev]
         res = synth.RASTER_RES
@@ -222,7 +217,35 @@ class IsochroneZonal:
         gx, gy = np.meshgrid(px, py, indexing="xy")
         d = points_to_segments_dist(gx.ravel(), gy.ravel(), ax, ay, bx, by)
         mask = (d <= self.edge_buff).reshape(h, w)
-        mask = fill_holes(mask)
+        return r0, c0, fill_holes(mask)
+
+
+class IsochroneZonal(_IsochroneAoI):
+    """map_batches actor: per-PoI isochrone AoI + zonal band stats.
+
+    One actor = graph + tile cache; per row: Dijkstra ego subgraph →
+    capsule mask over the covering pixel window → hole fill → clamped
+    mean/std (availability.py:289 semantics).  Emits final metrics
+    directly (the AoI never leaves the actor — no polygon shuffle).
+    """
+
+    def __init__(self, nodes_ref, edges_ref, tile_root: str,
+                 buffer_dist: float, band: str = "ndvi",
+                 edge_buff: float = 25.0, key_col: str = "doc_id",
+                 mean_name: str = "mean_NDVI", std_name: str = "std_NDVI"):
+        super().__init__(nodes_ref, edges_ref, buffer_dist,
+                         edge_buff=edge_buff, key_col=key_col)
+        self.store = TileStore(tile_root, capacity=256)
+        self.band = band
+        self.mean_name = mean_name
+        self.std_name = std_name
+
+    def _aoi_stats(self, x: float, y: float):
+        aoi = self._aoi_mask(x, y)
+        if aoi is None:
+            return np.nan, np.nan
+        r0, c0, mask = aoi
+        h, w = mask.shape
         vals = self.store.window(self.band, r0, c0, h, w)[mask]
         vals = vals[np.isfinite(vals)]
         if vals.size == 0:
@@ -248,3 +271,147 @@ class IsochroneZonal:
                 self.std_name: pa.array(stds, pa.float64(), mask=miss),
             }
         )
+
+
+class IsochroneLandcover(_IsochroneAoI):
+    """map_batches actor: landcover class percentages inside each PoI's
+    isochrone AoI — ``get_landcover_percentages`` with
+    ``buffer_type='network'`` (reference availability.py:505-516 +
+    calculate_landcover_percentages:1068-1082: rasterize the isochrone
+    polygon, count pixels per class / total masked pixels).  Same
+    capsule mask as :class:`IsochroneZonal`; nodata (non-finite) pixels
+    are excluded from the total like the reference's masked read."""
+
+    def __init__(self, nodes_ref, edges_ref, tile_root: str,
+                 buffer_dist: float, classmap: dict[int, str],
+                 band: str = "lulc", edge_buff: float = 25.0,
+                 key_col: str = "doc_id", stringify: bool = False):
+        super().__init__(nodes_ref, edges_ref, buffer_dist,
+                         edge_buff=edge_buff, key_col=key_col)
+        self.store = TileStore(tile_root, capacity=256)
+        self.band = band
+        self.classes = sorted(classmap)
+        self.names = [classmap[c] for c in self.classes]
+        self.stringify = stringify
+
+    def _pcts(self, x: float, y: float) -> np.ndarray:
+        aoi = self._aoi_mask(x, y)
+        if aoi is None:
+            return np.full(len(self.classes), np.nan)
+        r0, c0, mask = aoi
+        h, w = mask.shape
+        vals = self.store.window(self.band, r0, c0, h, w)[mask]
+        vals = vals[np.isfinite(vals)]
+        if vals.size == 0:
+            return np.full(len(self.classes), np.nan)
+        counts = np.array([(vals == cls).sum() for cls in self.classes],
+                          dtype=np.float64)
+        return np.round(counts / vals.size * 100.0, 3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        pcts = np.empty((len(x), len(self.classes)))
+        for i in range(len(x)):
+            pcts[i] = self._pcts(x[i], y[i])
+        cols = {self.key_col: batch.column(self.key_col)}
+        for j, name in enumerate(self.names):
+            col = pcts[:, j]
+            if self.stringify:
+                # availability.py:1080: str(round(x, 3)) + '%'
+                cols[name] = pa.array(
+                    [None if np.isnan(v) else f"{v!s}%" for v in col])
+            else:
+                cols[name] = pa.array(col, pa.float64(),
+                                      mask=~np.isfinite(col))
+        return pa.table(cols)
+
+
+class IsochroneCoverage(_IsochroneAoI):
+    """map_batches actor: percent of each PoI's isochrone AoI covered by
+    the (broadcast) polygon table — ``get_canopy_percentage`` /
+    ``get_greenspace_percentage`` with ``buffer_type='network'``
+    (reference availability.py:710-764 / 943-997: clip the vector layer
+    by the isochrone polygon, covered area / AoI area).
+
+    Documented deviation: the AoI here is the same hole-filled 25 m
+    capsule PIXEL mask as :class:`IsochroneZonal`, and coverage is the
+    fraction of mask pixel CENTERS inside the polygon layer — the
+    raster analog of the reference's vector clip at the engine's
+    lattice resolution (the euclidean-buffer forms remain vector-exact
+    via :class:`~greenex_py_ray.stages.coverage.PolygonCoverage`).
+    ``dissolve=True`` counts membership in ANY polygon (union
+    semantics, availability.py:997); ``dissolve=False`` sums per-member
+    hits so overlaps double-count, like the reference's per-polygon
+    clip-sum (availability.py:764)."""
+
+    def __init__(self, nodes_ref, edges_ref, polys_ref,
+                 buffer_dist: float, edge_buff: float = 25.0,
+                 key_col: str = "doc_id", name: str = "canopy_cover",
+                 stringify: bool = False, dissolve: bool = True):
+        super().__init__(nodes_ref, edges_ref, buffer_dist,
+                         edge_buff=edge_buff, key_col=key_col)
+        from .coverage import _polys_list
+
+        polys = _polys_list(_resolve(polys_ref))
+        self.polys = polys  # list of multi-ring (even-odd) polygons
+        vx = np.concatenate([r[:, 0] for p in polys for r in p])
+        vy = np.concatenate([r[:, 1] for p in polys for r in p])
+        self.vert_owner = np.concatenate(
+            [np.full(len(r), pi, dtype=np.int64)
+             for pi, p in enumerate(polys) for r in p])
+        self.vert_index = GridIndex(vx, vy, cell_size=500.0)
+        self.max_span = max(
+            (float(np.hypot(*(r.max(0) - r.min(0))))
+             for p in polys for r in p), default=0.0)
+        self.name = name
+        self.stringify = stringify
+        self.dissolve = dissolve
+
+    def _pct(self, x: float, y: float) -> float:
+        aoi = self._aoi_mask(x, y)
+        if aoi is None:
+            return np.nan
+        r0, c0, mask = aoi
+        res = synth.RASTER_RES
+        rr, cc = np.nonzero(mask)
+        px = (cc + c0 + 0.5) * res
+        py = (rr + r0 + 0.5) * res
+        # candidate polygons: any vertex within (AoI reach + poly span)
+        # of the PoI; the ego graph lies within buffer_dist network
+        # distance of the SNAP node, whose euclidean offset from the
+        # PoI is unbounded in general — use the mask's own bbox radius
+        h, w = mask.shape
+        cxm = (c0 + w / 2.0) * res
+        cym = (r0 + h / 2.0) * res
+        reach = 0.5 * res * float(np.hypot(h, w)) + self.edge_buff
+        _, pj, _ = self.vert_index.within(
+            np.array([cxm]), np.array([cym]), reach + self.max_span)
+        if not len(pj):
+            return 0.0
+        cand = np.unique(self.vert_owner[pj])
+        if self.dissolve:
+            inside = np.zeros(len(px), dtype=bool)
+            for pi in cand:
+                inside |= geom.points_in_rings(px, py, self.polys[pi])
+            covered = float(inside.sum())
+        else:
+            covered = 0.0
+            for pi in cand:
+                covered += float(
+                    geom.points_in_rings(px, py, self.polys[pi]).sum())
+        return covered / len(px) * 100.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        pct = np.array([self._pct(x[i], y[i]) for i in range(len(x))])
+        pct = np.where(np.isfinite(pct), np.round(pct, 2), pct)
+        if self.stringify:
+            # availability.py:764: str(round(pct, 2)) + '%'
+            col = pa.array([None if np.isnan(v) else f"{v!s}%" for v in pct],
+                           pa.string())
+        else:
+            col = pa.array(pct, pa.float64(), mask=~np.isfinite(pct))
+        return pa.table({self.key_col: batch.column(self.key_col),
+                         self.name: col})
