@@ -1519,7 +1519,8 @@ def world_oracle_sql() -> dict[str, str]:
     """
 
     # --- viewshed GVI: exact pixel tables + embedded kernel rays ---
-    px = synth.write_pixel_tables(root)
+    px = synth.write_pixel_tables(root, bands=("dsm", "dtm", "green",
+                                               "ndvi", "lulc"))
     rays_vals, wgt_vals = _viewshed_tables()
     vs_pois = int(os.environ.get("GREENEX_VIEWSHED_POIS", "300"))
     cand_d2 = _seg_d2("d.x", "d.y", "e.ax", "e.ay", "e.bx", "e.by")
@@ -1620,9 +1621,12 @@ def world_oracle_sql() -> dict[str, str]:
     """
 
     # --- isochrone NDVI: bounded Dijkstra + capsule mask + BFS holes ---
+    # the prefix (through `inside`) is shared by the three isochrone
+    # gates (NDVI stats / landcover % / greenspace coverage) — one CTE
+    # chain, three different consumers of the hole-filled AoI pixels
     pix_d2 = _seg_d2("((p.c + 0.5) * 10.0)", "((p.r + 0.5) * 10.0)",
                      "e.ax", "e.ay", "e.bx", "e.by")
-    iso_sql = f"""
+    iso_prefix = f"""
         WITH RECURSIVE {wdocs(200)},
         nodes AS (SELECT node_id, x, y FROM read_parquet({nodes_pq})),
         eboth AS (
@@ -1726,7 +1730,9 @@ def world_oracle_sql() -> dict[str, str]:
           LEFT JOIN outside o ON o.src = p.src AND o.r = p.r
                              AND p.c >= o.lo AND p.c <= o.hi
           WHERE NOT p.mask AND o.src IS NULL
-        ),
+        )
+    """
+    iso_sql = iso_prefix + f""",
         vals AS (
           SELECT i.src, greatest(n.v, 0.0) AS v
           FROM inside i JOIN read_parquet('{px["ndvi"]}') n
@@ -1741,6 +1747,51 @@ def world_oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, s.mean_NDVI, s.std_NDVI
         FROM docs d JOIN nn ON nn.doc_id = d.doc_id
         LEFT JOIN stats s ON s.src = nn.src
+    """
+
+    # --- isochrone landcover: per-class pixel % inside the AoI ---
+    # round_even mirrors np.round (banker's); the arithmetic order
+    # (sum / count, THEN * 100.0) mirrors the engine's
+    # counts / vals.size * 100.0 bit-for-bit
+    lc_cases = ", ".join(
+        f"round_even(sum(CASE WHEN cls = {cls} THEN 1 ELSE 0 END)"
+        f" / count(*) * 100.0, 3) AS {name}"
+        for cls, name in ((10, "pct_tree"), (30, "pct_grass"),
+                          (40, "pct_crop"), (50, "pct_builtup"),
+                          (60, "pct_bare"), (80, "pct_water")))
+    isolc_sql = iso_prefix + f""",
+        lvals AS (
+          SELECT i.src, n.v AS cls
+          FROM inside i JOIN read_parquet('{px["lulc"]}') n
+            ON n.r = i.r AND n.c = i.c
+        ),
+        lstats AS (SELECT src, {lc_cases} FROM lvals GROUP BY src)
+        SELECT d.doc_id, s.pct_tree, s.pct_grass, s.pct_crop,
+               s.pct_builtup, s.pct_bare, s.pct_water
+        FROM docs d JOIN nn ON nn.doc_id = d.doc_id
+        LEFT JOIN lstats s ON s.src = nn.src
+    """
+
+    # --- isochrone greenspace coverage: % of AoI pixel centers inside
+    #     ANY greenspace rect (dissolve/union semantics) ---
+    isogs_sql = iso_prefix + f""",
+        tot AS (SELECT src, count(*) AS t FROM inside GROUP BY src),
+        ghit AS (
+          SELECT DISTINCT i.src, i.r, i.c
+          FROM inside i JOIN read_parquet({gs_pq}) g
+            ON ((i.c + 0.5) * 10.0) >= g.x0 AND ((i.c + 0.5) * 10.0) <= g.x1
+           AND ((i.r + 0.5) * 10.0) >= g.y0 AND ((i.r + 0.5) * 10.0) <= g.y1
+        ),
+        cov AS (SELECT src, count(*) AS cv FROM ghit GROUP BY src),
+        gstats AS (
+          SELECT t.src,
+                 round_even(CAST(coalesce(c.cv, 0) AS DOUBLE) / t.t
+                            * 100.0, 2) AS greenspace_cover
+          FROM tot t LEFT JOIN cov c ON c.src = t.src
+        )
+        SELECT d.doc_id, s.greenspace_cover
+        FROM docs d JOIN nn ON nn.doc_id = d.doc_id
+        LEFT JOIN gstats s ON s.src = nn.src
     """
 
     return {
@@ -1761,6 +1812,8 @@ def world_oracle_sql() -> dict[str, str]:
         "streetview_gvi": streetview_sql,
         "viewshed_gvi": viewshed_sql,
         "isochrone_ndvi": iso_sql,
+        "isochrone_landcover": isolc_sql,
+        "isochrone_greenspace": isogs_sql,
     }
 
 
@@ -1824,6 +1877,27 @@ def q_isochrone_ndvi(sf_dir: str):
     return availability.mean_ndvi_isochrone(
         poi, pq.read_table(w["network_nodes"]), pq.read_table(w["network_edges"]),
         w["tiles"], buffer_dist=500.0, concurrency=None,
+    )
+
+
+def q_isochrone_landcover(sf_dir: str):
+    """get_landcover_percentages(buffer_type='network'): per-class pixel
+    percentages inside each PoI's isochrone AoI."""
+    poi, w = _world_poi(limit=200)
+    return availability.landcover_percentages_isochrone(
+        poi, pq.read_table(w["network_nodes"]), pq.read_table(w["network_edges"]),
+        w["tiles"], buffer_dist=500.0, concurrency=None, stringify=False,
+    )
+
+
+def q_isochrone_greenspace(sf_dir: str):
+    """get_greenspace_percentage(buffer_type='network'): % of the
+    isochrone AoI covered by the dissolved greenspace layer."""
+    poi, w = _world_poi(limit=200)
+    return availability.canopy_percentage_isochrone(
+        poi, pq.read_table(w["network_nodes"]), pq.read_table(w["network_edges"]),
+        pq.read_table(w["greenspace"]), buffer_dist=500.0, concurrency=None,
+        name="greenspace_cover", dissolve=True,
     )
 
 
@@ -1948,6 +2022,8 @@ QUERIES = {
     "greenspace_pct": q_greenspace_pct,
     "network_distance": q_network_distance,
     "isochrone_ndvi": q_isochrone_ndvi,
+    "isochrone_landcover": q_isochrone_landcover,
+    "isochrone_greenspace": q_isochrone_greenspace,
     "dissolve": q_dissolve,
     "dissolve_distributed": q_dissolve_distributed,
     "ivf_topk": q_ivf_topk,
