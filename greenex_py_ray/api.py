@@ -180,16 +180,15 @@ def _tiles(src: str, band: str):
 
 
 def _shift_xy(pts: "ray.data.Dataset", dx: float, dy: float):
+    """Translate the decoded coordinate columns (``x``/``y`` and, when
+    present, the ``ring_x``/``ring_y`` polygon columns) into the tile
+    store's local frame."""
     if dx == 0.0 and dy == 0.0:
         return pts
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
-    def add(b: pa.Table) -> pa.Table:
-        b = b.set_column(b.schema.get_field_index("x"), "x",
-                         pc.add(b.column("x"), pa.scalar(dx, pa.float64())))
-        return b.set_column(b.schema.get_field_index("y"), "y",
-                            pc.add(b.column("y"), pa.scalar(dy, pa.float64())))
+    def add(b: "pa.Table") -> "pa.Table":
+        return _shift_table(b, dx, dy, xcols=("x", "ring_x"),
+                            ycols=("y", "ring_y"))
 
     return pts.map_batches(add, batch_format="pyarrow")
 
@@ -231,23 +230,90 @@ def _attach(docs, metrics):
     return bucket_join_attach(docs, metrics, key="doc_id")
 
 
+def _geom_kind(docs) -> str:
+    """Geometry type of the first PoI row's first geom span — the
+    reference samples ``poi.iloc[0]['geometry'].geom_type``
+    (availability.py:80-82); homogeneity is validated separately (M1,
+    :func:`~greenex_py_ray.sources.documents.validate_geometry_homogeneous`)."""
+    rows = docs.limit(1).take(1)
+    if rows:
+        for span in rows[0]["spans"]:
+            if span["kind"] == "geom":
+                return span["text"].split("(", 1)[0].strip().upper()
+    return "POINT"
+
+
+def _route_poi(docs, src_crs, polygon_type, buffer_type, dist):
+    """Geometry dispatch shared by the four availability functions
+    (availability.py:80-125, 230-247).  Returns ``(mode, decoded)``:
+
+    * ``("point", pts)`` — point PoIs (or polygon PoIs collapsed to
+      centroids: ``polygon_type='house'``, or ``buffer_type='network'``
+      where isochrones need a seed point); columns ``doc_id, x, y``.
+    * ``("polygon", polys)`` — ``polygon_type='neighbourhood'`` rows
+      whose own (optionally euclidean-dilated) polygon is the AoI;
+      columns ``doc_id, ring_x, ring_y, ring_sizes``.
+    """
+    if buffer_type is not None and buffer_type not in ("euclidean", "network"):
+        raise ValueError("buffer_type must be 'euclidean', 'network' or None")
+    kind = _geom_kind(docs)
+    is_poly = kind in ("POLYGON", "MULTIPOLYGON")
+    if is_poly:
+        if polygon_type not in ("neighbourhood", "house"):
+            raise ValueError(
+                "polygon_type must be 'neighbourhood' or 'house'")
+        decoded = docs.map_batches(
+            doc_src.DecodeGeom(parse_polygons=True, src_crs=src_crs),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        if polygon_type == "house" or buffer_type == "network":
+            # centroid conversion (availability.py:90-94, 241-247); after
+            # it the rows ARE points, so the reference's point check
+            # (availability.py:97-99) applies: a buffer type is required
+            if buffer_type is None:
+                raise ValueError(
+                    "buffer_type must be 'euclidean' or 'network' when "
+                    "polygon_type='house' (centroids are points)")
+            return "point", decoded.select_columns(["doc_id", "x", "y"])
+        if buffer_type == "euclidean" and dist is None:
+            raise ValueError(
+                "buffer_dist must be set when buffer_type='euclidean'")
+        return "polygon", decoded.select_columns(
+            ["doc_id", "ring_x", "ring_y", "ring_sizes"])
+    if buffer_type is None:
+        raise ValueError(
+            "buffer_type must be 'euclidean' or 'network' for point PoIs")
+    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(
+        ["doc_id", "x", "y"])
+    return "point", pts
+
+
 def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
-                  buffer_type: str = "euclidean",
+                  buffer_type: str | None = "euclidean",
+                  polygon_type: str = "neighbourhood",
                   network_nodes_file: str | None = None,
                   network_edges_file: str | None = None,
                   travel_speed: float | None = None,
                   trip_time: float | None = None,
                   concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
-    """availability.get_mean_NDVI (availability.py:41-342)."""
-    if buffer_type not in ("euclidean", "network"):
-        raise TypeError("buffer_type must be 'euclidean' or 'network'")
+    """availability.get_mean_NDVI (availability.py:41-342).
+
+    Polygon PoIs follow the reference's dispatch: their own geometry is
+    the AoI (``buffer_type=None``), euclidean-dilated by ``buffer_dist``
+    (``buffer_type='euclidean'``), or collapsed to centroids for
+    isochrones (``buffer_type='network'``) / ``polygon_type='house'``."""
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    mode, pts = _route_poi(docs, src_crs, polygon_type, buffer_type, dist)
     tile_dir, shift, _ = _tiles(ndvi_tile_dir, "ndvi")
     pts = _shift_xy(pts, *shift)
-    if buffer_type == "euclidean":
+    if mode == "polygon":
+        metrics = _av.mean_ndvi_polygon_aoi(
+            pts, tile_dir, concurrency=concurrency,
+            dilate=(dist if buffer_type == "euclidean" else 0.0),
+        )
+    elif buffer_type == "euclidean":
         metrics = _av.mean_ndvi(pts, tile_dir, dist, concurrency=concurrency)
     else:
         # the street graph must move into the tile-local frame WITH the
@@ -264,7 +330,8 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
 
 def get_landcover_percentages(poi, landcover_tile_dir: str,
                               buffer_dist: float | None = 500.0,
-                              buffer_type: str = "euclidean",
+                              buffer_type: str | None = "euclidean",
+                              polygon_type: str = "neighbourhood",
                               network_nodes_file: str | None = None,
                               network_edges_file: str | None = None,
                               travel_speed: float | None = None,
@@ -283,11 +350,9 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
     metadata and passes unknown codes through numerically
     (availability.py:447-450,556); for a prebuilt tile store it defaults
     to the synthetic world's classes."""
-    if buffer_type not in ("euclidean", "network"):
-        raise TypeError("buffer_type must be 'euclidean' or 'network'")
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    mode, pts = _route_poi(docs, src_crs, polygon_type, buffer_type, dist)
     tile_dir, shift, info = _tiles(landcover_tile_dir, "lulc")
     if classmap is None and info.get("codes"):
         nodata = info.get("nodata_code")
@@ -295,7 +360,13 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
                         c, "nodata" if c == nodata else str(c))
                     for c in info["codes"]}
     pts = _shift_xy(pts, *shift)
-    if buffer_type == "network":
+    if mode == "polygon":
+        metrics = _av.landcover_percentages_polygon_aoi(
+            pts, tile_dir, classmap=classmap, stringify=stringify,
+            concurrency=concurrency,
+            dilate=(dist if buffer_type == "euclidean" else 0.0),
+        )
+    elif buffer_type == "network":
         # graph moves into the tile-local frame WITH the points (same
         # frame rule as the NDVI network branch)
         nodes = _shift_table(pq.read_table(network_nodes_file), *shift)
@@ -313,7 +384,8 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
 
 def get_canopy_percentage(poi, canopy_vector_file: str,
                           buffer_dist: float | None = 250.0,
-                          buffer_type: str = "euclidean",
+                          buffer_type: str | None = "euclidean",
+                          polygon_type: str = "neighbourhood",
                           network_nodes_file: str | None = None,
                           network_edges_file: str | None = None,
                           travel_speed: float | None = None,
@@ -323,14 +395,19 @@ def get_canopy_percentage(poi, canopy_vector_file: str,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_canopy_percentage (availability.py:600-780);
     ``buffer_type='network'`` uses the isochrone AoI
-    (availability.py:682-710 + make_iso_poly)."""
-    if buffer_type not in ("euclidean", "network"):
-        raise TypeError("buffer_type must be 'euclidean' or 'network'")
+    (availability.py:682-710 + make_iso_poly); polygon PoIs use their
+    own (optionally dilated) geometry as the AoI."""
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    mode, pts = _route_poi(docs, src_crs, polygon_type, buffer_type, dist)
     canopy = _vector_table(canopy_vector_file, dst_crs=_poi_crs(poi))
-    if buffer_type == "network":
+    if mode == "polygon":
+        metrics = _av.coverage_percentage_polygon_aoi(
+            pts, canopy, stringify=stringify, concurrency=concurrency,
+            name="canopy_cover", dissolve=False,
+            dilate=(dist if buffer_type == "euclidean" else 0.0),
+        )
+    elif buffer_type == "network":
         metrics = _av.canopy_percentage_isochrone(
             pts, pq.read_table(network_nodes_file),
             pq.read_table(network_edges_file), canopy, dist,
@@ -346,7 +423,8 @@ def get_canopy_percentage(poi, canopy_vector_file: str,
 
 def get_greenspace_percentage(poi, greenspace_vector_file: str,
                               buffer_dist: float | None = 300.0,
-                              buffer_type: str = "euclidean",
+                              buffer_type: str | None = "euclidean",
+                              polygon_type: str = "neighbourhood",
                               network_nodes_file: str | None = None,
                               network_edges_file: str | None = None,
                               travel_speed: float | None = None,
@@ -356,14 +434,19 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_greenspace_percentage (availability.py:783-1010);
     ``buffer_type='network'`` uses the isochrone AoI
-    (availability.py:943-997)."""
-    if buffer_type not in ("euclidean", "network"):
-        raise TypeError("buffer_type must be 'euclidean' or 'network'")
+    (availability.py:943-997); polygon PoIs use their own (optionally
+    dilated) geometry as the AoI with dissolved-union membership."""
     dist = _resolve_buffer(buffer_dist, travel_speed, trip_time)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    mode, pts = _route_poi(docs, src_crs, polygon_type, buffer_type, dist)
     gs = _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi))
-    if buffer_type == "network":
+    if mode == "polygon":
+        metrics = _av.coverage_percentage_polygon_aoi(
+            pts, gs, stringify=stringify, concurrency=concurrency,
+            name="greenspace_cover", dissolve=True,
+            dilate=(dist if buffer_type == "euclidean" else 0.0),
+        )
+    elif buffer_type == "network":
         # dissolved-union semantics: membership in ANY greenspace
         metrics = _av.canopy_percentage_isochrone(
             pts, pq.read_table(network_nodes_file),

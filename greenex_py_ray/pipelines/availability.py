@@ -319,32 +319,103 @@ def canopy_percentage_isochrone(
     )
 
 
+def _polygon_cover(poi_polygons, key_col: str, dilate: float):
+    ring_cols = [key_col, "ring_x", "ring_y"]
+    if "ring_sizes" in poi_polygons.schema().names:
+        ring_cols.append("ring_sizes")
+    return poi_polygons.select_columns(ring_cols).map_batches(
+        lambda b: zonal.polygon_tile_cover_batch(b, key_col, margin=dilate),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def mean_ndvi_polygon_aoi(
     poi_polygons: "ray.data.Dataset",
     tile_root: str,
     key_col: str = "doc_id",
     concurrency: int | None = None,
     batch_size: int = 4096,
+    dilate: float = 0.0,
 ) -> "ray.data.Dataset":
-    """get_mean_NDVI with POLYGON PoIs and ``buffer_type=None`` — the AoI
-    is each row's own polygon (availability.py:230-234).  Input must
-    carry ``ring_x``/``ring_y`` columns (DecodeGeom(parse_polygons=True))."""
-    ring_cols = [key_col, "ring_x", "ring_y"]
-    if "ring_sizes" in poi_polygons.schema().names:
-        ring_cols.append("ring_sizes")
-    cov = poi_polygons.select_columns(ring_cols).map_batches(
-        lambda b: zonal.polygon_tile_cover_batch(b, key_col),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    part = cov.map_batches(
+    """get_mean_NDVI with POLYGON PoIs — the AoI is each row's own
+    polygon (``buffer_type=None``, availability.py:230-234), dilated by
+    ``dilate`` for the buffered-polygon form (``buffer_type='euclidean'``
+    on polygon PoIs, availability.py:235-237).  Input must carry
+    ``ring_x``/``ring_y`` columns (DecodeGeom(parse_polygons=True))."""
+    part = _polygon_cover(poi_polygons, key_col, dilate).map_batches(
         zonal.PolygonZonalPartial,
-        fn_constructor_kwargs=dict(tile_root=tile_root, band="ndvi", key_col=key_col),
+        fn_constructor_kwargs=dict(tile_root=tile_root, band="ndvi",
+                                   key_col=key_col, dilate=dilate),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=as_pool(concurrency), num_cpus=0.25,
     )
     agg = part.groupby(key_col).aggregate(Sum("psum"), Sum("psumsq"), Sum("pcount"))
     return agg.map_batches(
         lambda b: zonal.finish_mean_std(b, key_col), batch_format="pyarrow"
+    )
+
+
+def landcover_percentages_polygon_aoi(
+    poi_polygons: "ray.data.Dataset",
+    tile_root: str,
+    classmap: dict[int, str] | None = None,
+    key_col: str = "doc_id",
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+    dilate: float = 0.0,
+    stringify: bool = False,
+) -> "ray.data.Dataset":
+    """get_landcover_percentages with POLYGON PoIs (availability.py:
+    361-377): per-class pixel percentages of each row's own (optionally
+    dilated) polygon AoI."""
+    classmap = classmap or DEFAULT_CLASSMAP
+    names = [classmap[c] for c in sorted(classmap)]
+    part = _polygon_cover(poi_polygons, key_col, dilate).map_batches(
+        zonal.PolygonLandcoverPartial,
+        fn_constructor_kwargs=dict(tile_root=tile_root, classmap=classmap,
+                                   key_col=key_col, dilate=dilate),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=as_pool(concurrency), num_cpus=0.25,
+    )
+    aggs = [Sum(f"cnt_{n}") for n in names] + [Sum("cnt_total")]
+    agg = part.groupby(key_col).aggregate(*aggs)
+    return agg.map_batches(
+        lambda b: zonal.finish_landcover(b, names, key_col, stringify=stringify),
+        batch_format="pyarrow",
+    )
+
+
+def coverage_percentage_polygon_aoi(
+    poi_polygons: "ray.data.Dataset",
+    polys: "pa.Table",
+    key_col: str = "doc_id",
+    concurrency: int | None = None,
+    stringify: bool = False,
+    name: str = "canopy_cover",
+    dissolve: bool = False,
+    dilate: float = 0.0,
+) -> "ray.data.Dataset":
+    """get_canopy_percentage / get_greenspace_percentage with POLYGON
+    PoIs: percent of each row's own polygon AoI covered by the vector
+    layer — exact scanline overlay at ``dilate=0``, pixel-center analog
+    of the buffered-polygon AoI at ``dilate>0`` (see
+    :class:`~greenex_py_ray.stages.coverage.PolygonCoverage`)."""
+    import ray as _ray
+
+    from ..stages.coverage import PolygonCoverage
+
+    ring_cols = [key_col, "ring_x", "ring_y"]
+    if "ring_sizes" in poi_polygons.schema().names:
+        ring_cols.append("ring_sizes")
+    return poi_polygons.select_columns(ring_cols).map_batches(
+        PolygonCoverage,
+        fn_constructor_kwargs=dict(
+            polys_ref=_ray.put(polys), buffer_dist=dilate, key_col=key_col,
+            name=name, stringify=stringify, dissolve=dissolve,
+            aoi_shape="self",
+        ),
+        batch_format="pyarrow", batch_size=256,
+        concurrency=as_pool(concurrency), num_cpus=0.5,
     )
 
 

@@ -187,9 +187,16 @@ class PolygonCoverage:
         # "circle" = the reference's shapely buffer discretization (a
         # 4·quad_segs-gon); "square" = an exact square AoI of half-width
         # buffer_dist — the SQL-verifiable gate form (its area and every
-        # clip bound are closed-form expressible in the DuckDB oracle)
-        if aoi_shape not in ("circle", "square"):
-            raise ValueError(f"aoi_shape must be circle|square, got {aoi_shape!r}")
+        # clip bound are closed-form expressible in the DuckDB oracle);
+        # "self" = each row's OWN polygon is the AoI (polygon PoIs with
+        # polygon_type='neighbourhood', availability.py:230-237):
+        # buffer_dist==0 is the exact vector overlay, buffer_dist>0 the
+        # buffered-polygon AoI evaluated at pixel-center resolution (the
+        # raster analog of shapely's polygon.buffer — same documented
+        # deviation family as IsochroneCoverage)
+        if aoi_shape not in ("circle", "square", "self"):
+            raise ValueError(
+                f"aoi_shape must be circle|square|self, got {aoi_shape!r}")
         self.aoi_shape = aoi_shape
 
     def _pct(self, x: float, y: float) -> float:
@@ -244,13 +251,90 @@ class PolygonCoverage:
                 )
         return area / aoi_area * 100.0
 
+    def _covered_in_groups(self, cand, test_fn) -> float:
+        """Σ over candidate groups of ``test_fn(group-union membership)``
+        — blobs are disjoint so the dissolve=True union equals the sum;
+        dissolve=False groups are singletons so overlaps double-count
+        like the reference's per-polygon clip sum (availability.py:764)."""
+        covered = 0.0
+        for gi in cand:
+            covered += test_fn(self.groups[gi])
+        return covered
+
+    def _pct_self(self, rings_i: "list[np.ndarray]") -> float:
+        """Coverage with the row's own (possibly dilated) polygon AoI."""
+        bxy = np.concatenate(rings_i)
+        bx0, by0 = bxy.min(0)
+        bx1, by1 = bxy.max(0)
+        cx, cy = (bx0 + bx1) / 2.0, (by0 + by1) / 2.0
+        d = self.buffer_dist
+        reach = 0.5 * float(np.hypot(bx1 - bx0, by1 - by0)) + d
+        _, pj, _ = self.vert_index.within(
+            np.array([cx]), np.array([cy]), reach + self.max_span)
+        if not len(pj):
+            return 0.0 if d > 0 or geom.overlay_area([rings_i]) > 0 else np.nan
+        cand = np.unique(self.vert_owner[pj])
+        if d <= 0.0:
+            aoi_area = geom.overlay_area([rings_i], "union")
+            if aoi_area <= 0.0:
+                return np.nan
+
+            def clip_area(grp):
+                return geom.overlay_area([rings_i] + list(grp),
+                                         "first_and_rest")
+
+            return self._covered_in_groups(cand, clip_area) / aoi_area * 100.0
+        # dilated AoI: pixel-center analog on the engine lattice
+        from ..sources import synth as _synth
+        from .zonal import mask_rings_dilated
+
+        res = _synth.RASTER_RES
+        c0 = int(np.floor((bx0 - d) / res))
+        c1 = int(np.floor((bx1 + d) / res))
+        r0 = int(np.floor((by0 - d) / res))
+        r1 = int(np.floor((by1 + d) / res))
+        px = (np.arange(c0, c1 + 1, dtype=np.float64) + 0.5) * res
+        py = (np.arange(r0, r1 + 1, dtype=np.float64) + 0.5) * res
+        gx, gy = np.meshgrid(px, py, indexing="xy")
+        gx, gy = gx.ravel(), gy.ravel()
+        aoi = mask_rings_dilated(gx, gy, rings_i, d)
+        if not aoi.any():
+            return np.nan
+        qx, qy = gx[aoi], gy[aoi]
+
+        def hit_count(grp) -> float:
+            inside = np.zeros(len(qx), dtype=bool)
+            for member in grp:
+                inside |= geom.points_in_rings(qx, qy, member)
+            return float(inside.sum())
+
+        return (self._covered_in_groups(cand, hit_count)
+                / float(aoi.sum()) * 100.0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        x = batch.column("x").to_numpy(zero_copy_only=False)
-        y = batch.column("y").to_numpy(zero_copy_only=False)
-        pct = np.array([round(self._pct(x[i], y[i]), 2) for i in range(len(x))])
+        if self.aoi_shape == "self":
+            from .zonal import split_rings
+
+            rx = batch.column("ring_x").to_pylist()
+            ry = batch.column("ring_y").to_pylist()
+            sizes = (batch.column("ring_sizes").to_pylist()
+                     if "ring_sizes" in batch.column_names
+                     else [None] * len(rx))
+            pct = np.array([
+                round(self._pct_self(
+                    split_rings(np.column_stack([rx[i], ry[i]]), sizes[i])), 2)
+                if len(rx[i]) >= 3 else np.nan
+                for i in range(len(rx))
+            ])
+        else:
+            x = batch.column("x").to_numpy(zero_copy_only=False)
+            y = batch.column("y").to_numpy(zero_copy_only=False)
+            pct = np.array([round(self._pct(x[i], y[i]), 2)
+                            for i in range(len(x))])
         if self.stringify:
             # availability.py:764: str(round(pct, 2)) + '%'
-            col = pa.array([f"{v!s}%" for v in pct], pa.string())
+            col = pa.array([None if np.isnan(v) else f"{v!s}%" for v in pct],
+                           pa.string())
         else:
-            col = pa.array(pct)
+            col = pa.array(pct, pa.float64(), mask=~np.isfinite(pct))
         return pa.table({self.key_col: batch.column(self.key_col), self.name: col})

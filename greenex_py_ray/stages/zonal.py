@@ -254,24 +254,98 @@ def finish_landcover(batch: pa.Table, names: list[str], key_col: str = "doc_id",
     return pa.table(cols)
 
 
+def split_rings(ring: np.ndarray, sizes) -> "list[np.ndarray]":
+    """Flattened ring vertices + per-ring sizes → list of ring arrays."""
+    if sizes and len(sizes) > 1:
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        return [ring[bounds[j]:bounds[j + 1]] for j in range(len(sizes))]
+    return [ring]
+
+
+def mask_rings_dilated(px: np.ndarray, py: np.ndarray,
+                       rings_i: "list[np.ndarray]",
+                       dilate: float = 0.0) -> np.ndarray:
+    """Membership of lattice points in a polygon dilated by ``dilate``
+    (the raster form of shapely's ``polygon.buffer(d)`` with an exact
+    disc instead of the 16-segs/quadrant arc approximation — pixel
+    membership is center-in-polygon OR within ``d`` of the boundary).
+    Chunked so the points × edges matrices stay bounded."""
+    from .. import geom as _geom
+    from ..state.graph import points_to_segments_dist
+
+    inside = _geom.points_in_rings(px, py, rings_i)
+    if dilate <= 0.0:
+        return inside
+    out = np.flatnonzero(~inside)
+    if not len(out):
+        return inside
+    ax = np.concatenate([r[:, 0] for r in rings_i])
+    ay = np.concatenate([r[:, 1] for r in rings_i])
+    bx = np.concatenate([np.roll(r[:, 0], -1) for r in rings_i])
+    by = np.concatenate([np.roll(r[:, 1], -1) for r in rings_i])
+    step = max(1, 2_000_000 // max(len(ax), 1))
+    near = np.zeros(len(out), dtype=bool)
+    for s in range(0, len(out), step):
+        sel = out[s:s + step]
+        near[s:s + step] = points_to_segments_dist(
+            px[sel], py[sel], ax, ay, bx, by) <= dilate
+    inside = inside.copy()
+    inside[out] = near
+    return inside
+
+
 class PolygonZonalPartial:
     """Zonal partials where the AoI is each row's own POLYGON geometry
     (aoi_kind='polygon', availability.py:230-234) instead of a buffer.
 
     Expects flattened ring columns ``ring_x: list<double>,
     ring_y: list<double>`` plus ``tile_key``; the pixel membership test
-    is center-in-polygon (rio.clip all_touched=False semantics)."""
+    is center-in-polygon (rio.clip all_touched=False semantics).
+    ``dilate`` > 0 gives the polygon-buffered AoI
+    (``poi.geometry.buffer(buffer_dist)`` on polygon PoIs,
+    availability.py:235-237) at pixel resolution."""
 
     def __init__(self, tile_root: str, band: str, key_col: str = "doc_id",
-                 clamp_min: float | None = 0.0, cache_tiles: int = 256):
+                 clamp_min: float | None = 0.0, cache_tiles: int = 256,
+                 dilate: float = 0.0):
         self.store = TileStore(tile_root, capacity=cache_tiles)
         self.band = band
         self.key_col = key_col
         self.clamp_min = clamp_min
+        self.dilate = float(dilate)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _window_vals(self, rings_i, ring, tile) -> np.ndarray | None:
+        """Band values under the (optionally dilated) polygon mask,
+        restricted to one tile's window; None when the window is empty."""
         from .. import geom as _geom
 
+        res = synth.RASTER_RES
+        tix = tile // TILE_KEY_STRIDE
+        tiy = tile - tix * TILE_KEY_STRIDE
+        arr = self.store.get(self.band, tix, tiy)
+        if arr is None:
+            return None
+        h, w = arr.shape
+        x0t = tix * synth.TILE_SIZE
+        y0t = tiy * synth.TILE_SIZE
+        bx0, by0, bx1, by1 = _geom.rings_bbox(ring)
+        d = self.dilate
+        c0 = max(int(np.floor((bx0 - d - x0t) / res)), 0)
+        c1 = min(int(np.floor((bx1 + d - x0t) / res)), w - 1)
+        r0 = max(int(np.floor((by0 - d - y0t) / res)), 0)
+        r1 = min(int(np.floor((by1 + d - y0t) / res)), h - 1)
+        if c1 < c0 or r1 < r0:
+            return None
+        px = x0t + (np.arange(c0, c1 + 1, dtype=np.float64) + 0.5) * res
+        py = y0t + (np.arange(r0, r1 + 1, dtype=np.float64) + 0.5) * res
+        gx, gy = np.meshgrid(px, py, indexing="xy")
+        mask = mask_rings_dilated(gx.ravel(), gy.ravel(), rings_i,
+                                  self.dilate).reshape(gx.shape)
+        if not mask.any():
+            return None
+        return arr[r0 : r1 + 1, c0 : c1 + 1][mask]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         rx = batch.column("ring_x").to_pylist()
         ry = batch.column("ring_y").to_pylist()
         sizes = (batch.column("ring_sizes").to_pylist()
@@ -281,38 +355,12 @@ class PolygonZonalPartial:
         psum = np.zeros(n)
         psumsq = np.zeros(n)
         pcount = np.zeros(n, dtype=np.int64)
-        res = synth.RASTER_RES
         for i in range(n):
             ring = np.column_stack([rx[i], ry[i]])
-            if sizes[i] and len(sizes[i]) > 1:
-                bounds = np.concatenate([[0], np.cumsum(sizes[i])])
-                rings_i = [ring[bounds[j]:bounds[j + 1]]
-                           for j in range(len(sizes[i]))]
-            else:
-                rings_i = [ring]
-            tile = int(tk[i])
-            tix = tile // TILE_KEY_STRIDE
-            tiy = tile - tix * TILE_KEY_STRIDE
-            arr = self.store.get(self.band, tix, tiy)
-            if arr is None:
+            vals = self._window_vals(split_rings(ring, sizes[i]), ring,
+                                     int(tk[i]))
+            if vals is None:
                 continue
-            h, w = arr.shape
-            x0t = tix * synth.TILE_SIZE
-            y0t = tiy * synth.TILE_SIZE
-            bx0, by0, bx1, by1 = _geom.rings_bbox(ring)
-            c0 = max(int(np.floor((bx0 - x0t) / res)), 0)
-            c1 = min(int(np.floor((bx1 - x0t) / res)), w - 1)
-            r0 = max(int(np.floor((by0 - y0t) / res)), 0)
-            r1 = min(int(np.floor((by1 - y0t) / res)), h - 1)
-            if c1 < c0 or r1 < r0:
-                continue
-            px = x0t + (np.arange(c0, c1 + 1, dtype=np.float64) + 0.5) * res
-            py = y0t + (np.arange(r0, r1 + 1, dtype=np.float64) + 0.5) * res
-            gx, gy = np.meshgrid(px, py, indexing="xy")
-            mask = _geom.points_in_rings(gx.ravel(), gy.ravel(), rings_i).reshape(gx.shape)
-            if not mask.any():
-                continue
-            vals = arr[r0 : r1 + 1, c0 : c1 + 1][mask]
             if self.clamp_min is not None:
                 vals = np.maximum(vals, self.clamp_min)
             psum[i] = vals.sum()
@@ -328,9 +376,54 @@ class PolygonZonalPartial:
         )
 
 
-def polygon_tile_cover_batch(batch: pa.Table, key_col: str) -> pa.Table:
+class PolygonLandcoverPartial(PolygonZonalPartial):
+    """Per-(row, tile) landcover class-count partials where the AoI is
+    the row's own polygon (``get_landcover_percentages`` with polygon
+    PoIs, availability.py:361-377 + the same per-class pixel ratio as
+    the buffered form); sums feed :func:`finish_landcover`."""
+
+    def __init__(self, tile_root: str, classmap: dict[int, str],
+                 key_col: str = "doc_id", band: str = "lulc",
+                 cache_tiles: int = 256, dilate: float = 0.0):
+        super().__init__(tile_root, band, key_col=key_col, clamp_min=None,
+                         cache_tiles=cache_tiles, dilate=dilate)
+        self.classes = sorted(classmap)
+        self.names = [classmap[c] for c in self.classes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rx = batch.column("ring_x").to_pylist()
+        ry = batch.column("ring_y").to_pylist()
+        sizes = (batch.column("ring_sizes").to_pylist()
+                 if "ring_sizes" in batch.column_names else [None] * len(rx))
+        tk = batch.column("tile_key").to_numpy(zero_copy_only=False)
+        n = len(rx)
+        counts = np.zeros((n, len(self.classes)), dtype=np.int64)
+        total = np.zeros(n, dtype=np.int64)
+        cls_arr = np.asarray(self.classes)
+        for i in range(n):
+            ring = np.column_stack([rx[i], ry[i]])
+            vals = self._window_vals(split_rings(ring, sizes[i]), ring,
+                                     int(tk[i]))
+            if vals is None:
+                continue
+            vals = vals[np.isfinite(vals)]
+            total[i] = vals.size
+            pos = np.searchsorted(cls_arr, vals)
+            ok = (pos < len(cls_arr)) & (cls_arr[np.minimum(pos, len(cls_arr) - 1)] == vals)
+            np.add.at(counts[i], pos[ok], 1)
+        cols = {self.key_col: batch.column(self.key_col)}
+        for j, name in enumerate(self.names):
+            cols[f"cnt_{name}"] = pa.array(counts[:, j])
+        cols["cnt_total"] = pa.array(total)
+        return pa.table(cols)
+
+
+def polygon_tile_cover_batch(batch: pa.Table, key_col: str,
+                             margin: float = 0.0) -> pa.Table:
     """Cover expansion for polygon-AoI rows: one output row per
-    (row, tile overlapped by the ring bbox), carrying the ring along."""
+    (row, tile overlapped by the ring bbox grown by ``margin`` — the
+    dilation radius when the AoI is a buffered polygon), carrying the
+    ring along."""
     rx = batch.column("ring_x")
     ry = batch.column("ring_y")
     if isinstance(rx, pa.ChunkedArray):
@@ -344,10 +437,10 @@ def polygon_tile_cover_batch(batch: pa.Table, key_col: str) -> pa.Table:
     for i in range(len(rx_list)):
         xs = np.asarray(rx_list[i])
         ys = np.asarray(ry_list[i])
-        ix0 = int(np.floor(xs.min() / ts))
-        ix1 = int(np.floor(xs.max() / ts))
-        iy0 = int(np.floor(ys.min() / ts))
-        iy1 = int(np.floor(ys.max() / ts))
+        ix0 = int(np.floor((xs.min() - margin) / ts))
+        ix1 = int(np.floor((xs.max() + margin) / ts))
+        iy0 = int(np.floor((ys.min() - margin) / ts))
+        iy1 = int(np.floor((ys.max() + margin) / ts))
         for tx in range(ix0, ix1 + 1):
             for ty in range(iy0, iy1 + 1):
                 out_idx.append(i)
