@@ -1180,7 +1180,11 @@ def _rect_union_cte(src: str, p: str, moments: bool = False) -> str:
           FROM {p}_xs
         ),
         {p}_cov AS (
-          SELECT s.grp, s.sx0, s.sx1, c.ry0, c.ry1
+          -- DISTINCT: identical covering intervals (e.g. two rects
+          -- clipped to the same AoI window) are redundant for a union
+          -- AND their ordering ties would let the separate brk/isl
+          -- window evaluations disagree, splitting one island in two
+          SELECT DISTINCT s.grp, s.sx0, s.sx1, c.ry0, c.ry1
           FROM {p}_slab s JOIN {src} c
             ON c.grp = s.grp AND c.rx0 <= s.sx0 AND c.rx1 >= s.sx1
           WHERE s.sx1 IS NOT NULL AND s.sx1 > s.sx0
@@ -1794,7 +1798,129 @@ def world_oracle_sql() -> dict[str, str]:
         LEFT JOIN gstats s ON s.src = nn.src
     """
 
+    # --- polygon-PoI gates: rect AoIs derived from the doc key -------
+    # rect bounds recompute the engine's binary64 arithmetic exactly
+    # (_world_rect_poly_docs); pixel lattice/NDVI/landcover closed forms
+    # are the same as the point-buffer oracles
+    def rdocs(limit: int) -> str:
+        hw = f"({_POLY_HW[0]!r} + {_POLY_HW[1]!r} * (CAST(substr(doc_id, 5) AS BIGINT) % {_POLY_HW[2]}))"
+        hh = f"({_POLY_HH[0]!r} + {_POLY_HH[1]!r} * (CAST(substr(doc_id, 5) AS BIGINT) % {_POLY_HH[2]}))"
+        return wdocs(limit) + f""",
+        rect AS (
+          SELECT doc_id, x - {hw} AS x0, y - {hh} AS y0,
+                 x + {hw} AS x1, y + {hh} AS y1
+          FROM docs
+        )"""
+
+    def rect_pix(d: float) -> str:
+        """Pixel-center membership in the rect dilated by ``d`` — the
+        SQL twin of ``mask_rings_dilated`` (interior test, else min
+        point→edge-segment distance term-for-term via ``_seg_d2``)."""
+        inside = "px > x0 AND px < x1 AND py > y0 AND py < y1"
+        if d > 0:
+            segs = [("x0", "y0", "x1", "y0"), ("x1", "y0", "x1", "y1"),
+                    ("x1", "y1", "x0", "y1"), ("x0", "y1", "x0", "y0")]
+            d2 = ", ".join(_seg_d2("px", "py", *s) for s in segs)
+            member = f"(({inside}) OR sqrt(least({d2})) <= {d!r})"
+        else:
+            member = inside
+        return f""",
+        pixidx AS (SELECT i AS idx FROM range(0, {_NPIX} + 1) t(i)),
+        pixcand AS (
+          SELECT r.doc_id, (gx.idx * 10.0 + 5.0) AS px,
+                 (gy.idx * 10.0 + 5.0) AS py, r.x0, r.y0, r.x1, r.y1
+          FROM rect r
+          JOIN pixidx gx ON gx.idx >= floor((r.x0 - {d!r}) / 10.0)
+                        AND gx.idx <= floor((r.x1 + {d!r}) / 10.0)
+          JOIN pixidx gy ON gy.idx >= floor((r.y0 - {d!r}) / 10.0)
+                        AND gy.idx <= floor((r.y1 + {d!r}) / 10.0)
+        ),
+        pix AS (SELECT * FROM pixcand WHERE {member})"""
+
+    def poly_zonal_sql(d: float) -> str:
+        return "WITH " + rdocs(400) + rect_pix(d) + f""",
+        vals AS (SELECT doc_id, greatest({_NDVI_SQL}, 0.0) AS v FROM pix)
+        SELECT doc_id,
+               round_even(avg(v), 3) AS mean_NDVI,
+               round_even(sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0)), 3)
+                   AS std_NDVI
+        FROM vals GROUP BY doc_id
+    """
+
+    poly_lc_cases = ", ".join(
+        f"round_even(sum(CASE WHEN cls = {cls} THEN 1 ELSE 0 END)"
+        f" / count(*) * 100.0, 3) AS {name}"
+        for cls, name in ((10, "pct_tree"), (30, "pct_grass"),
+                          (40, "pct_crop"), (50, "pct_builtup"),
+                          (60, "pct_bare"), (80, "pct_water")))
+    poly_lc_sql = "WITH " + rdocs(400) + rect_pix(0.0) + f""",
+        vals AS (SELECT doc_id, {_LULC_SQL} AS cls FROM pix)
+        SELECT doc_id, {poly_lc_cases} FROM vals GROUP BY doc_id
+    """
+
+    # exact clip-area sum (dissolve=False: overlapping canopy rects
+    # double-count, matching the reference's per-polygon clip sum)
+    poly_canopy_sql = "WITH " + rdocs(400) + f""",
+        clip AS (
+          SELECT r.doc_id,
+                 (least(c.x1, r.x1) - greatest(c.x0, r.x0))
+               * (least(c.y1, r.y1) - greatest(c.y0, r.y0)) AS a
+          FROM rect r JOIN read_parquet({can_pq}) c
+            ON c.x0 < r.x1 AND c.x1 > r.x0
+           AND c.y0 < r.y1 AND c.y1 > r.y0
+        ),
+        s AS (SELECT doc_id, sum(a) AS a FROM clip GROUP BY doc_id)
+        SELECT r.doc_id,
+               round_even(coalesce(s.a, 0.0)
+                          / ((r.x1 - r.x0) * (r.y1 - r.y0)) * 100.0, 2)
+                   AS canopy_cover
+        FROM rect r LEFT JOIN s USING (doc_id)
+    """
+
+    # dilated AoI at pixel-center resolution: covered = Σ over canopy
+    # rects of AoI-pixels inside (per-polygon double count)
+    poly_canopy_buf_sql = ("WITH " + rdocs(400)
+                           + rect_pix(POLY_DILATE) + f""",
+        tot AS (SELECT doc_id, count(*) AS t FROM pix GROUP BY doc_id),
+        hits AS (
+          SELECT p.doc_id, count(*) AS h
+          FROM pix p JOIN read_parquet({can_pq}) c
+            ON p.px > c.x0 AND p.px < c.x1
+           AND p.py > c.y0 AND p.py < c.y1
+          GROUP BY p.doc_id
+        )
+        SELECT t.doc_id,
+               round_even(CAST(coalesce(h.h, 0) AS DOUBLE) / t.t * 100.0, 2)
+                   AS canopy_cover
+        FROM tot t LEFT JOIN hits h USING (doc_id)
+    """)
+
+    # dissolved-union semantics: slab-decomposition union area of the
+    # clipped greenspace rects per doc (blobs are disjoint, so the
+    # engine's per-blob clip sum equals the global union)
+    poly_gs_sql = "WITH " + rdocs(400) + f""",
+        clip AS (
+          SELECT r.doc_id AS grp,
+                 greatest(g.x0, r.x0) AS rx0, greatest(g.y0, r.y0) AS ry0,
+                 least(g.x1, r.x1) AS rx1, least(g.y1, r.y1) AS ry1
+          FROM rect r JOIN read_parquet({gs_pq}) g
+            ON g.x0 < r.x1 AND g.x1 > r.x0
+           AND g.y0 < r.y1 AND g.y1 > r.y0
+        ),{_rect_union_cte("clip", "pg")}
+        SELECT r.doc_id,
+               round_even(coalesce(u.area, 0.0)
+                          / ((r.x1 - r.x0) * (r.y1 - r.y0)) * 100.0, 2)
+                   AS greenspace_cover
+        FROM rect r LEFT JOIN pg_u u ON u.grp = r.doc_id
+    """
+
     return {
+        "polygon_ndvi": poly_zonal_sql(0.0),
+        "polygon_ndvi_buffered": poly_zonal_sql(POLY_DILATE),
+        "polygon_landcover": poly_lc_sql,
+        "polygon_canopy": poly_canopy_sql,
+        "polygon_canopy_buffered": poly_canopy_buf_sql,
+        "polygon_greenspace": poly_gs_sql,
         "spans_mean_ndvi_metrics":
             base + "SELECT doc_id, mean_NDVI, std_NDVI FROM m",
         "spans_mean_ndvi_payload": base + f"""
@@ -1988,6 +2114,103 @@ def q_ivf_topk(sf_dir: str):
     )
 
 
+#: dilation radius of the buffered-polygon gates (polygon PoIs with
+#: ``buffer_type='euclidean'``, availability.py:235-237)
+POLY_DILATE = 150.0
+#: rect-PoI half-width/height constants — base + step * (key % mod);
+#: the SQL oracles recompute the exact same binary64 arithmetic from
+#: the doc key (fractional bases keep rect edges off pixel centers)
+_POLY_HW = (60.3, 20.0, 8)
+_POLY_HH = (80.7, 20.0, 5)
+
+
+def _world_rect_poly_docs(limit: int = 400):
+    """Deterministic rect-POLYGON PoIs derived from the world documents:
+    each doc's point becomes an axis-aligned rect (half-widths keyed off
+    the doc number) serialized as a WKT POLYGON span, so the gates
+    exercise the real spans→DecodeGeom(parse_polygons=True) path while
+    every AoI bound stays closed-form expressible in the DuckDB oracle."""
+    from ..sources import documents as doc_src
+
+    poi, w = _world_poi(limit)
+
+    def to_poly_docs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        k = np.array([int(s[4:]) for s in ids], np.int64)
+        hw = _POLY_HW[0] + _POLY_HW[1] * (k % _POLY_HW[2])
+        hh = _POLY_HH[0] + _POLY_HH[1] * (k % _POLY_HH[2])
+        x0, y0, x1, y1 = x - hw, y - hh, x + hw, y + hh
+        spans = [
+            [{"kind": "geom",
+              "text": (f"POLYGON(({x0[i]!r} {y0[i]!r}, {x1[i]!r} {y0[i]!r}, "
+                       f"{x1[i]!r} {y1[i]!r}, {x0[i]!r} {y1[i]!r}, "
+                       f"{x0[i]!r} {y0[i]!r}))"),
+              "media_ref": "", "offset": 0}]
+            for i in range(len(ids))]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "spans": pa.array(spans, pa.list_(synth.SPAN_TYPE))})
+
+    docs = poi.map_batches(to_poly_docs, batch_format="pyarrow")
+    decoded = docs.map_batches(doc_src.DecodeGeom(parse_polygons=True),
+                               batch_format="pyarrow")
+    return decoded.select_columns(["doc_id", "ring_x", "ring_y",
+                                   "ring_sizes"]), w
+
+
+def q_polygon_ndvi(sf_dir: str):
+    """get_mean_NDVI with polygon PoIs, buffer_type=None — each row's
+    own polygon is the AoI (availability.py:230-234)."""
+    rects, w = _world_rect_poly_docs()
+    return availability.mean_ndvi_polygon_aoi(rects, w["tiles"],
+                                              concurrency=None)
+
+
+def q_polygon_ndvi_buffered(sf_dir: str):
+    """get_mean_NDVI with polygon PoIs, buffer_type='euclidean' — the
+    polygon dilated by buffer_dist is the AoI (availability.py:235-237)."""
+    rects, w = _world_rect_poly_docs()
+    return availability.mean_ndvi_polygon_aoi(rects, w["tiles"],
+                                              concurrency=None,
+                                              dilate=POLY_DILATE)
+
+
+def q_polygon_landcover(sf_dir: str):
+    """get_landcover_percentages with polygon PoIs (buffer_type=None)."""
+    rects, w = _world_rect_poly_docs()
+    return availability.landcover_percentages_polygon_aoi(
+        rects, w["tiles"], concurrency=None, stringify=False)
+
+
+def q_polygon_canopy(sf_dir: str):
+    """get_canopy_percentage with polygon PoIs (buffer_type=None) —
+    exact clip-area overlay, per-polygon sum (no dissolve)."""
+    rects, w = _world_rect_poly_docs()
+    return availability.coverage_percentage_polygon_aoi(
+        rects, pq.read_table(w["canopy"]), concurrency=None,
+        stringify=False, name="canopy_cover", dissolve=False)
+
+
+def q_polygon_canopy_buffered(sf_dir: str):
+    """get_canopy_percentage with polygon PoIs, buffer_type='euclidean'
+    — pixel-center evaluation of the dilated-polygon AoI."""
+    rects, w = _world_rect_poly_docs()
+    return availability.coverage_percentage_polygon_aoi(
+        rects, pq.read_table(w["canopy"]), concurrency=None,
+        stringify=False, name="canopy_cover", dissolve=False,
+        dilate=POLY_DILATE)
+
+
+def q_polygon_greenspace(sf_dir: str):
+    """get_greenspace_percentage with polygon PoIs (buffer_type=None) —
+    dissolved-union membership over the row's own polygon AoI."""
+    rects, w = _world_rect_poly_docs()
+    return availability.coverage_percentage_polygon_aoi(
+        rects, pq.read_table(w["greenspace"]), concurrency=None,
+        stringify=False, name="greenspace_cover", dissolve=True)
+
+
 QUERIES = {
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
@@ -2027,4 +2250,10 @@ QUERIES = {
     "dissolve": q_dissolve,
     "dissolve_distributed": q_dissolve_distributed,
     "ivf_topk": q_ivf_topk,
+    "polygon_ndvi": q_polygon_ndvi,
+    "polygon_ndvi_buffered": q_polygon_ndvi_buffered,
+    "polygon_landcover": q_polygon_landcover,
+    "polygon_canopy": q_polygon_canopy,
+    "polygon_canopy_buffered": q_polygon_canopy_buffered,
+    "polygon_greenspace": q_polygon_greenspace,
 }
