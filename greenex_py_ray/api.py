@@ -470,14 +470,23 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
                                      concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """accessibility.get_shortest_distance_greenspace
-    (accessibility.py:24-223)."""
+    (accessibility.py:24-223).  Polygon/MultiPolygon PoIs are collapsed
+    to centroids first, exactly like the reference
+    (accessibility.py:52-55 'Changing geometry type to Point by
+    computing polygon centroids…')."""
     if distance_type not in ("euclidean", "network"):
         raise TypeError("distance_type must be 'euclidean' or 'network'")
     if destination not in ("centroids", "entrance"):
         raise TypeError("destination must be 'centroids' or 'entrance'")
     _validate_positive("target_dist", target_dist)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    if _geom_kind(docs) in ("POLYGON", "MULTIPOLYGON"):
+        pts = docs.map_batches(
+            doc_src.DecodeGeom(parse_polygons=True, src_crs=src_crs),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).select_columns(["doc_id", "x", "y"])
+    else:
+        pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     flag = f"greenspace_within_{int(target_dist)}m"
     gs = _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi))
     if distance_type == "euclidean" and destination == "centroids":
@@ -504,19 +513,58 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
     return _attach(docs, metrics)
 
 
+def _vis_poi(docs, src_crs, polygon_type, buffer_dist):
+    """Visibility-function PoI dispatch (visibility.py:59-99, 305-344):
+    polygon PoIs with ``polygon_type='house'`` collapse to centroids;
+    ``'neighbourhood'`` keeps the polygon itself as the AoI
+    (``buffer_dist`` optional); point-type PoIs (incl. centroids)
+    require a positive ``buffer_dist``.  Returns ``(poi_kind, ds)``."""
+    kind = _geom_kind(docs)
+    if kind in ("POLYGON", "MULTIPOLYGON"):
+        if polygon_type not in ("neighbourhood", "house"):
+            raise ValueError(
+                "polygon_type must be 'neighbourhood' or 'house'")
+        decoded = docs.map_batches(
+            doc_src.DecodeGeom(parse_polygons=True, src_crs=src_crs),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        if polygon_type == "house":
+            _require_positive_buffer(buffer_dist)
+            return "point", decoded.select_columns(["doc_id", "x", "y"])
+        if buffer_dist is not None:
+            _require_positive_buffer(buffer_dist)
+        return "polygon", decoded.select_columns(
+            ["doc_id", "ring_x", "ring_y", "ring_sizes"])
+    _require_positive_buffer(buffer_dist)
+    return "point", doc_src.decode_geom(docs, src_crs=src_crs).select_columns(
+        ["doc_id", "x", "y"])
+
+
+def _require_positive_buffer(buffer_dist) -> None:
+    """visibility.py:97-98 / :343-344: point-type PoIs (incl. house
+    centroids) hard-require a positive ``buffer_dist``."""
+    if (buffer_dist is None or not isinstance(buffer_dist, (int, float))
+            or buffer_dist <= 0):
+        raise ValueError(
+            "buffer_dist must be a positive number for point-type PoIs "
+            f"(got {buffer_dist!r})")
+
+
 def get_viewshed_GVI(poi, dsm_tile_dir: str,
                      network_nodes_file: str, network_edges_file: str,
-                     buffer_dist: float = 100.0, viewing_dist: float = 250.0,
+                     buffer_dist: float | None = 100.0,
+                     viewing_dist: float = 250.0,
                      sample_dist: float = 50.0, observer_height: float = 1.7,
+                     polygon_type: str = "neighbourhood",
                      concurrency: int | None = None,
                   src_crs: str | None = None):
     """visibility.get_viewshed_GVI (visibility.py:50-293).  Returns
     (poi-with-metrics Dataset, per-sample-point Dataset)."""
-    for n, v in [("buffer_dist", buffer_dist), ("viewing_dist", viewing_dist),
+    for n, v in [("viewing_dist", viewing_dist),
                  ("sample_dist", sample_dist), ("observer_height", observer_height)]:
         _validate_positive(n, v)
     docs = _poi(poi)
-    pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    poi_kind, pts = _vis_poi(docs, src_crs, polygon_type, buffer_dist)
     if isinstance(dsm_tile_dir, str) and dsm_tile_dir.lower().endswith(
             (".tif", ".tiff")):
         # the viewshed kernel reads THREE co-registered bands
@@ -533,26 +581,29 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
         pts, edges, dsm_tile_dir, buffer_dist=buffer_dist,
         viewing_dist=viewing_dist, sample_dist=sample_dist,
         observer_height=observer_height, concurrency=concurrency,
+        poi_kind=poi_kind,
     )
     return _attach(docs, rollup), per_point
 
 
 def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
-                       image_features_file: str, buffer_dist: float = 100.0,
+                       image_features_file: str,
+                       buffer_dist: float | None = 100.0,
+                       polygon_type: str = "neighbourhood",
                        concurrency: int | None = None,
                   src_crs: str | None = None):
     """visibility.get_streetview_GVI (visibility.py:296-437) with the
     deterministic segmentation stub.  Returns (poi-with-metrics Dataset,
     per-point Dataset)."""
-    _validate_positive("buffer_dist", buffer_dist)
     docs = _poi(poi)
     # Dataset PoI side: broadcast below streetview_gvi's size threshold,
     # cell-bucketed shuffle join above it (no driver materialization)
-    poi_ds = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
+    poi_kind, poi_ds = _vis_poi(docs, src_crs, polygon_type, buffer_dist)
     edges = _vis.edge_coords_table(network_nodes_file, network_edges_file)
     features = pq.read_table(image_features_file)
     rollup, per_point = _vis.streetview_gvi(
         poi_ds, edges, features, buffer_dist=buffer_dist, concurrency=concurrency,
+        poi_kind=poi_kind,
     )
     return _attach(docs, rollup), per_point
 

@@ -256,6 +256,113 @@ def segments_intersect_circle(
     return px * px + py * py <= r * r
 
 
+def _point_seg_d2(px: np.ndarray, py: np.ndarray,
+                  sx0: np.ndarray, sy0: np.ndarray,
+                  sx1: np.ndarray, sy1: np.ndarray) -> np.ndarray:
+    """(P, E) squared distances from each point to each segment."""
+    dx = (sx1 - sx0)[None, :]
+    dy = (sy1 - sy0)[None, :]
+    len2 = dx * dx + dy * dy
+    qx = px[:, None] - sx0[None, :]
+    qy = py[:, None] - sy0[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(len2 > 0, (qx * dx + qy * dy) / len2, 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    return (qx - t * dx) ** 2 + (qy - t * dy) ** 2
+
+
+def _ring_edges(rings: "list[np.ndarray]"):
+    """Concatenated (x0, y0, x1, y1) edge arrays over all rings."""
+    xs0, ys0, xs1, ys1 = [], [], [], []
+    for ring in rings:
+        xs0.append(ring[:, 0])
+        ys0.append(ring[:, 1])
+        xs1.append(np.roll(ring[:, 0], -1))
+        ys1.append(np.roll(ring[:, 1], -1))
+    return (np.concatenate(xs0), np.concatenate(ys0),
+            np.concatenate(xs1), np.concatenate(ys1))
+
+
+def points_within_rings_dist(px: np.ndarray, py: np.ndarray,
+                             rings: "list[np.ndarray]",
+                             dist: float = 0.0,
+                             chunk: int = 1 << 20) -> np.ndarray:
+    """Boolean mask: each point is inside the (even-odd multi-ring)
+    polygon, or within ``dist`` of its boundary — i.e. member of the
+    polygon dilated by ``dist`` (shapely ``geom.buffer(d).contains(pt)``
+    in the exact Minkowski limit; the engine-wide euclidean-buffer
+    deviation documented in MIGRATION.md)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    mask = points_in_rings(px, py, rings)
+    if dist <= 0.0 or mask.all():
+        return mask
+    sx0, sy0, sx1, sy1 = _ring_edges(rings)
+    d2 = dist * dist
+    out = np.flatnonzero(~mask)
+    # chunk the P×E matrix so a huge boundary can't blow the heap
+    step = max(1, chunk // max(1, len(sx0)))
+    for s in range(0, len(out), step):
+        idx = out[s:s + step]
+        near = (_point_seg_d2(px[idx], py[idx], sx0, sy0, sx1, sy1)
+                .min(axis=1) <= d2)
+        mask[idx] = near
+    return mask
+
+
+def segments_within_rings_dist(ax: np.ndarray, ay: np.ndarray,
+                               bx: np.ndarray, by: np.ndarray,
+                               rings: "list[np.ndarray]",
+                               dist: float = 0.0,
+                               chunk: int = 1 << 20) -> np.ndarray:
+    """Boolean mask: each segment (a→b) intersects the (even-odd
+    multi-ring) polygon dilated by ``dist`` — an endpoint is inside,
+    the segment crosses/touches a boundary edge, or (``dist`` > 0) it
+    passes within ``dist`` of one.  This is the reference's
+    ``network_edges.intersects(poi.buffer(buffer_dist))`` predicate
+    (visibility.py:568-572) in the exact-disk limit."""
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    bx = np.asarray(bx, dtype=np.float64)
+    by = np.asarray(by, dtype=np.float64)
+    mask = points_in_rings(ax, ay, rings) | points_in_rings(bx, by, rings)
+    sx0, sy0, sx1, sy1 = _ring_edges(rings)
+    d2 = dist * dist
+    todo = np.flatnonzero(~mask)
+    step = max(1, chunk // max(1, len(sx0)))
+    for s in range(0, len(todo), step):
+        idx = todo[s:s + step]
+        sax, say = ax[idx][:, None], ay[idx][:, None]
+        sbx, sby = bx[idx][:, None], by[idx][:, None]
+        cx0, cy0 = sx0[None, :], sy0[None, :]
+        cx1, cy1 = sx1[None, :], sy1[None, :]
+        # orientation signs: seg(a,b) straddles edge(c0,c1) and vice versa
+        o1 = (sbx - sax) * (cy0 - say) - (sby - say) * (cx0 - sax)
+        o2 = (sbx - sax) * (cy1 - say) - (sby - say) * (cx1 - sax)
+        o3 = (cx1 - cx0) * (say - cy0) - (cy1 - cy0) * (sax - cx0)
+        o4 = (cx1 - cx0) * (sby - cy0) - (cy1 - cy0) * (sbx - cx0)
+        hit = ((o1 * o2 <= 0.0) & (o3 * o4 <= 0.0)).any(axis=1)
+        if dist > 0.0:
+            miss = ~hit
+            if miss.any():
+                j = idx[miss]
+                # non-crossing segment↔segment distance = min of the
+                # four endpoint-to-other-segment distances
+                dmin = np.minimum(
+                    np.minimum(
+                        _point_seg_d2(ax[j], ay[j], sx0, sy0, sx1, sy1),
+                        _point_seg_d2(bx[j], by[j], sx0, sy0, sx1, sy1),
+                    ).min(axis=1),
+                    np.minimum(
+                        _point_seg_d2(sx0, sy0, ax[j], ay[j], bx[j], by[j]),
+                        _point_seg_d2(sx1, sy1, ax[j], ay[j], bx[j], by[j]),
+                    ).min(axis=0),
+                )
+                hit[miss] |= dmin <= d2
+        mask[idx] = hit
+    return mask
+
+
 # ---------------------------------------------------------------------------
 # General polygon overlay (non-convex, holes, multipolygon) — exact
 # area/centroid of boolean combinations via vertical-slab trapezoid

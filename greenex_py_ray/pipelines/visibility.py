@@ -75,12 +75,18 @@ def viewshed_gvi(
     key_col: str = "doc_id",
     concurrency: int | None = None,
     batch_size: int = 512,
+    poi_kind: str = "point",
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """poi(key,x,y) → (per-PoI rollup, per-sample-point GVI rows).
 
     Stage plan: sample-point actor (broadcast edge index) → flat explode
     → ViewshedGVI actor pool (precomputed rays + tile cache) →
     groupby(key) Mean/Count rollup.
+
+    ``poi_kind='polygon'`` expects ``key, ring_x, ring_y, ring_sizes``
+    rows instead (``polygon_type='neighbourhood'``): edges intersecting
+    each PoI's own polygon (dilated by ``buffer_dist`` when set) are
+    sampled (visibility.py:568-572); ``buffer_dist`` may be ``None``.
     """
     kernel_conc = concurrency
     if kernel_conc is None:
@@ -96,8 +102,10 @@ def viewshed_gvi(
         cpus = cluster_cpus()
         kernel_conc = max(1, cpus // 2, cpus - 4)
     eref = ray.put(edges_coords)
+    sampler = (vis.SamplePointsViewshedPolygon if poi_kind == "polygon"
+               else vis.SamplePointsViewshed)
     pts = poi.map_batches(
-        vis.SamplePointsViewshed,
+        sampler,
         fn_constructor_kwargs=dict(
             edges_ref=eref, buffer_dist=buffer_dist, sample_dist=sample_dist,
             key_col=key_col,
@@ -157,6 +165,7 @@ def streetview_gvi(
     key_col: str = "doc_id",
     concurrency: int | None = None,
     broadcast_threshold: int = 100_000,
+    poi_kind: str = "point",
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Streetview GVI with the stubbed segmentation scorer.
 
@@ -181,6 +190,44 @@ def streetview_gvi(
     from ..stages.spatial_join import cell_buffer_join
 
     pts = bucket_dedup(pts, subset=["sp_x", "sp_y"])  # D2: exact geometry dedup
+    if poi_kind == "polygon":
+        # polygon PoIs (polygon_type='neighbourhood') are a SIDE table
+        # like greenspace/canopy — neighbourhood sets are orders of
+        # magnitude smaller than the network/point sides, so the
+        # broadcast membership join is the scale path here
+        poly_cols = [key_col, "ring_x", "ring_y", "ring_sizes"]
+        if isinstance(poi_table, ray.data.Dataset):
+            poi_table = pa.concat_tables(
+                t.select(poly_cols) for t in ray.get(
+                    poi_table.select_columns(poly_cols).to_arrow_refs()))
+        pref = ray.put(poi_table)
+
+        def poly_join(semi: bool):
+            return dict(
+                fn=vis.PointsToPolygonPoi,
+                fn_constructor_kwargs=dict(
+                    poly_ref=pref, buffer_dist=buffer_dist,
+                    key_col=key_col, semi=semi),
+                batch_format="pyarrow", concurrency=as_pool(concurrency),
+                num_cpus=0.25,
+            )
+
+        kw = poly_join(True)
+        pts = pts.map_batches(kw.pop("fn"), **kw)
+        fref = ray.put(features)
+        pts = pts.map_batches(
+            vis.NearestImageFeature,
+            fn_constructor_kwargs=dict(features_ref=fref),
+            batch_format="pyarrow", batch_size=256,
+            concurrency=as_pool(concurrency), num_cpus=0.25,
+        )
+        scored = pts.map_batches(
+            vis.SegmentationGVI, batch_format="pyarrow",
+            **heavy_pool(concurrency),
+        )
+        kw = poly_join(False)
+        exploded = scored.map_batches(kw.pop("fn"), **kw)
+        return _streetview_rollup(exploded, key_col)
     poi_is_ds = isinstance(poi_table, ray.data.Dataset)
     if poi_is_ds:
         # materialize the 3-column projection ONCE: it feeds count() and
@@ -232,6 +279,13 @@ def streetview_gvi(
             batch_format="pyarrow", concurrency=as_pool(concurrency),
             num_cpus=0.25,
         )
+
+    return _streetview_rollup(exploded, key_col)
+
+
+def _streetview_rollup(exploded, key_col):
+    """Shared per-PoI null-skipping Mean + non-null Count tail
+    (visibility.py:1048-1049 pandas mean/count semantics)."""
 
     def pre_rollup(batch: pa.Table) -> pa.Table:
         g = batch.column("GVI").to_numpy(zero_copy_only=False)

@@ -128,17 +128,19 @@ class SamplePointsViewshed:
             keep[m] = (d2 <= r2).any(axis=1)
         return keep
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        x = batch.column("x").to_numpy(zero_copy_only=False)
-        y = batch.column("y").to_numpy(zero_copy_only=False)
-        keys = batch.column(self.key_col)
-        empty = pa.table({
+    def _empty(self, keys) -> pa.Table:
+        return pa.table({
             self.key_col: keys.slice(0, 0),
             "sp_x": pa.array([], pa.float64()),
             "sp_y": pa.array([], pa.float64()),
         })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        keys = batch.column(self.key_col)
         if len(x) == 0:
-            return empty
+            return self._empty(keys)
         # candidate (poi, edge) pairs for the whole batch in one index
         # query, refined by exact segment distance — then the linspace
         # expansion via the repeat/cumsum pattern (no per-PoI loop)
@@ -159,7 +161,13 @@ class SamplePointsViewshed:
                 keep = d2 <= self.buffer_dist * self.buffer_dist
             qi, pj = qi[keep], pj[keep]
         if not len(qi):
-            return empty
+            return self._empty(keys)
+        return self._expand_samples(qi, pj, keys)
+
+    def _expand_samples(self, qi: np.ndarray, pj: np.ndarray,
+                        keys) -> pa.Table:
+        """Shared (poi, edge) → sample-point expansion
+        (get_network_sample_points, visibility.py:574-589)."""
         L = self.length[pj]
         small = L < self.sample_dist
         # visibility.py:584: n = int(L / sample_dist) + 1; short edges
@@ -209,6 +217,145 @@ class SamplePointsViewshed:
                 "sp_y": pa.array(sp_y),
             }
         )
+
+
+class SamplePointsViewshedPolygon(SamplePointsViewshed):
+    """Polygon-PoI (``polygon_type='neighbourhood'``) sampling variant:
+    the candidate predicate becomes *edge intersects the PoI's own
+    polygon dilated by* ``buffer_dist`` (``None``/0 = the bare polygon
+    — visibility.py:568-572's two branches); the selected edges are
+    then sampled along their FULL length exactly like the point path
+    (the reference samples ``buffer_edges.geometry[i]``, not the
+    clipped intersection).
+
+    Expects ``doc_id, ring_x, ring_y, ring_sizes`` rows (the
+    ``_route_poi`` polygon columns)."""
+
+    def __init__(self, edges_ref, buffer_dist: float | None,
+                 sample_dist: float, key_col: str = "doc_id"):
+        super().__init__(edges_ref, buffer_dist=float(buffer_dist or 0.0),
+                         sample_dist=sample_dist, key_col=key_col)
+
+    def _refine_polyline_rings(self, pj: np.ndarray, rings) -> np.ndarray:
+        """Curved-edge refine: any sub-segment of the edge's polyline
+        within ``buffer_dist`` of the polygon."""
+        from .. import geom as _geom
+
+        keep = np.zeros(len(pj), dtype=bool)
+        for k, e in enumerate(pj):
+            g = self.geoms[e]
+            if g is None:
+                xs0 = np.array([self.ax[e]]); ys0 = np.array([self.ay[e]])
+                xs1 = np.array([self.bx[e]]); ys1 = np.array([self.by[e]])
+            else:
+                xs0, ys0 = g[:-1, 0], g[:-1, 1]
+                xs1, ys1 = g[1:, 0], g[1:, 1]
+            keep[k] = _geom.segments_within_rings_dist(
+                xs0, ys0, xs1, ys1, rings, self.buffer_dist).any()
+        return keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import geom as _geom
+        from .zonal import split_rings
+
+        rx = batch.column("ring_x").to_pylist()
+        ry = batch.column("ring_y").to_pylist()
+        sizes = (batch.column("ring_sizes").to_pylist()
+                 if "ring_sizes" in batch.column_names
+                 else [None] * len(rx))
+        keys = batch.column(self.key_col)
+        if not len(rx):
+            return self._empty(keys)
+        all_qi, all_pj = [], []
+        for i in range(len(rx)):
+            ring = np.column_stack([np.asarray(rx[i], np.float64),
+                                    np.asarray(ry[i], np.float64)])
+            rings = split_rings(ring, sizes[i])
+            bx0, by0, bx1, by1 = _geom.rings_bbox(ring)
+            cx, cy = (bx0 + bx1) / 2.0, (by0 + by1) / 2.0
+            rad = (np.hypot(bx1 - cx, by1 - cy) + self.buffer_dist
+                   + self.margin)
+            _, pj, _ = self.index.within(np.array([cx]), np.array([cy]), rad)
+            if not len(pj):
+                continue
+            if self.geoms is not None:
+                keep = self._refine_polyline_rings(pj, rings)
+            else:
+                keep = _geom.segments_within_rings_dist(
+                    self.ax[pj], self.ay[pj], self.bx[pj], self.by[pj],
+                    rings, self.buffer_dist)
+            pj = pj[keep]
+            if len(pj):
+                all_qi.append(np.full(len(pj), i, dtype=np.int64))
+                all_pj.append(pj)
+        if not all_qi:
+            return self._empty(keys)
+        return self._expand_samples(np.concatenate(all_qi),
+                                    np.concatenate(all_pj), keys)
+
+
+class PointsToPolygonPoi:
+    """Broadcast polygon-PoI membership join for the streetview path:
+    keep (``semi=True``) or key-assign sample points lying inside each
+    PoI's polygon dilated by ``buffer_dist`` (the polygon-PoI analog of
+    ``select_points_within_buffers``, visibility.py:653-660 with
+    ``poi.buffer(buffer_dist)`` replaced by the polygon geometry per
+    visibility.py:568-572)."""
+
+    def __init__(self, poly_ref, buffer_dist: float | None = None,
+                 key_col: str = "doc_id", semi: bool = False):
+        from .. import geom as _geom
+        from .zonal import split_rings
+
+        t = _resolve(poly_ref)
+        rx = t.column("ring_x").to_pylist()
+        ry = t.column("ring_y").to_pylist()
+        sizes = (t.column("ring_sizes").to_pylist()
+                 if "ring_sizes" in t.column_names else [None] * len(rx))
+        self.rings = []
+        self.bbox = np.empty((len(rx), 4))
+        for i in range(len(rx)):
+            ring = np.column_stack([np.asarray(rx[i], np.float64),
+                                    np.asarray(ry[i], np.float64)])
+            self.rings.append(split_rings(ring, sizes[i]))
+            self.bbox[i] = _geom.rings_bbox(ring)
+        self.keys = t.column(key_col).combine_chunks()
+        self.buffer_dist = float(buffer_dist or 0.0)
+        self.key_col = key_col
+        self.semi = semi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import geom as _geom
+
+        x = batch.column("sp_x").to_numpy(zero_copy_only=False)
+        y = batch.column("sp_y").to_numpy(zero_copy_only=False)
+        d = self.buffer_dist
+        qi_parts, pj_parts = [], []
+        for j, rings in enumerate(self.rings):
+            bx0, by0, bx1, by1 = self.bbox[j]
+            cand = np.flatnonzero(
+                (x >= bx0 - d) & (x <= bx1 + d)
+                & (y >= by0 - d) & (y <= by1 + d))
+            if not len(cand):
+                continue
+            m = _geom.points_within_rings_dist(x[cand], y[cand], rings, d)
+            hit = cand[m]
+            if len(hit):
+                qi_parts.append(hit)
+                pj_parts.append(np.full(len(hit), j, dtype=np.int64))
+        if not qi_parts:
+            if self.semi:
+                return batch.slice(0, 0)
+            return batch.slice(0, 0).append_column(
+                self.key_col, self.keys.slice(0, 0))
+        qi = np.concatenate(qi_parts)
+        pj = np.concatenate(pj_parts)
+        if self.semi:
+            return batch.take(pa.array(np.unique(qi)))
+        order = np.argsort(qi, kind="stable")
+        qi, pj = qi[order], pj[order]
+        tbl = batch.take(pa.array(qi))
+        return tbl.append_column(self.key_col, self.keys.take(pa.array(pj)))
 
 
 def streetview_sample_batch(batch: pa.Table, interval: float = 50.0) -> pa.Table:
