@@ -1432,8 +1432,10 @@ def world_oracle_sql() -> dict[str, str]:
     pano_h = int(H * 0.8)
     pano_w = W + W // 4
     green_rows = int(H * 0.75)
-    streetview_sql = f"""
-        WITH {wdocs()},
+    # network sampling + final rollup are shared by the point-PoI and
+    # polygon-PoI streetview gates — only the ppair membership CTE
+    # (point∈buffer vs point∈dilated-rect) differs
+    sv_net = f"""
         nodes AS (SELECT node_id, x, y FROM read_parquet({nodes_pq})),
         ec AS (
           SELECT n1.x AS ax, n1.y AS ay, n2.x AS bx, n2.y AS by, e.length
@@ -1448,18 +1450,8 @@ def world_oracle_sql() -> dict[str, str]:
                  ay + (by - ay) * (CAST(i AS DOUBLE) / length) AS sp_y
           FROM ec JOIN steps ON i < CAST(floor(length) AS BIGINT)
         ),
-        pts AS (SELECT DISTINCT sp_x, sp_y FROM raw),
-        -- (point, poi) containment pairs ONCE via a bbox range join
-        -- (IEJoin-able — correlated EXISTS/LATERAL would nested-loop),
-        -- reused for both the semi filter and the rollup explode
-        ppair AS (
-          SELECT p.sp_x, p.sp_y, d.doc_id
-          FROM pts p JOIN docs d
-            ON p.sp_x >= d.x - 100.0 AND p.sp_x <= d.x + 100.0
-           AND p.sp_y >= d.y - 100.0 AND p.sp_y <= d.y + 100.0
-          WHERE sqrt((p.sp_x - d.x) * (p.sp_x - d.x)
-                   + (p.sp_y - d.y) * (p.sp_y - d.y)) <= 100.0
-        ),
+        pts AS (SELECT DISTINCT sp_x, sp_y FROM raw),"""
+    sv_tail = f"""
         spts AS (SELECT DISTINCT sp_x, sp_y FROM ppair),
         ipar AS (
           SELECT image_id, is_panoramic, x, y,
@@ -1521,6 +1513,18 @@ def world_oracle_sql() -> dict[str, str]:
                CAST(count(gvi) AS BIGINT) AS nr_of_points
         FROM pairs GROUP BY doc_id
     """
+    streetview_sql = ("WITH " + wdocs() + "," + sv_net + """
+        -- (point, poi) containment pairs ONCE via a bbox range join
+        -- (IEJoin-able — correlated EXISTS/LATERAL would nested-loop),
+        -- reused for both the semi filter and the rollup explode
+        ppair AS (
+          SELECT p.sp_x, p.sp_y, d.doc_id
+          FROM pts p JOIN docs d
+            ON p.sp_x >= d.x - 100.0 AND p.sp_x <= d.x + 100.0
+           AND p.sp_y >= d.y - 100.0 AND p.sp_y <= d.y + 100.0
+          WHERE sqrt((p.sp_x - d.x) * (p.sp_x - d.x)
+                   + (p.sp_y - d.y) * (p.sp_y - d.y)) <= 100.0
+        ),""" + sv_tail)
 
     # --- viewshed GVI: exact pixel tables + embedded kernel rays ---
     px = synth.write_pixel_tables(root, bands=("dsm", "dtm", "green",
@@ -1528,19 +1532,18 @@ def world_oracle_sql() -> dict[str, str]:
     rays_vals, wgt_vals = _viewshed_tables()
     vs_pois = int(os.environ.get("GREENEX_VIEWSHED_POIS", "300"))
     cand_d2 = _seg_d2("d.x", "d.y", "e.ax", "e.ay", "e.bx", "e.by")
-    viewshed_sql = f"""
-        WITH {wdocs(vs_pois)},
+    # network CTEs + the sample-expansion/kernel tail are shared by the
+    # point-PoI and polygon-PoI viewshed gates — only the cand edge
+    # predicate (seg within 100 m of point vs seg intersects rect) differs
+    vs_net = f"""
         nodes AS (SELECT node_id, x, y FROM read_parquet({nodes_pq})),
         ec AS (
           SELECT n1.x AS ax, n1.y AS ay, n2.x AS bx, n2.y AS by, e.length
           FROM read_parquet({edges_pq}) e
           JOIN nodes n1 ON n1.node_id = e.u
           JOIN nodes n2 ON n2.node_id = e.v
-        ),
-        cand AS (
-          SELECT d.doc_id, e.ax, e.ay, e.bx, e.by, e.length
-          FROM docs d JOIN ec e ON {cand_d2} <= 10000.0
-        ),
+        ),"""
+    vs_tail = f"""
         nof AS (
           -- visibility.py:584: n = int(L / sample_dist) + 1; short edges
           -- contribute their midpoint only
@@ -1623,6 +1626,11 @@ def world_oracle_sql() -> dict[str, str]:
         FROM spc s JOIN pgvi p USING (pid)
         GROUP BY s.doc_id
     """
+    viewshed_sql = ("WITH " + wdocs(vs_pois) + "," + vs_net + f"""
+        cand AS (
+          SELECT d.doc_id, e.ax, e.ay, e.bx, e.by, e.length
+          FROM docs d JOIN ec e ON {cand_d2} <= 10000.0
+        ),""" + vs_tail)
 
     # --- isochrone NDVI: bounded Dijkstra + capsule mask + BFS holes ---
     # the prefix (through `inside`) is shared by the three isochrone
@@ -1914,7 +1922,70 @@ def world_oracle_sql() -> dict[str, str]:
         FROM rect r LEFT JOIN pg_u u ON u.grp = r.doc_id
     """
 
+    # --- polygon-PoI visibility gates: same shared viewshed/streetview
+    # tails, with the cand/ppair membership swapped for the polygon
+    # predicates (visibility.py:568-572 edges ∩ own polygon; :653-660
+    # points ∈ dilated polygon) -------------------------------------
+    def seg_rect_cross(cx0, cy0, cx1, cy1) -> str:
+        """Edge(a→b) straddles rect boundary edge(c0→c1) — the exact
+        orientation terms of geom.segments_within_rings_dist.  Bare
+        column names: evaluated over the candbox CTE."""
+        o1 = f"((bx - ax) * ({cy0} - ay) - (by - ay) * ({cx0} - ax))"
+        o2 = f"((bx - ax) * ({cy1} - ay) - (by - ay) * ({cx1} - ax))"
+        o3 = f"(({cx1} - {cx0}) * (ay - {cy0}) - ({cy1} - {cy0}) * (ax - {cx0}))"
+        o4 = f"(({cx1} - {cx0}) * (by - {cy0}) - ({cy1} - {cy0}) * (bx - {cx0}))"
+        return f"({o1} * {o2} <= 0.0 AND {o3} * {o4} <= 0.0)"
+
+    rect_segs = [("x0", "y0", "x1", "y0"),
+                 ("x1", "y0", "x1", "y1"),
+                 ("x1", "y1", "x0", "y1"),
+                 ("x0", "y1", "x0", "y0")]
+    cross_any = "\n            OR ".join(seg_rect_cross(*s) for s in rect_segs)
+    inside_a = "(ax > x0 AND ax < x1 AND ay > y0 AND ay < y1)"
+    inside_b = "(bx > x0 AND bx < x1 AND by > y0 AND by < y1)"
+    poly_vs_sql = ("WITH " + rdocs(VS_POLY_POIS) + "," + vs_net + f"""
+        ebox AS (
+          -- edge bbox PREcomputed: inline least/greatest inside the
+          -- 4-predicate range join trips a DuckDB internal error
+          -- ("requires a flat vector")
+          SELECT least(ax, bx) AS exl, greatest(ax, bx) AS exh,
+                 least(ay, by) AS eyl, greatest(ay, by) AS eyh, *
+          FROM ec
+        ),
+        candbox AS (
+          -- bbox prefilter in the join; the exact straddle predicate
+          -- lives in a separate WHERE stage
+          SELECT r.doc_id, e.ax, e.ay, e.bx, e.by, e.length,
+                 r.x0, r.y0, r.x1, r.y1
+          FROM rect r JOIN ebox e
+            ON e.exl <= r.x1 AND e.exh >= r.x0
+           AND e.eyl <= r.y1 AND e.eyh >= r.y0
+        ),
+        cand AS (
+          -- edge intersects the row's own rect (buffer_dist=None):
+          -- endpoint inside, or straddle vs any boundary edge
+          SELECT doc_id, ax, ay, bx, by, length FROM candbox
+          WHERE ({inside_a} OR {inside_b}
+            OR {cross_any})
+        ),""" + vs_tail)
+
+    pd2 = ", ".join(_seg_d2("p.sp_x", "p.sp_y", *s) for s in rect_segs)
+    sv_member = (f"((p.sp_x > r.x0 AND p.sp_x < r.x1 AND p.sp_y > r.y0 "
+                 f"AND p.sp_y < r.y1) OR sqrt(least({pd2})) <= {POLY_DILATE!r})")
+    poly_sv_sql = ("WITH " + rdocs(400) + "," + sv_net + f"""
+        ppair AS (
+          -- sample point ∈ rect dilated by POLY_DILATE (interior test,
+          -- else min point→boundary-segment distance)
+          SELECT p.sp_x, p.sp_y, r.doc_id
+          FROM pts p JOIN rect r
+            ON p.sp_x >= r.x0 - {POLY_DILATE!r} AND p.sp_x <= r.x1 + {POLY_DILATE!r}
+           AND p.sp_y >= r.y0 - {POLY_DILATE!r} AND p.sp_y <= r.y1 + {POLY_DILATE!r}
+          WHERE {sv_member}
+        ),""" + sv_tail)
+
     return {
+        "polygon_viewshed": poly_vs_sql,
+        "polygon_streetview": poly_sv_sql,
         "polygon_ndvi": poly_zonal_sql(0.0),
         "polygon_ndvi_buffered": poly_zonal_sql(POLY_DILATE),
         "polygon_landcover": poly_lc_sql,
@@ -2117,6 +2188,9 @@ def q_ivf_topk(sf_dir: str):
 #: dilation radius of the buffered-polygon gates (polygon PoIs with
 #: ``buffer_type='euclidean'``, availability.py:235-237)
 POLY_DILATE = 150.0
+#: polygon-viewshed gate PoI count — rect AoIs average ~2× the sample
+#: points of the 100 m point buffers, so half the point gate's 300
+VS_POLY_POIS = 150
 #: rect-PoI half-width/height constants — base + step * (key % mod);
 #: the SQL oracles recompute the exact same binary64 arithmetic from
 #: the doc key (fractional bases keep rect edges off pixel centers)
@@ -2202,6 +2276,37 @@ def q_polygon_canopy_buffered(sf_dir: str):
         dilate=POLY_DILATE)
 
 
+def q_polygon_viewshed(sf_dir: str):
+    """get_viewshed_GVI with polygon PoIs (polygon_type='neighbourhood',
+    buffer_dist=None) — edges intersecting the row's own polygon are
+    sampled (visibility.py:568-572)."""
+    from . import visibility as vpipe
+
+    rects, w = _world_rect_poly_docs(VS_POLY_POIS)
+    edges = vpipe.edge_coords_table(w["network_nodes"], w["network_edges"])
+    rollup, _ = vpipe.viewshed_gvi(
+        rects, edges, w["tiles"], buffer_dist=None, viewing_dist=250.0,
+        sample_dist=50.0, concurrency=None, poi_kind="polygon",
+    )
+    return rollup
+
+
+def q_polygon_streetview(sf_dir: str):
+    """get_streetview_GVI with polygon PoIs dilated by POLY_DILATE —
+    sample points inside each row's buffered polygon roll up
+    (visibility.py:653-660 with the polygon buffer of :568-572)."""
+    from . import visibility as vpipe
+
+    rects, w = _world_rect_poly_docs()
+    edges = vpipe.edge_coords_table(w["network_nodes"], w["network_edges"])
+    features = pq.read_table(w["image_features"])
+    rollup, _ = vpipe.streetview_gvi(
+        rects, edges, features, buffer_dist=POLY_DILATE, concurrency=None,
+        poi_kind="polygon",
+    )
+    return rollup
+
+
 def q_polygon_greenspace(sf_dir: str):
     """get_greenspace_percentage with polygon PoIs (buffer_type=None) —
     dissolved-union membership over the row's own polygon AoI."""
@@ -2256,4 +2361,6 @@ QUERIES = {
     "polygon_canopy": q_polygon_canopy,
     "polygon_canopy_buffered": q_polygon_canopy_buffered,
     "polygon_greenspace": q_polygon_greenspace,
+    "polygon_viewshed": q_polygon_viewshed,
+    "polygon_streetview": q_polygon_streetview,
 }
