@@ -552,7 +552,7 @@ def _require_positive_buffer(buffer_dist) -> None:
 
 def get_viewshed_GVI(poi, dsm_tile_dir: str,
                      network_nodes_file: str, network_edges_file: str,
-                     buffer_dist: float | None = 100.0,
+                     buffer_dist: float | None = None,
                      viewing_dist: float = 250.0,
                      sample_dist: float = 50.0, observer_height: float = 1.7,
                      polygon_type: str = "neighbourhood",
@@ -588,7 +588,7 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
 
 def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
                        image_features_file: str,
-                       buffer_dist: float | None = 100.0,
+                       buffer_dist: float | None = None,
                        polygon_type: str = "neighbourhood",
                        concurrency: int | None = None,
                   src_crs: str | None = None):

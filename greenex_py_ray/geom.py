@@ -291,21 +291,24 @@ def points_within_rings_dist(px: np.ndarray, py: np.ndarray,
     polygon, or within ``dist`` of its boundary — i.e. member of the
     polygon dilated by ``dist`` (shapely ``geom.buffer(d).contains(pt)``
     in the exact Minkowski limit; the engine-wide euclidean-buffer
-    deviation documented in MIGRATION.md)."""
+    deviation documented in MIGRATION.md).  Semantics-twin of
+    ``stages/zonal.mask_rings_dilated`` (pixel-lattice layout there,
+    arbitrary points here) — keep the sqrt boundary-tie rule in sync."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     mask = points_in_rings(px, py, rings)
     if dist <= 0.0 or mask.all():
         return mask
     sx0, sy0, sx1, sy1 = _ring_edges(rings)
-    d2 = dist * dist
     out = np.flatnonzero(~mask)
     # chunk the P×E matrix so a huge boundary can't blow the heap
     step = max(1, chunk // max(1, len(sx0)))
     for s in range(0, len(out), step):
         idx = out[s:s + step]
-        near = (_point_seg_d2(px[idx], py[idx], sx0, sy0, sx1, sy1)
-                .min(axis=1) <= d2)
+        # sqrt-compare: identical tie rule to mask_rings_dilated and
+        # the SQL oracles (sqrt(least(d2)) <= d)
+        near = np.sqrt(_point_seg_d2(px[idx], py[idx], sx0, sy0, sx1, sy1)
+                       .min(axis=1)) <= dist
         mask[idx] = near
     return mask
 
@@ -341,7 +344,18 @@ def segments_within_rings_dist(ax: np.ndarray, ay: np.ndarray,
         o2 = (sbx - sax) * (cy1 - say) - (sby - say) * (cx1 - sax)
         o3 = (cx1 - cx0) * (say - cy0) - (cy1 - cy0) * (sax - cx0)
         o4 = (cx1 - cx0) * (sby - cy0) - (cy1 - cy0) * (sbx - cx0)
-        hit = ((o1 * o2 <= 0.0) & (o3 * o4 <= 0.0)).any(axis=1)
+        pair = (o1 * o2 <= 0.0) & (o3 * o4 <= 0.0)
+        # collinear-but-disjoint pairs satisfy the straddle products
+        # (all four orientations 0) without intersecting — shapely
+        # `intersects` says False, so require 1D bbox overlap there
+        col = (o1 == 0.0) & (o2 == 0.0)
+        if col.any():
+            ovl = ((np.minimum(sax, sbx) <= np.maximum(cx0, cx1))
+                   & (np.maximum(sax, sbx) >= np.minimum(cx0, cx1))
+                   & (np.minimum(say, sby) <= np.maximum(cy0, cy1))
+                   & (np.maximum(say, sby) >= np.minimum(cy0, cy1)))
+            pair &= ~col | ovl
+        hit = pair.any(axis=1)
         if dist > 0.0:
             miss = ~hit
             if miss.any():
@@ -358,7 +372,9 @@ def segments_within_rings_dist(ax: np.ndarray, ay: np.ndarray,
                         _point_seg_d2(sx1, sy1, ax[j], ay[j], bx[j], by[j]),
                     ).min(axis=0),
                 )
-                hit[miss] |= dmin <= d2
+                # sqrt-compare: identical tie rule to mask_rings_dilated
+                # and the SQL oracles (sqrt(least(d2)) <= d)
+                hit[miss] |= np.sqrt(dmin) <= dist
         mask[idx] = hit
     return mask
 

@@ -1928,13 +1928,20 @@ def world_oracle_sql() -> dict[str, str]:
     # points ∈ dilated polygon) -------------------------------------
     def seg_rect_cross(cx0, cy0, cx1, cy1) -> str:
         """Edge(a→b) straddles rect boundary edge(c0→c1) — the exact
-        orientation terms of geom.segments_within_rings_dist.  Bare
-        column names: evaluated over the candbox CTE."""
+        orientation terms of geom.segments_within_rings_dist, incl. the
+        collinear-but-disjoint guard (all four orientations 0 needs 1D
+        bbox overlap, matching shapely ``intersects``).  Bare column
+        names: evaluated over the candbox CTE."""
         o1 = f"((bx - ax) * ({cy0} - ay) - (by - ay) * ({cx0} - ax))"
         o2 = f"((bx - ax) * ({cy1} - ay) - (by - ay) * ({cx1} - ax))"
         o3 = f"(({cx1} - {cx0}) * (ay - {cy0}) - ({cy1} - {cy0}) * (ax - {cx0}))"
         o4 = f"(({cx1} - {cx0}) * (by - {cy0}) - ({cy1} - {cy0}) * (bx - {cx0}))"
-        return f"({o1} * {o2} <= 0.0 AND {o3} * {o4} <= 0.0)"
+        ovl = (f"(least(ax, bx) <= greatest({cx0}, {cx1})"
+               f" AND greatest(ax, bx) >= least({cx0}, {cx1})"
+               f" AND least(ay, by) <= greatest({cy0}, {cy1})"
+               f" AND greatest(ay, by) >= least({cy0}, {cy1}))")
+        return (f"({o1} * {o2} <= 0.0 AND {o3} * {o4} <= 0.0"
+                f" AND (NOT ({o1} = 0.0 AND {o2} = 0.0) OR {ovl}))")
 
     rect_segs = [("x0", "y0", "x1", "y0"),
                  ("x1", "y0", "x1", "y1"),

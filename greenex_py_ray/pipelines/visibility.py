@@ -190,6 +190,11 @@ def streetview_gvi(
     from ..stages.spatial_join import cell_buffer_join
 
     pts = bucket_dedup(pts, subset=["sp_x", "sp_y"])  # D2: exact geometry dedup
+
+    # the semi filter (before the feature/scoring stages) and the
+    # rollup explode (after) are the SAME join with semi toggled; pick
+    # its implementation once per PoI side so the shared middle
+    # pipeline exists exactly once
     if poi_kind == "polygon":
         # polygon PoIs (polygon_type='neighbourhood') are a SIDE table
         # like greenspace/canopy — neighbourhood sets are orders of
@@ -202,61 +207,51 @@ def streetview_gvi(
                     poi_table.select_columns(poly_cols).to_arrow_refs()))
         pref = ray.put(poi_table)
 
-        def poly_join(semi: bool):
-            return dict(
-                fn=vis.PointsToPolygonPoi,
+        def join_stage(ds, semi: bool):
+            return ds.map_batches(
+                vis.PointsToPolygonPoi,
                 fn_constructor_kwargs=dict(
                     poly_ref=pref, buffer_dist=buffer_dist,
                     key_col=key_col, semi=semi),
                 batch_format="pyarrow", concurrency=as_pool(concurrency),
                 num_cpus=0.25,
             )
-
-        kw = poly_join(True)
-        pts = pts.map_batches(kw.pop("fn"), **kw)
-        fref = ray.put(features)
-        pts = pts.map_batches(
-            vis.NearestImageFeature,
-            fn_constructor_kwargs=dict(features_ref=fref),
-            batch_format="pyarrow", batch_size=256,
-            concurrency=as_pool(concurrency), num_cpus=0.25,
-        )
-        scored = pts.map_batches(
-            vis.SegmentationGVI, batch_format="pyarrow",
-            **heavy_pool(concurrency),
-        )
-        kw = poly_join(False)
-        exploded = scored.map_batches(kw.pop("fn"), **kw)
-        return _streetview_rollup(exploded, key_col)
-    poi_is_ds = isinstance(poi_table, ray.data.Dataset)
-    if poi_is_ds:
-        # materialize the 3-column projection ONCE: it feeds count() and
-        # both join stages (fanning out an unmaterialized shared lineage
-        # — especially one containing a limit() — re-executes the decode
-        # per consumer and can stall the streaming executor); 3 columns
-        # spill fine at scale
-        poi_ds = poi_table.select_columns([key_col, "x", "y"]).materialize()
-        use_shuffle = poi_ds.count() > broadcast_threshold
     else:
-        poi_ds = None
-        use_shuffle = False
-    if use_shuffle:
-        pts = cell_buffer_join(pts, poi_ds, buffer_dist, key_col=key_col,
-                               semi=True)
-    else:
+        poi_is_ds = isinstance(poi_table, ray.data.Dataset)
         if poi_is_ds:
-            poi_table = pa.concat_tables(
-                t.select([key_col, "x", "y"])
-                for t in ray.get(poi_ds.to_arrow_refs())
-            )
-        pref = ray.put(poi_table)
-        pts = pts.map_batches(
-            vis.PointsToPoi,
-            fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
-                                       key_col=key_col, semi=True),
-            batch_format="pyarrow", concurrency=as_pool(concurrency),
-            num_cpus=0.25,
-        )
+            # materialize the 3-column projection ONCE: it feeds count()
+            # and both join stages (fanning out an unmaterialized shared
+            # lineage — especially one containing a limit() — re-executes
+            # the decode per consumer and can stall the streaming
+            # executor); 3 columns spill fine at scale
+            poi_ds = poi_table.select_columns([key_col, "x", "y"]).materialize()
+            use_shuffle = poi_ds.count() > broadcast_threshold
+        else:
+            poi_ds = None
+            use_shuffle = False
+        if use_shuffle:
+            def join_stage(ds, semi: bool):
+                return cell_buffer_join(ds, poi_ds, buffer_dist,
+                                        key_col=key_col, semi=semi)
+        else:
+            if poi_is_ds:
+                poi_table = pa.concat_tables(
+                    t.select([key_col, "x", "y"])
+                    for t in ray.get(poi_ds.to_arrow_refs())
+                )
+            pref = ray.put(poi_table)
+
+            def join_stage(ds, semi: bool):
+                return ds.map_batches(
+                    vis.PointsToPoi,
+                    fn_constructor_kwargs=dict(
+                        poi_ref=pref, buffer_dist=buffer_dist,
+                        key_col=key_col, semi=semi),
+                    batch_format="pyarrow", concurrency=as_pool(concurrency),
+                    num_cpus=0.25,
+                )
+
+    pts = join_stage(pts, True)
     fref = ray.put(features)
     pts = pts.map_batches(
         vis.NearestImageFeature,
@@ -268,18 +263,7 @@ def streetview_gvi(
         vis.SegmentationGVI, batch_format="pyarrow",
         **heavy_pool(concurrency),
     )
-    if use_shuffle:
-        exploded = cell_buffer_join(scored, poi_ds, buffer_dist,
-                                    key_col=key_col, semi=False)
-    else:
-        exploded = scored.map_batches(
-            vis.PointsToPoi,
-            fn_constructor_kwargs=dict(poi_ref=pref, buffer_dist=buffer_dist,
-                                       key_col=key_col, semi=False),
-            batch_format="pyarrow", concurrency=as_pool(concurrency),
-            num_cpus=0.25,
-        )
-
+    exploded = join_stage(scored, False)
     return _streetview_rollup(exploded, key_col)
 
 

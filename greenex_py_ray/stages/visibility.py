@@ -305,6 +305,7 @@ class PointsToPolygonPoi:
     def __init__(self, poly_ref, buffer_dist: float | None = None,
                  key_col: str = "doc_id", semi: bool = False):
         from .. import geom as _geom
+        from ..state.index import RectIndex
         from .zonal import split_rings
 
         t = _resolve(poly_ref)
@@ -323,6 +324,15 @@ class PointsToPolygonPoi:
         self.buffer_dist = float(buffer_dist or 0.0)
         self.key_col = key_col
         self.semi = semi
+        # grid index over the d-dilated bboxes: per-point candidate
+        # lookup instead of an O(polygons × batch) linear bbox sweep
+        d = self.buffer_dist
+        n = len(self.rings)
+        self.index = RectIndex(
+            self.bbox[:, 0] - d, self.bbox[:, 1] - d,
+            self.bbox[:, 2] + d, self.bbox[:, 3] + d,
+            ids=np.arange(n, dtype=np.int64),
+        ) if n else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .. import geom as _geom
@@ -331,18 +341,22 @@ class PointsToPolygonPoi:
         y = batch.column("sp_y").to_numpy(zero_copy_only=False)
         d = self.buffer_dist
         qi_parts, pj_parts = [], []
-        for j, rings in enumerate(self.rings):
-            bx0, by0, bx1, by1 = self.bbox[j]
-            cand = np.flatnonzero(
-                (x >= bx0 - d) & (x <= bx1 + d)
-                & (y >= by0 - d) & (y <= by1 + d))
-            if not len(cand):
-                continue
-            m = _geom.points_within_rings_dist(x[cand], y[cand], rings, d)
-            hit = cand[m]
-            if len(hit):
-                qi_parts.append(hit)
-                pj_parts.append(np.full(len(hit), j, dtype=np.int64))
+        if self.index is not None and len(x):
+            cq, cr = self.index.containing(x, y)
+            # exact membership per candidate polygon (pairs grouped by
+            # polygon so each ring set is tested once, vectorized)
+            order = np.argsort(cr, kind="stable")
+            cq, cr = cq[order], cr[order]
+            uniq, starts = np.unique(cr, return_index=True)
+            bounds = np.concatenate([starts, [len(cr)]])
+            for g, j in enumerate(uniq):
+                qs = cq[bounds[g]:bounds[g + 1]]
+                m = _geom.points_within_rings_dist(
+                    x[qs], y[qs], self.rings[j], d)
+                hit = qs[m]
+                if len(hit):
+                    qi_parts.append(hit)
+                    pj_parts.append(np.full(len(hit), j, dtype=np.int64))
         if not qi_parts:
             if self.semi:
                 return batch.slice(0, 0)

@@ -107,6 +107,20 @@ def test_segments_within_rings_dist_matches_dense_sampling():
         assert (got == (dist <= d))[safe].all()
 
 
+def test_segments_within_rings_collinear_disjoint():
+    # collinear with the rect's bottom edge (y=200) but 600 m away:
+    # all four orientation products are 0, yet shapely intersects()
+    # is False — the straddle test alone would false-positive
+    rings = _rect_rings(100.0, 200.0, 400.0, 350.0)
+    ax, ay = np.array([1000.0]), np.array([200.0])
+    bx, by = np.array([1100.0]), np.array([200.0])
+    assert not geom.segments_within_rings_dist(ax, ay, bx, by, rings, 0.0)[0]
+    # collinear AND overlapping → touches → intersects
+    ax2, bx2 = np.array([350.0]), np.array([500.0])
+    assert geom.segments_within_rings_dist(
+        ax2, ay, bx2, by, rings, 0.0)[0]
+
+
 # ----------------------------------------------------------------- stages
 
 
