@@ -230,6 +230,106 @@ def _attach(docs, metrics):
     return bucket_join_attach(docs, metrics, key="doc_id")
 
 
+#: simplified OSM highway-class exclusions per network_type — the
+#: engine's analog of the reference's osmnx download filter
+#: (accessibility.py:142-149); applied to the edges table's ``highway``
+#: column when one is present
+_NETWORK_TYPE_EXCLUDES = {
+    "all": frozenset(),
+    "walk": frozenset({"motorway", "motorway_link", "trunk", "trunk_link"}),
+    "bike": frozenset({"motorway", "motorway_link", "trunk", "trunk_link",
+                       "footway", "steps", "pedestrian"}),
+    "drive": frozenset({"footway", "path", "pedestrian", "cycleway",
+                        "steps", "corridor", "bridleway", "track"}),
+}
+
+
+def _filter_network_type(edges: "pa.Table", network_type: str) -> "pa.Table":
+    """Validate ``network_type`` (accessibility.py:142-144) and filter
+    the edges table by its ``highway`` column.  File-based networks
+    without a ``highway`` column must already be of the requested type —
+    asking for a subtype then is an error, not a silent no-op."""
+    if network_type not in ("walk", "bike", "drive", "all"):
+        raise ValueError(
+            "network_type must be 'walk', 'bike', 'drive' or 'all'")
+    if network_type == "all":
+        return edges
+    if "highway" not in edges.column_names:
+        raise ValueError(
+            f"network_type={network_type!r} needs a 'highway' column on "
+            "the edges table to filter by (or pass a pre-filtered "
+            f"{network_type} network with network_type='all')")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    drop = pa.array(sorted(_NETWORK_TYPE_EXCLUDES[network_type]))
+    return edges.filter(
+        pc.invert(pc.is_in(edges.column("highway"), value_set=drop)))
+
+
+def _min_area_filter(gs: "pa.Table", min_area) -> "pa.Table":
+    """accessibility.py:81-84,129-131: keep greenspaces with area >=
+    ``min_greenspace_area`` (positive number; the reference demands a
+    positive int)."""
+    if min_area is None:
+        return gs
+    if not isinstance(min_area, (int, float)) or min_area <= 0:
+        raise ValueError(
+            "min_greenspace_area must be a positive number")
+    import pyarrow.compute as pc
+
+    if "area" in gs.column_names:
+        area = gs.column("area")
+    else:  # rect side tables: exact closed-form area
+        area = pc.multiply(
+            pc.subtract(gs.column("x1"), gs.column("x0")),
+            pc.subtract(gs.column("y1"), gs.column("y0")))
+    return gs.filter(pc.greater_equal(area, float(min_area)))
+
+
+def _emit(ds, name: str, docs, src_crs, write_to_file: bool,
+          output_dir, plot_aoi: bool, buffer_dist=None):
+    """Shared ``write_to_file`` / ``output_dir`` / ``plot_aoi`` tail —
+    every reference entry writes its result GPKG and plots the AoI
+    (availability.py:294-300, accessibility.py:185-204).  Here: a
+    resumable key-partitioned parquet set (S13) plus a self-contained
+    Leaflet HTML of the PoI locations (buffer rings when a buffer
+    distance applies).  Both default OFF (a documented deviation: a
+    streaming engine must not write the CWD by default)."""
+    if not (write_to_file or plot_aoi):
+        return ds
+    import os
+
+    out = output_dir or os.getcwd()
+    os.makedirs(out, exist_ok=True)
+    if write_to_file:
+        from .lineage import resumable_write
+
+        ds = ds.materialize()
+        resumable_write(ds, os.path.join(out, name), key="doc_id")
+    if plot_aoi:
+        from . import plotmap
+
+        poly = _geom_kind(docs) in ("POLYGON", "MULTIPOLYGON")
+        pts = docs.map_batches(
+            doc_src.DecodeGeom(parse_polygons=poly, src_crs=src_crs),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).select_columns(["doc_id", "x", "y"]).limit(10_000)
+        rows = pts.take_all()
+        kind = "points"
+        if buffer_dist:
+            rows = [dict(r, radius=float(buffer_dist)) for r in rows]
+            kind = "buffers"
+        plotmap.write_map_html(
+            os.path.join(out, f"{name}_aoi.html"),
+            [{"name": "PoI", "data": rows, "kind": kind,
+              "tooltip_fields": ["doc_id"]}],
+            src_crs=src_crs or "EPSG:3857",
+            title=name,
+        )
+    return ds
+
+
 def _geom_kind(docs) -> str:
     """Geometry type of the first PoI row's first geom span — the
     reference samples ``poi.iloc[0]['geometry'].geom_type``
@@ -295,6 +395,8 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
                   network_edges_file: str | None = None,
                   travel_speed: float | None = None,
                   trip_time: float | None = None,
+                  plot_aoi: bool = False, write_to_file: bool = False,
+                  output_dir: str | None = None,
                   concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_mean_NDVI (availability.py:41-342).
@@ -325,7 +427,9 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
             pts, nodes, pq.read_table(network_edges_file),
             tile_dir, buffer_dist=dist, concurrency=concurrency,
         )
-    return _attach(docs, metrics)
+    return _emit(_attach(docs, metrics), "mean_NDVI", docs, src_crs,
+                 write_to_file, output_dir, plot_aoi,
+                 buffer_dist=(dist if mode == "point" else None))
 
 
 def get_landcover_percentages(poi, landcover_tile_dir: str,
@@ -337,6 +441,9 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
                               travel_speed: float | None = None,
                               trip_time: float | None = None,
                               stringify: bool = True,
+                              plot_aoi: bool = False,
+                              write_to_file: bool = False,
+                              output_dir: str | None = None,
                               concurrency: int | None = None,
                               classmap: dict[int, str] | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
@@ -379,7 +486,9 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
             pts, tile_dir, dist, stringify=stringify,
             concurrency=concurrency, classmap=classmap,
         )
-    return _attach(docs, metrics)
+    return _emit(_attach(docs, metrics), "landcover_percentages", docs,
+                 src_crs, write_to_file, output_dir, plot_aoi,
+                 buffer_dist=(dist if mode == "point" else None))
 
 
 def get_canopy_percentage(poi, canopy_vector_file: str,
@@ -391,6 +500,9 @@ def get_canopy_percentage(poi, canopy_vector_file: str,
                           travel_speed: float | None = None,
                           trip_time: float | None = None,
                           stringify: bool = True,
+                          plot_aoi: bool = False,
+                          write_to_file: bool = False,
+                          output_dir: str | None = None,
                           concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_canopy_percentage (availability.py:600-780);
@@ -418,7 +530,9 @@ def get_canopy_percentage(poi, canopy_vector_file: str,
             pts, canopy, dist, stringify=stringify, concurrency=concurrency,
             dissolve=False,
         )
-    return _attach(docs, metrics)
+    return _emit(_attach(docs, metrics), "canopy_percentage", docs,
+                 src_crs, write_to_file, output_dir, plot_aoi,
+                 buffer_dist=(dist if mode == "point" else None))
 
 
 def get_greenspace_percentage(poi, greenspace_vector_file: str,
@@ -430,6 +544,9 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
                               travel_speed: float | None = None,
                               trip_time: float | None = None,
                               stringify: bool = True,
+                              plot_aoi: bool = False,
+                              write_to_file: bool = False,
+                              output_dir: str | None = None,
                               concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_greenspace_percentage (availability.py:783-1010);
@@ -458,26 +575,39 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
         metrics = _av.greenspace_percentage(
             pts, gs, dist, stringify=stringify, concurrency=concurrency,
         )
-    return _attach(docs, metrics)
+    return _emit(_attach(docs, metrics), "greenspace_percentage", docs,
+                 src_crs, write_to_file, output_dir, plot_aoi,
+                 buffer_dist=(dist if mode == "point" else None))
 
 
 def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
                                      target_dist: float = 300.0,
                                      distance_type: str = "euclidean",
                                      destination: str = "centroids",
+                                     network_type: str = "all",
+                                     min_greenspace_area: float | None = None,
                                      network_nodes_file: str | None = None,
                                      network_edges_file: str | None = None,
+                                     plot_aoi: bool = False,
+                                     write_to_file: bool = False,
+                                     output_dir: str | None = None,
                                      concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """accessibility.get_shortest_distance_greenspace
     (accessibility.py:24-223).  Polygon/MultiPolygon PoIs are collapsed
     to centroids first, exactly like the reference
     (accessibility.py:52-55 'Changing geometry type to Point by
-    computing polygon centroids…')."""
+    computing polygon centroids…').  ``min_greenspace_area`` keeps only
+    greenspaces of at least that area (accessibility.py:129-131);
+    ``network_type`` filters the street network by highway class
+    (accessibility.py:142-149)."""
     if distance_type not in ("euclidean", "network"):
         raise TypeError("distance_type must be 'euclidean' or 'network'")
     if destination not in ("centroids", "entrance"):
         raise TypeError("destination must be 'centroids' or 'entrance'")
+    if network_type not in ("walk", "bike", "drive", "all"):
+        raise ValueError(
+            "network_type must be 'walk', 'bike', 'drive' or 'all'")
     _validate_positive("target_dist", target_dist)
     docs = _poi(poi)
     if _geom_kind(docs) in ("POLYGON", "MULTIPOLYGON"):
@@ -488,7 +618,9 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
     else:
         pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     flag = f"greenspace_within_{int(target_dist)}m"
-    gs = _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi))
+    gs = _min_area_filter(
+        _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi)),
+        min_greenspace_area)
     if distance_type == "euclidean" and destination == "centroids":
         import pyarrow as pa
 
@@ -500,7 +632,9 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
         ).select_columns(["doc_id", "distance_to_greenspace", flag])
     else:
         metrics = _acc.network_distance_greenspace(
-            pts, pq.read_table(network_nodes_file), pq.read_table(network_edges_file),
+            pts, pq.read_table(network_nodes_file),
+            _filter_network_type(pq.read_table(network_edges_file),
+                                 network_type),
             gs, target_dist=target_dist, destination=destination,
             distance_type=distance_type, concurrency=concurrency,
         )
@@ -510,7 +644,9 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
             ),
             batch_format="pyarrow",
         )
-    return _attach(docs, metrics)
+    return _emit(_attach(docs, metrics), "shortest_distance_greenspace",
+                 docs, src_crs, write_to_file, output_dir, plot_aoi,
+                 buffer_dist=target_dist)
 
 
 def _vis_poi(docs, src_crs, polygon_type, buffer_dist):
@@ -556,6 +692,8 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
                      viewing_dist: float = 250.0,
                      sample_dist: float = 50.0, observer_height: float = 1.7,
                      polygon_type: str = "neighbourhood",
+                     write_to_file: bool = False,
+                     output_dir: str | None = None,
                      concurrency: int | None = None,
                   src_crs: str | None = None):
     """visibility.get_viewshed_GVI (visibility.py:50-293).  Returns
@@ -583,18 +721,25 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
         observer_height=observer_height, concurrency=concurrency,
         poi_kind=poi_kind,
     )
-    return _attach(docs, rollup), per_point
+    out = _emit(_attach(docs, rollup), "viewshed_GVI", docs, src_crs,
+                write_to_file, output_dir, False)
+    return out, per_point
 
 
 def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
                        image_features_file: str,
                        buffer_dist: float | None = None,
                        polygon_type: str = "neighbourhood",
+                       crop_by_road_centres: bool = True,
+                       write_to_file: bool = False,
+                       output_dir: str | None = None,
                        concurrency: int | None = None,
                   src_crs: str | None = None):
     """visibility.get_streetview_GVI (visibility.py:296-437) with the
     deterministic segmentation stub.  Returns (poi-with-metrics Dataset,
-    per-point Dataset)."""
+    per-point Dataset).  ``crop_by_road_centres=False`` scores panoramas
+    over four equal central-band crops instead of the road-centre crops
+    (visibility.py:944-949)."""
     docs = _poi(poi)
     # Dataset PoI side: broadcast below streetview_gvi's size threshold,
     # cell-bucketed shuffle join above it (no driver materialization)
@@ -603,9 +748,11 @@ def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
     features = pq.read_table(image_features_file)
     rollup, per_point = _vis.streetview_gvi(
         poi_ds, edges, features, buffer_dist=buffer_dist, concurrency=concurrency,
-        poi_kind=poi_kind,
+        poi_kind=poi_kind, crop_by_road_centres=crop_by_road_centres,
     )
-    return _attach(docs, rollup), per_point
+    out = _emit(_attach(docs, rollup), "streetview_GVI", docs, src_crs,
+                write_to_file, output_dir, False)
+    return out, per_point
 
 
 def get_mean_NDVI_streets(network_nodes_file: str, network_edges_file: str,

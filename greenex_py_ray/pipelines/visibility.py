@@ -166,6 +166,7 @@ def streetview_gvi(
     concurrency: int | None = None,
     broadcast_threshold: int = 100_000,
     poi_kind: str = "point",
+    crop_by_road_centres: bool = True,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Streetview GVI with the stubbed segmentation scorer.
 
@@ -260,7 +261,9 @@ def streetview_gvi(
         concurrency=as_pool(concurrency), num_cpus=0.25,
     )
     scored = pts.map_batches(
-        vis.SegmentationGVI, batch_format="pyarrow",
+        vis.SegmentationGVI,
+        fn_constructor_kwargs=dict(crop_by_road_centres=crop_by_road_centres),
+        batch_format="pyarrow",
         **heavy_pool(concurrency),
     )
     exploded = join_stage(scored, False)

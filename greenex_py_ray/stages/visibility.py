@@ -581,8 +581,10 @@ class SegmentationGVI:
 
     VEGETATION = 8
 
-    def __init__(self, model: type = FakeSegmentation):
+    def __init__(self, model: type = FakeSegmentation,
+                 crop_by_road_centres: bool = True):
         self.model = model()  # loaded once per actor
+        self.crop_by_road_centres = bool(crop_by_road_centres)
 
     def _gvi_pano(self, seg: np.ndarray) -> float:
         h, w = seg.shape
@@ -607,6 +609,22 @@ class SegmentationGVI:
         green = sum(int((c == self.VEGETATION).sum()) for c in crops)
         return green / tot if tot else float("nan")
 
+    def _gvi_pano_quarters(self, seg: np.ndarray) -> float:
+        """``crop_by_road_centres=False``: four equal-width crops of the
+        central band instead of the road-centre crops
+        (crop_panoramic_images, visibility.py:855-873: rows
+        ``h4 : h4 + int(w4 * 3/4)``, bottom 20 % already dropped)."""
+        h, w = seg.shape
+        seg = seg[: int(h * 0.8), :]
+        hh, ww = seg.shape
+        w4 = ww // 4
+        h4 = hh // 4
+        h43 = int(w4 * 3 / 4)
+        crops = [seg[h4:h4 + h43, i * w4:(i + 1) * w4] for i in range(4)]
+        tot = sum(c.size for c in crops)
+        green = sum(int((c == self.VEGETATION).sum()) for c in crops)
+        return green / tot if tot else float("nan")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("image_id").to_pylist()
         pano = batch.column("is_panoramic").to_numpy(zero_copy_only=False)
@@ -617,8 +635,15 @@ class SegmentationGVI:
                 continue
             seg = self.model.segment(img)
             if pano[i]:
-                gvi[i] = self._gvi_pano(seg)
+                gvi[i] = (self._gvi_pano(seg) if self.crop_by_road_centres
+                          else self._gvi_pano_quarters(seg))
             else:
+                # flat images are scored whole; the reference's
+                # road-centre suitability gate (visibility.py:960-967)
+                # is intentionally NOT replicated here: the stripe
+                # stub's uniform road band has no column peaks, so the
+                # gate would blank every flat image — a real model
+                # scorer should re-enable it
                 gvi[i] = float((seg == self.VEGETATION).mean())
         return batch.append_column("GVI", pa.array(gvi))
 
