@@ -230,17 +230,26 @@ def _attach(docs, metrics):
     return bucket_join_attach(docs, metrics, key="doc_id")
 
 
-#: simplified OSM highway-class exclusions per network_type — the
-#: engine's analog of the reference's osmnx download filter
-#: (accessibility.py:142-149); applied to the edges table's ``highway``
-#: column when one is present
+#: OSM highway-class exclusions per network_type — the engine's analog
+#: of the reference's osmnx download filter (accessibility.py:142-149),
+#: following osmnx 1.x's published filter strings restricted to the
+#: highway tag (walk drops motorways+cycleways but NOT trunk; bike
+#: drops motorways+foot-only ways but NOT trunk; drive drops every
+#: non-motor class).  Applied to the edges table's ``highway`` column.
 _NETWORK_TYPE_EXCLUDES = {
     "all": frozenset(),
-    "walk": frozenset({"motorway", "motorway_link", "trunk", "trunk_link"}),
-    "bike": frozenset({"motorway", "motorway_link", "trunk", "trunk_link",
-                       "footway", "steps", "pedestrian"}),
+    "walk": frozenset({"motorway", "motorway_link", "cycleway",
+                       "bus_guideway", "construction", "abandoned",
+                       "planned", "platform", "proposed", "raceway"}),
+    "bike": frozenset({"motorway", "motorway_link", "footway", "steps",
+                       "corridor", "elevator", "escalator",
+                       "bus_guideway", "construction", "abandoned",
+                       "planned", "platform", "proposed", "raceway"}),
     "drive": frozenset({"footway", "path", "pedestrian", "cycleway",
-                        "steps", "corridor", "bridleway", "track"}),
+                        "steps", "corridor", "bridleway", "track",
+                        "elevator", "escalator", "bus_guideway",
+                        "construction", "abandoned", "planned",
+                        "platform", "proposed", "raceway", "service"}),
 }
 
 
@@ -268,23 +277,41 @@ def _filter_network_type(edges: "pa.Table", network_type: str) -> "pa.Table":
 
 
 def _min_area_filter(gs: "pa.Table", min_area) -> "pa.Table":
-    """accessibility.py:81-84,129-131: keep greenspaces with area >=
-    ``min_greenspace_area`` (positive number; the reference demands a
-    positive int)."""
+    """accessibility.py:81-84,125-131: the reference DISSOLVES
+    overlapping greenspaces into merged units first, then keeps units
+    whose union area >= ``min_greenspace_area``.  Rows are kept iff
+    their dissolved blob passes (identity to a per-row filter on
+    disjoint inputs).  Distances downstream are still computed per
+    stored row — pre-dissolve overlapping tables (``stages/dissolve``)
+    when merged-unit centroids/entrances are needed (MIGRATION.md)."""
     if min_area is None:
         return gs
     if not isinstance(min_area, (int, float)) or min_area <= 0:
         raise ValueError(
             "min_greenspace_area must be a positive number")
-    import pyarrow.compute as pc
+    import numpy as np
+    import pyarrow as pa
 
-    if "area" in gs.column_names:
-        area = gs.column("area")
-    else:  # rect side tables: exact closed-form area
-        area = pc.multiply(
-            pc.subtract(gs.column("x1"), gs.column("x0")),
-            pc.subtract(gs.column("y1"), gs.column("y0")))
-    return gs.filter(pc.greater_equal(area, float(min_area)))
+    from .stages.dissolve import dissolve_polygons
+
+    if "rings" in gs.column_names:
+        polys = [
+            [np.array([[p["x"], p["y"]] for p in ring]) for ring in rlist]
+            for rlist in gs.column("rings").to_pylist()]
+    else:  # rect side tables
+        x0 = gs.column("x0").to_numpy(zero_copy_only=False)
+        y0 = gs.column("y0").to_numpy(zero_copy_only=False)
+        x1 = gs.column("x1").to_numpy(zero_copy_only=False)
+        y1 = gs.column("y1").to_numpy(zero_copy_only=False)
+        polys = [np.array([[x0[i], y0[i]], [x1[i], y0[i]],
+                           [x1[i], y1[i]], [x0[i], y1[i]]])
+                 for i in range(len(gs))]
+    blobs = dissolve_polygons(polys)
+    keep = np.zeros(len(gs), dtype=bool)
+    for area, members in zip(blobs["area"], blobs["member_ids"]):
+        if area >= float(min_area):
+            keep[np.asarray(members, dtype=np.int64)] = True
+    return gs.filter(pa.array(keep))
 
 
 def _emit(ds, name: str, docs, src_crs, write_to_file: bool,
@@ -320,11 +347,16 @@ def _emit(ds, name: str, docs, src_crs, write_to_file: bool,
         if buffer_dist:
             rows = [dict(r, radius=float(buffer_dist)) for r in rows]
             kind = "buffers"
+        # DecodeGeom reprojects src_crs inputs into its EPSG:3395
+        # working frame — the plot transform must start from THAT
+        # frame, not the input's; without a src_crs the synthetic
+        # working frame has no real CRS, so label it spherical-Mercator
+        # metres as the closest visualization approximation
         plotmap.write_map_html(
             os.path.join(out, f"{name}_aoi.html"),
             [{"name": "PoI", "data": rows, "kind": kind,
               "tooltip_fields": ["doc_id"]}],
-            src_crs=src_crs or "EPSG:3857",
+            src_crs="EPSG:3395" if src_crs else "EPSG:3857",
             title=name,
         )
     return ds
@@ -391,6 +423,7 @@ def _route_poi(docs, src_crs, polygon_type, buffer_type, dist):
 def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
                   buffer_type: str | None = "euclidean",
                   polygon_type: str = "neighbourhood",
+                  network_type: str = "all",
                   network_nodes_file: str | None = None,
                   network_edges_file: str | None = None,
                   travel_speed: float | None = None,
@@ -424,7 +457,9 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
         # node coordinates (silently wrong snaps / empty windows)
         nodes = _shift_table(pq.read_table(network_nodes_file), *shift)
         metrics = _av.mean_ndvi_isochrone(
-            pts, nodes, pq.read_table(network_edges_file),
+            pts, nodes,
+            _filter_network_type(pq.read_table(network_edges_file),
+                                 network_type),
             tile_dir, buffer_dist=dist, concurrency=concurrency,
         )
     return _emit(_attach(docs, metrics), "mean_NDVI", docs, src_crs,
@@ -436,6 +471,7 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
                               buffer_dist: float | None = 500.0,
                               buffer_type: str | None = "euclidean",
                               polygon_type: str = "neighbourhood",
+                              network_type: str = "all",
                               network_nodes_file: str | None = None,
                               network_edges_file: str | None = None,
                               travel_speed: float | None = None,
@@ -478,7 +514,10 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
         # frame rule as the NDVI network branch)
         nodes = _shift_table(pq.read_table(network_nodes_file), *shift)
         metrics = _av.landcover_percentages_isochrone(
-            pts, nodes, pq.read_table(network_edges_file), tile_dir, dist,
+            pts, nodes,
+            _filter_network_type(pq.read_table(network_edges_file),
+                                 network_type),
+            tile_dir, dist,
             stringify=stringify, concurrency=concurrency, classmap=classmap,
         )
     else:
@@ -495,6 +534,7 @@ def get_canopy_percentage(poi, canopy_vector_file: str,
                           buffer_dist: float | None = 250.0,
                           buffer_type: str | None = "euclidean",
                           polygon_type: str = "neighbourhood",
+                          network_type: str = "all",
                           network_nodes_file: str | None = None,
                           network_edges_file: str | None = None,
                           travel_speed: float | None = None,
@@ -522,7 +562,9 @@ def get_canopy_percentage(poi, canopy_vector_file: str,
     elif buffer_type == "network":
         metrics = _av.canopy_percentage_isochrone(
             pts, pq.read_table(network_nodes_file),
-            pq.read_table(network_edges_file), canopy, dist,
+            _filter_network_type(pq.read_table(network_edges_file),
+                                 network_type),
+            canopy, dist,
             stringify=stringify, concurrency=concurrency, dissolve=False,
         )
     else:
@@ -539,6 +581,7 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
                               buffer_dist: float | None = 300.0,
                               buffer_type: str | None = "euclidean",
                               polygon_type: str = "neighbourhood",
+                              network_type: str = "all",
                               network_nodes_file: str | None = None,
                               network_edges_file: str | None = None,
                               travel_speed: float | None = None,
@@ -567,7 +610,9 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
         # dissolved-union semantics: membership in ANY greenspace
         metrics = _av.canopy_percentage_isochrone(
             pts, pq.read_table(network_nodes_file),
-            pq.read_table(network_edges_file), gs, dist,
+            _filter_network_type(pq.read_table(network_edges_file),
+                                 network_type),
+            gs, dist,
             stringify=stringify, concurrency=concurrency,
             name="greenspace_cover", dissolve=True,
         )
@@ -605,9 +650,8 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
         raise TypeError("distance_type must be 'euclidean' or 'network'")
     if destination not in ("centroids", "entrance"):
         raise TypeError("destination must be 'centroids' or 'entrance'")
-    if network_type not in ("walk", "bike", "drive", "all"):
-        raise ValueError(
-            "network_type must be 'walk', 'bike', 'drive' or 'all'")
+    # network_type is validated only when a network is actually used
+    # (reference accessibility.py:142-146), by _filter_network_type
     _validate_positive("target_dist", target_dist)
     docs = _poi(poi)
     if _geom_kind(docs) in ("POLYGON", "MULTIPOLYGON"):

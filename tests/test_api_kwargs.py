@@ -21,13 +21,73 @@ def _poi_ids(n=40):
     return [f"doc-{i:08d}" for i in range(n)]
 
 
-def test_min_greenspace_area_equals_prefiltered(world, tmp_path):
+def _independent_blob_filter(gs, thresh):
+    """Union-find on rect overlap + slab-decomposition union area —
+    an independent re-derivation of accessibility.py:125-131 (dissolve
+    overlapping greenspaces, keep units with area >= threshold)."""
+    x0 = gs.column("x0").to_numpy()
+    y0 = gs.column("y0").to_numpy()
+    x1 = gs.column("x1").to_numpy()
+    y1 = gs.column("y1").to_numpy()
+    n = len(gs)
+    lab = list(range(n))
+
+    def find(a):
+        while lab[a] != a:
+            lab[a] = lab[lab[a]]
+            a = lab[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (x0[i] <= x1[j] and x1[i] >= x0[j]
+                    and y0[i] <= y1[j] and y1[i] >= y0[j]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    lab[max(ri, rj)] = min(ri, rj)
+    from collections import defaultdict
+
+    blobs = defaultdict(list)
+    for i in range(n):
+        blobs[find(i)].append(i)
+    keep = np.zeros(n, dtype=bool)
+    for members in blobs.values():
+        rects = np.column_stack([x0[members], y0[members],
+                                 x1[members], y1[members]])
+        xs = np.unique(np.concatenate([rects[:, 0], rects[:, 2]]))
+        area = 0.0
+        for sx0, sx1 in zip(xs[:-1], xs[1:]):
+            cov = rects[(rects[:, 0] <= sx0) & (rects[:, 2] >= sx1)]
+            if not len(cov):
+                continue
+            iv = cov[np.argsort(cov[:, 1], kind="stable")][:, [1, 3]]
+            ylen, c0, c1 = 0.0, iv[0, 0], iv[0, 1]
+            for a, b in iv[1:]:
+                if a > c1:
+                    ylen += c1 - c0
+                    c0, c1 = a, b
+                else:
+                    c1 = max(c1, b)
+            ylen += c1 - c0
+            area += (sx1 - sx0) * ylen
+        if area >= thresh:
+            keep[members] = True
+    return keep
+
+
+def test_min_greenspace_area_equals_blob_prefiltered(world, tmp_path):
+    """The kwarg must equal prefiltering by DISSOLVED-unit area (the
+    world's greenspace rects overlap, so per-row area filtering would
+    give a different — wrong — answer)."""
     gs = pq.read_table(world["greenspace"])
-    thresh = float(np.median(gs.column("area").to_numpy()))
-    pre = gs.filter(pc.greater_equal(gs.column("area"), thresh))
-    assert 0 < len(pre) < len(gs)
+    thresh = float(np.median(gs.column("area").to_numpy()) * 2.0)
+    keep = _independent_blob_filter(gs, thresh)
+    assert 0 < keep.sum() < len(gs)
+    # per-row filtering must differ on this fixture, or the test is vacuous
+    per_row = gs.column("area").to_numpy() >= thresh
+    assert (keep != per_row).any()
     prefile = str(tmp_path / "gs_pre.parquet")
-    pq.write_table(pre, prefile)
+    pq.write_table(gs.filter(pa.array(keep)), prefile)
     cols = ["doc_id", "distance_to_greenspace"]
     a = (gx.get_shortest_distance_greenspace(
             world["documents"], world["greenspace"], target_dist=500.0,
@@ -47,26 +107,82 @@ def test_min_greenspace_area_validation(world):
 
 
 def test_network_type_validation_and_filter(world):
+    # the euclidean/centroids path never touches the network, so a bad
+    # network_type passes silently — exactly like the reference, which
+    # validates it only inside the network branch (accessibility.py:142)
+    gx.get_shortest_distance_greenspace(
+        world["documents"], world["greenspace"], network_type="boat",
+        target_dist=300.0).to_pandas()
     with pytest.raises(ValueError):
-        gx.get_shortest_distance_greenspace(
-            world["documents"], world["greenspace"], network_type="boat")
+        api._filter_network_type(
+            pq.read_table(world["network_edges"]), "boat")
     # no highway column on the edges table → explicit error, not a
     # silent no-op
     edges = pq.read_table(world["network_edges"])
     with pytest.raises(ValueError):
         api._filter_network_type(edges, "walk")
     # with a highway column: excluded classes are dropped, others kept
-    hw = ["residential", "motorway", "footway", "cycleway"] * (
-        len(edges) // 4 + 1)
+    # (osmnx 1.x semantics: walk keeps trunk, drops cycleway; bike
+    # drops footway; drive drops all non-motor classes)
+    hw = ["residential", "motorway", "footway", "cycleway", "trunk"] * (
+        len(edges) // 5 + 1)
     tagged = edges.append_column(
         "highway", pa.array(hw[: len(edges)]))
-    walk = api._filter_network_type(tagged, "walk")
-    assert "motorway" not in walk.column("highway").to_pylist()
-    assert "footway" in walk.column("highway").to_pylist()
-    drive = api._filter_network_type(tagged, "drive")
-    assert "footway" not in drive.column("highway").to_pylist()
-    assert "motorway" in drive.column("highway").to_pylist()
+    walk = set(api._filter_network_type(tagged, "walk")
+               .column("highway").to_pylist())
+    assert "motorway" not in walk and "cycleway" not in walk
+    assert "footway" in walk and "trunk" in walk
+    bike = set(api._filter_network_type(tagged, "bike")
+               .column("highway").to_pylist())
+    assert "footway" not in bike and "cycleway" in bike
+    drive = set(api._filter_network_type(tagged, "drive")
+                .column("highway").to_pylist())
+    assert drive == {"residential", "motorway", "trunk"}
     assert api._filter_network_type(tagged, "all") is tagged
+
+
+def test_network_type_on_availability_isochrone(world):
+    # network_type plumbs into the isochrone graph of the availability
+    # family (reference availability.py:42 signature); an all-kept
+    # highway tagging must reproduce the untyped run exactly
+    import pyarrow.parquet as _pq
+
+    cols = ["doc_id", "mean_NDVI", "std_NDVI"]
+    base = (gx.get_mean_NDVI(world["documents"], world["tiles"],
+                             buffer_dist=300.0, buffer_type="network",
+                             network_nodes_file=world["network_nodes"],
+                             network_edges_file=world["network_edges"])
+            .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True))
+    import tempfile, os
+    edges = _pq.read_table(world["network_edges"])
+    tagged = edges.append_column(
+        "highway", pa.array(["residential"] * len(edges)))
+    with tempfile.TemporaryDirectory() as td:
+        ef = os.path.join(td, "edges_tagged.parquet")
+        _pq.write_table(tagged, ef)
+        walk = (gx.get_mean_NDVI(world["documents"], world["tiles"],
+                                 buffer_dist=300.0, buffer_type="network",
+                                 network_type="walk",
+                                 network_nodes_file=world["network_nodes"],
+                                 network_edges_file=ef)
+                .to_pandas()[cols].sort_values("doc_id")
+                .reset_index(drop=True))
+    assert base.equals(walk)
+
+
+def test_min_area_filter_dissolves_first():
+    # two overlapping 30×20 rects forming a 30×35 union (1050 m²):
+    # the reference filter keeps the MERGED unit, so both rows survive
+    # a 1000 m² threshold even though each row alone is 600 m²
+    gs = pa.table({
+        "gs_id": [0, 1, 2],
+        "x0": [0.0, 0.0, 100.0], "y0": [0.0, 15.0, 0.0],
+        "x1": [30.0, 30.0, 110.0], "y1": [20.0, 35.0, 10.0],
+    })
+    out = api._min_area_filter(gs, 1000.0)
+    assert out.column("gs_id").to_pylist() == [0, 1]
+    # per-row filtering would have dropped everything
+    assert len(api._min_area_filter(gs, 2000.0)) == 0
 
 
 def test_write_to_file_roundtrip(world, tmp_path):
