@@ -276,42 +276,84 @@ def _filter_network_type(edges: "pa.Table", network_type: str) -> "pa.Table":
         pc.invert(pc.is_in(edges.column("highway"), value_set=drop)))
 
 
-def _min_area_filter(gs: "pa.Table", min_area) -> "pa.Table":
-    """accessibility.py:81-84,125-131: the reference DISSOLVES
-    overlapping greenspaces into merged units first, then keeps units
-    whose union area >= ``min_greenspace_area``.  Rows are kept iff
-    their dissolved blob passes (identity to a per-row filter on
-    disjoint inputs).  Distances downstream are still computed per
-    stored row — pre-dissolve overlapping tables (``stages/dissolve``)
-    when merged-unit centroids/entrances are needed (MIGRATION.md)."""
-    if min_area is None:
-        return gs
-    if not isinstance(min_area, (int, float)) or min_area <= 0:
-        raise ValueError(
-            "min_greenspace_area must be a positive number")
+def _gs_polys(gs: "pa.Table") -> list:
+    """Greenspace rows → list of polygons (ring arrays) for the driver
+    dissolve — ``rings`` tables directly, rect side tables via their
+    closed-form corners."""
+    import numpy as np
+
+    if "rings" in gs.column_names:
+        return [
+            [np.array([[p["x"], p["y"]] for p in ring]) for ring in rlist]
+            for rlist in gs.column("rings").to_pylist()]
+    x0 = gs.column("x0").to_numpy(zero_copy_only=False)
+    y0 = gs.column("y0").to_numpy(zero_copy_only=False)
+    x1 = gs.column("x1").to_numpy(zero_copy_only=False)
+    y1 = gs.column("y1").to_numpy(zero_copy_only=False)
+    return [np.array([[x0[i], y0[i]], [x1[i], y0[i]],
+                      [x1[i], y1[i]], [x0[i], y1[i]]])
+            for i in range(len(gs))]
+
+
+def _dissolve_units(gs: "pa.Table") -> "pa.Table":
+    """accessibility.py:125-128: the reference merges overlapping
+    greenspaces into one unit (``unary_union`` + dissolve) before any
+    distance computation.  Each row keeps its stored boundary geometry
+    (entrance detection tests member boundaries — interior shared
+    boundaries of a merged unit still count, a documented deviation)
+    but carries its dissolved blob's id (first member's id, the
+    reference's ``aggfunc='first'``), exact union centroid and union
+    area, so ``destination='centroids'`` measures to the MERGED unit's
+    centroid and ``min_greenspace_area`` thresholds merged-unit areas.
+    Identity on disjoint tables."""
     import numpy as np
     import pyarrow as pa
 
     from .stages.dissolve import dissolve_polygons
 
-    if "rings" in gs.column_names:
-        polys = [
-            [np.array([[p["x"], p["y"]] for p in ring]) for ring in rlist]
-            for rlist in gs.column("rings").to_pylist()]
-    else:  # rect side tables
-        x0 = gs.column("x0").to_numpy(zero_copy_only=False)
-        y0 = gs.column("y0").to_numpy(zero_copy_only=False)
-        x1 = gs.column("x1").to_numpy(zero_copy_only=False)
-        y1 = gs.column("y1").to_numpy(zero_copy_only=False)
-        polys = [np.array([[x0[i], y0[i]], [x1[i], y0[i]],
-                           [x1[i], y1[i]], [x0[i], y1[i]]])
-                 for i in range(len(gs))]
-    blobs = dissolve_polygons(polys)
-    keep = np.zeros(len(gs), dtype=bool)
-    for area, members in zip(blobs["area"], blobs["member_ids"]):
-        if area >= float(min_area):
-            keep[np.asarray(members, dtype=np.int64)] = True
-    return gs.filter(pa.array(keep))
+    if not len(gs):
+        return gs
+    blobs = dissolve_polygons(_gs_polys(gs))
+    if all(len(m) == 1 for m in blobs["member_ids"]):
+        return gs
+    n = len(gs)
+    ids = gs.column("gs_id").to_numpy(zero_copy_only=False)
+    rep = np.empty(n, dtype=ids.dtype)
+    cx = np.empty(n)
+    cy = np.empty(n)
+    area = np.empty(n)
+    for bi, members in enumerate(blobs["member_ids"]):
+        m = np.asarray(members, dtype=np.int64)
+        rep[m] = ids[m.min()]
+        cx[m] = blobs["centroid_x"][bi]
+        cy[m] = blobs["centroid_y"][bi]
+        area[m] = blobs["area"][bi]
+    cols = dict(zip(gs.column_names, gs.columns))
+    cols["gs_id"] = pa.array(rep)
+    cols["centroid_x"] = pa.array(cx)
+    cols["centroid_y"] = pa.array(cy)
+    cols["area"] = pa.array(area)  # merged-unit area (added when absent)
+    return pa.table(cols)
+
+
+def _min_area_filter(gs: "pa.Table", min_area) -> "pa.Table":
+    """accessibility.py:81-84,129-131: keep units with area >=
+    ``min_greenspace_area`` — applied AFTER :func:`_dissolve_units`, so
+    the ``area`` column already holds merged-unit union areas."""
+    if min_area is None:
+        return gs
+    if not isinstance(min_area, (int, float)) or min_area <= 0:
+        raise ValueError(
+            "min_greenspace_area must be a positive number")
+    import pyarrow.compute as pc
+
+    if "area" in gs.column_names:
+        area = gs.column("area")
+    else:  # rect side tables (disjoint by construction)
+        area = pc.multiply(
+            pc.subtract(gs.column("x1"), gs.column("x0")),
+            pc.subtract(gs.column("y1"), gs.column("y0")))
+    return gs.filter(pc.greater_equal(area, float(min_area)))
 
 
 def _emit(ds, name: str, docs, src_crs, write_to_file: bool,
@@ -663,14 +705,20 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
         pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     flag = f"greenspace_within_{int(target_dist)}m"
     gs = _min_area_filter(
-        _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi)),
+        _dissolve_units(
+            _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi))),
         min_greenspace_area)
     if distance_type == "euclidean" and destination == "centroids":
         import pyarrow as pa
 
-        centroids = pa.table({"gs_id": gs.column("gs_id"),
-                              "cx": gs.column("centroid_x"),
-                              "cy": gs.column("centroid_y")})
+        # one centroid per merged unit (dissolved members share gs_id)
+        g = pa.table({"gs_id": gs.column("gs_id"),
+                      "cx": gs.column("centroid_x"),
+                      "cy": gs.column("centroid_y")}) \
+            .group_by("gs_id").aggregate([("cx", "min"), ("cy", "min")])
+        centroids = pa.table({"gs_id": g.column("gs_id"),
+                              "cx": g.column("cx_min"),
+                              "cy": g.column("cy_min")})
         metrics = _acc.nearest_greenspace(
             pts, centroids, target_dist, concurrency=concurrency, flag_name=flag,
         ).select_columns(["doc_id", "distance_to_greenspace", flag])

@@ -99,6 +99,34 @@ def test_min_greenspace_area_equals_blob_prefiltered(world, tmp_path):
     assert a.equals(b)
 
 
+def test_centroids_measure_merged_units(tmp_path):
+    """accessibility.py:125-128: overlapping greenspaces dissolve into
+    one unit and 'centroids' measures to the MERGED unit's centroid —
+    two rects unioning to [10,14]×[-1,1] (centroid x=12) must give
+    distance 12, not the nearest member centroid's 11."""
+    import ray.data as rd
+
+    from greenex_py_ray.sources.synth import DOC_SCHEMA, SPAN_TYPE
+
+    docs = pa.table(
+        {"doc_id": pa.array(["a"], pa.string()),
+         "spans": pa.array(
+             [[{"kind": "geom", "text": "POINT(0.0 0.0)",
+                "media_ref": "", "offset": 0}]], pa.list_(SPAN_TYPE))},
+        schema=DOC_SCHEMA)
+    gs = pa.table({
+        "gs_id": pa.array([1, 2], pa.int64()),
+        "x0": [10.0, 11.0], "y0": [-1.0, -1.0],
+        "x1": [12.0, 14.0], "y1": [1.0, 1.0],
+        "centroid_x": [11.0, 12.5], "centroid_y": [0.0, 0.0],
+    })
+    f = str(tmp_path / "gs_overlap.parquet")
+    pq.write_table(gs, f)
+    out = gx.get_shortest_distance_greenspace(
+        rd.from_arrow(docs), f, target_dist=300.0).to_pandas()
+    assert out["distance_to_greenspace"].iloc[0] == 12.0
+
+
 def test_min_greenspace_area_validation(world):
     with pytest.raises(ValueError):
         gx.get_shortest_distance_greenspace(
@@ -178,11 +206,16 @@ def test_min_area_filter_dissolves_first():
         "gs_id": [0, 1, 2],
         "x0": [0.0, 0.0, 100.0], "y0": [0.0, 15.0, 0.0],
         "x1": [30.0, 30.0, 110.0], "y1": [20.0, 35.0, 10.0],
+        "centroid_x": [15.0, 15.0, 105.0],
+        "centroid_y": [10.0, 25.0, 5.0],
     })
-    out = api._min_area_filter(gs, 1000.0)
-    assert out.column("gs_id").to_pylist() == [0, 1]
-    # per-row filtering would have dropped everything
-    assert len(api._min_area_filter(gs, 2000.0)) == 0
+    dissolved = api._dissolve_units(gs)
+    out = api._min_area_filter(dissolved, 1000.0)
+    assert out.column("gs_id").to_pylist() == [0, 0]  # merged unit id
+    # both members carry the merged unit's exact union centroid/area
+    assert set(out.column("area").to_pylist()) == {1050.0}
+    assert set(out.column("centroid_x").to_pylist()) == {15.0}
+    assert len(api._min_area_filter(dissolved, 2000.0)) == 0
 
 
 def test_write_to_file_roundtrip(world, tmp_path):
