@@ -316,13 +316,19 @@ def _dissolve_units(gs: "pa.Table") -> "pa.Table":
     blobs = dissolve_polygons(_gs_polys(gs))
     if all(len(m) == 1 for m in blobs["member_ids"]):
         return gs
-    n = len(gs)
+    # only MERGED blobs are rewritten (their union moments are
+    # necessarily recomputed); single-member rows keep their stored
+    # gs_id/centroid/area untouched, so adding an unrelated overlap
+    # elsewhere in the table never changes a disjoint row's answer
     ids = gs.column("gs_id").to_numpy(zero_copy_only=False)
-    rep = np.empty(n, dtype=ids.dtype)
-    cx = np.empty(n)
-    cy = np.empty(n)
-    area = np.empty(n)
+    rep = ids.copy()
+    cx = gs.column("centroid_x").to_numpy(zero_copy_only=False).copy()
+    cy = gs.column("centroid_y").to_numpy(zero_copy_only=False).copy()
+    area = (gs.column("area").to_numpy(zero_copy_only=False).copy()
+            if "area" in gs.column_names else _row_areas(gs))
     for bi, members in enumerate(blobs["member_ids"]):
+        if len(members) < 2:
+            continue
         m = np.asarray(members, dtype=np.int64)
         rep[m] = ids[m.min()]
         cx[m] = blobs["centroid_x"][bi]
@@ -336,6 +342,22 @@ def _dissolve_units(gs: "pa.Table") -> "pa.Table":
     return pa.table(cols)
 
 
+def _row_areas(gs: "pa.Table") -> "np.ndarray":
+    """Per-row geometry areas for tables without an ``area`` column."""
+    import numpy as np
+
+    from . import geom
+
+    if "rings" in gs.column_names:
+        return np.array([
+            geom.overlay_moments([rings], "union")[0]
+            for rings in _gs_polys(gs)])
+    return ((gs.column("x1").to_numpy(zero_copy_only=False)
+             - gs.column("x0").to_numpy(zero_copy_only=False))
+            * (gs.column("y1").to_numpy(zero_copy_only=False)
+               - gs.column("y0").to_numpy(zero_copy_only=False)))
+
+
 def _min_area_filter(gs: "pa.Table", min_area) -> "pa.Table":
     """accessibility.py:81-84,129-131: keep units with area >=
     ``min_greenspace_area`` — applied AFTER :func:`_dissolve_units`, so
@@ -345,14 +367,11 @@ def _min_area_filter(gs: "pa.Table", min_area) -> "pa.Table":
     if not isinstance(min_area, (int, float)) or min_area <= 0:
         raise ValueError(
             "min_greenspace_area must be a positive number")
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    if "area" in gs.column_names:
-        area = gs.column("area")
-    else:  # rect side tables (disjoint by construction)
-        area = pc.multiply(
-            pc.subtract(gs.column("x1"), gs.column("x0")),
-            pc.subtract(gs.column("y1"), gs.column("y0")))
+    area = (gs.column("area") if "area" in gs.column_names
+            else pa.array(_row_areas(gs)))
     return gs.filter(pc.greater_equal(area, float(min_area)))
 
 
@@ -704,21 +723,22 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
     else:
         pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     flag = f"greenspace_within_{int(target_dist)}m"
-    gs = _min_area_filter(
-        _dissolve_units(
-            _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi))),
-        min_greenspace_area)
+    gs = _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi))
+    if destination == "centroids" or min_greenspace_area is not None:
+        # merged-unit centroids / areas are only consumed here; the
+        # entrance branches read member boundaries, so skipping the
+        # driver-side dissolve there is behavior-free
+        gs = _min_area_filter(_dissolve_units(gs), min_greenspace_area)
     if distance_type == "euclidean" and destination == "centroids":
         import pyarrow as pa
 
-        # one centroid per merged unit (dissolved members share gs_id)
-        g = pa.table({"gs_id": gs.column("gs_id"),
-                      "cx": gs.column("centroid_x"),
-                      "cy": gs.column("centroid_y")}) \
-            .group_by("gs_id").aggregate([("cx", "min"), ("cy", "min")])
-        centroids = pa.table({"gs_id": g.column("gs_id"),
-                              "cx": g.column("cx_min"),
-                              "cy": g.column("cy_min")})
+        # dissolved members carry identical (gs_id, centroid) rows;
+        # duplicates are harmless for a min-distance and deduping by
+        # gs_id alone would fabricate a phantom centroid if distinct
+        # rows ever shared an id, so pass rows through as-is
+        centroids = pa.table({"gs_id": gs.column("gs_id"),
+                              "cx": gs.column("centroid_x"),
+                              "cy": gs.column("centroid_y")})
         metrics = _acc.nearest_greenspace(
             pts, centroids, target_dist, concurrency=concurrency, flag_name=flag,
         ).select_columns(["doc_id", "distance_to_greenspace", flag])

@@ -127,6 +127,41 @@ def test_centroids_measure_merged_units(tmp_path):
     assert out["distance_to_greenspace"].iloc[0] == 12.0
 
 
+def test_min_area_filter_rings_without_area_column():
+    # disjoint rings table without an 'area' column: filter must fall
+    # back to geometry areas, not crash on missing rect columns
+    def rect_rings(x0, y0, x1, y1):
+        return [[{"x": x0, "y": y0}, {"x": x1, "y": y0},
+                 {"x": x1, "y": y1}, {"x": x0, "y": y1}]]
+
+    gs = pa.table({
+        "gs_id": pa.array([1, 2], pa.int64()),
+        "rings": [rect_rings(0, 0, 10, 10), rect_rings(100, 0, 105, 5)],
+        "centroid_x": [5.0, 102.5], "centroid_y": [5.0, 2.5],
+    })
+    out = api._min_area_filter(api._dissolve_units(gs), 50.0)
+    assert out.column("gs_id").to_pylist() == [1]
+
+
+def test_dissolve_units_leaves_disjoint_rows_untouched():
+    # a merge elsewhere in the table must not rewrite an unrelated
+    # disjoint row's stored id/centroid/area
+    gs = pa.table({
+        "gs_id": pa.array([5, 6, 7], pa.int64()),
+        "x0": [0.0, 5.0, 100.0], "y0": [0.0, 0.0, 0.0],
+        "x1": [10.0, 15.0, 110.0], "y1": [10.0, 10.0, 10.0],
+        "centroid_x": [5.0, 10.0, 123.0],  # 123: deliberately non-geometric
+        "centroid_y": [5.0, 5.0, 45.0],
+        "area": [100.0, 100.0, 77.0],
+    })
+    out = api._dissolve_units(gs)
+    row = out.to_pylist()[2]
+    assert (row["gs_id"], row["centroid_x"], row["centroid_y"],
+            row["area"]) == (7, 123.0, 45.0, 77.0)
+    merged = out.to_pylist()[0]
+    assert merged["gs_id"] == 5 and merged["area"] == 150.0
+
+
 def test_min_greenspace_area_validation(world):
     with pytest.raises(ValueError):
         gx.get_shortest_distance_greenspace(
