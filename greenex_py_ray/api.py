@@ -313,49 +313,45 @@ def _dissolve_units(gs: "pa.Table") -> "pa.Table":
 
     if not len(gs):
         return gs
+    has_cen = ("centroid_x" in gs.column_names
+               and "centroid_y" in gs.column_names)
+    has_area = "area" in gs.column_names
     blobs = dissolve_polygons(_gs_polys(gs))
-    if all(len(m) == 1 for m in blobs["member_ids"]):
+    if has_cen and has_area and all(
+            len(m) == 1 for m in blobs["member_ids"]):
         return gs
-    # only MERGED blobs are rewritten (their union moments are
-    # necessarily recomputed); single-member rows keep their stored
-    # gs_id/centroid/area untouched, so adding an unrelated overlap
-    # elsewhere in the table never changes a disjoint row's answer
+    # stored gs_id/centroid/area of single-member (disjoint) rows are
+    # preserved, so adding an unrelated overlap elsewhere in the table
+    # never changes a disjoint row's answer; MERGED blobs get their
+    # exact union moments, and ABSENT columns are synthesized for every
+    # row from its blob (a singleton blob's moments ARE the row's) —
+    # always into fresh float64 arrays so integer-typed stored columns
+    # can't truncate union values
+    n = len(gs)
     ids = gs.column("gs_id").to_numpy(zero_copy_only=False)
     rep = ids.copy()
-    cx = gs.column("centroid_x").to_numpy(zero_copy_only=False).copy()
-    cy = gs.column("centroid_y").to_numpy(zero_copy_only=False).copy()
-    area = (gs.column("area").to_numpy(zero_copy_only=False).copy()
-            if "area" in gs.column_names else _row_areas(gs))
+    cx = (gs.column("centroid_x").to_numpy(zero_copy_only=False)
+          .astype(np.float64) if has_cen else np.empty(n))
+    cy = (gs.column("centroid_y").to_numpy(zero_copy_only=False)
+          .astype(np.float64) if has_cen else np.empty(n))
+    area = (gs.column("area").to_numpy(zero_copy_only=False)
+            .astype(np.float64) if has_area else np.empty(n))
     for bi, members in enumerate(blobs["member_ids"]):
-        if len(members) < 2:
-            continue
+        merged = len(members) >= 2
         m = np.asarray(members, dtype=np.int64)
-        rep[m] = ids[m.min()]
-        cx[m] = blobs["centroid_x"][bi]
-        cy[m] = blobs["centroid_y"][bi]
-        area[m] = blobs["area"][bi]
+        if merged:
+            rep[m] = ids[m.min()]
+        if merged or not has_cen:
+            cx[m] = blobs["centroid_x"][bi]
+            cy[m] = blobs["centroid_y"][bi]
+        if merged or not has_area:
+            area[m] = blobs["area"][bi]
     cols = dict(zip(gs.column_names, gs.columns))
     cols["gs_id"] = pa.array(rep)
     cols["centroid_x"] = pa.array(cx)
     cols["centroid_y"] = pa.array(cy)
-    cols["area"] = pa.array(area)  # merged-unit area (added when absent)
+    cols["area"] = pa.array(area)
     return pa.table(cols)
-
-
-def _row_areas(gs: "pa.Table") -> "np.ndarray":
-    """Per-row geometry areas for tables without an ``area`` column."""
-    import numpy as np
-
-    from . import geom
-
-    if "rings" in gs.column_names:
-        return np.array([
-            geom.overlay_moments([rings], "union")[0]
-            for rings in _gs_polys(gs)])
-    return ((gs.column("x1").to_numpy(zero_copy_only=False)
-             - gs.column("x0").to_numpy(zero_copy_only=False))
-            * (gs.column("y1").to_numpy(zero_copy_only=False)
-               - gs.column("y0").to_numpy(zero_copy_only=False)))
 
 
 def _min_area_filter(gs: "pa.Table", min_area) -> "pa.Table":
@@ -367,11 +363,14 @@ def _min_area_filter(gs: "pa.Table", min_area) -> "pa.Table":
     if not isinstance(min_area, (int, float)) or min_area <= 0:
         raise ValueError(
             "min_greenspace_area must be a positive number")
-    import pyarrow as pa
     import pyarrow.compute as pc
 
-    area = (gs.column("area") if "area" in gs.column_names
-            else pa.array(_row_areas(gs)))
+    if "area" in gs.column_names:
+        area = gs.column("area")
+    else:  # rect side tables (rings tables get 'area' from the dissolve)
+        area = pc.multiply(
+            pc.subtract(gs.column("x1"), gs.column("x0")),
+            pc.subtract(gs.column("y1"), gs.column("y0")))
     return gs.filter(pc.greater_equal(area, float(min_area)))
 
 
@@ -724,10 +723,14 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
         pts = doc_src.decode_geom(docs, src_crs=src_crs).select_columns(["doc_id", "x", "y"])
     flag = f"greenspace_within_{int(target_dist)}m"
     gs = _vector_table(greenspace_vector_file, dst_crs=_poi_crs(poi))
-    if destination == "centroids" or min_greenspace_area is not None:
-        # merged-unit centroids / areas are only consumed here; the
-        # entrance branches read member boundaries, so skipping the
-        # driver-side dissolve there is behavior-free
+    if (destination == "centroids" or min_greenspace_area is not None
+            or "centroid_x" not in gs.column_names):
+        # merged-unit centroids / areas are only consumed by the
+        # centroids destination and the area threshold (the entrance
+        # branches read member boundaries — if a future entrance branch
+        # starts consuming gs_id/centroid/area, drop this skip); the
+        # third clause synthesizes centroid columns for tables that
+        # lack them, which every network/entrance stage requires
         gs = _min_area_filter(_dissolve_units(gs), min_greenspace_area)
     if distance_type == "euclidean" and destination == "centroids":
         import pyarrow as pa

@@ -162,6 +162,37 @@ def test_dissolve_units_leaves_disjoint_rows_untouched():
     assert merged["gs_id"] == 5 and merged["area"] == 150.0
 
 
+def test_dissolve_units_synthesizes_missing_columns():
+    # overlapping rect table WITHOUT centroid/area columns: the
+    # dissolve must synthesize both for every row (singleton blobs get
+    # their own geometry moments), not crash on the missing schema
+    gs = pa.table({
+        "gs_id": pa.array([1, 2, 3], pa.int64()),
+        "x0": [0.0, 5.0, 100.0], "y0": [0.0, 0.0, 0.0],
+        "x1": [10.0, 15.0, 110.0], "y1": [10.0, 10.0, 10.0],
+    })
+    out = api._dissolve_units(gs).to_pylist()
+    assert out[0]["gs_id"] == 1 and out[1]["gs_id"] == 1
+    assert out[0]["area"] == 150.0 and out[0]["centroid_x"] == 7.5
+    assert (out[2]["area"], out[2]["centroid_x"],
+            out[2]["centroid_y"]) == (100.0, 105.0, 5.0)
+
+
+def test_dissolve_units_integer_area_column_not_truncated():
+    # integer-typed stored area: merged union areas must come out
+    # float64, not silently truncated into the int dtype
+    gs = pa.table({
+        "gs_id": pa.array([1, 2], pa.int64()),
+        "x0": [0.0, 5.3], "y0": [0.0, 0.0],
+        "x1": [10.0, 15.3], "y1": [10.0, 10.0],
+        "centroid_x": [5.0, 10.3], "centroid_y": [5.0, 5.0],
+        "area": pa.array([100, 100], pa.int64()),
+    })
+    out = api._dissolve_units(gs)
+    assert out.column("area").type == pa.float64()
+    assert out.column("area").to_pylist() == [153.0, 153.0]
+
+
 def test_min_greenspace_area_validation(world):
     with pytest.raises(ValueError):
         gx.get_shortest_distance_greenspace(
