@@ -1513,7 +1513,7 @@ def world_oracle_sql() -> dict[str, str]:
                CAST(count(gvi) AS BIGINT) AS nr_of_points
         FROM pairs GROUP BY doc_id
     """
-    streetview_sql = ("WITH " + wdocs() + "," + sv_net + """
+    sv_ppair_point = """
         -- (point, poi) containment pairs ONCE via a bbox range join
         -- (IEJoin-able — correlated EXISTS/LATERAL would nested-loop),
         -- reused for both the semi filter and the rollup explode
@@ -1524,7 +1524,19 @@ def world_oracle_sql() -> dict[str, str]:
            AND p.sp_y >= d.y - 100.0 AND p.sp_y <= d.y + 100.0
           WHERE sqrt((p.sp_x - d.x) * (p.sp_x - d.x)
                    + (p.sp_y - d.y) * (p.sp_y - d.y)) <= 100.0
-        ),""" + sv_tail)
+        ),"""
+    streetview_sql = "WITH " + wdocs() + "," + sv_net + sv_ppair_point + sv_tail
+    # crop_by_road_centres=False: the four central-band quarter crops
+    # cover ALL stripe rows and ALL 192 columns of the unwidened
+    # panorama, so the pano GVI collapses to the green-column fraction
+    # g192/192 (verified equal to SegmentationGVI._gvi_pano_quarters)
+    _pano_expr = (f"CAST({green_rows} * g.g240 AS DOUBLE)\n"
+                  f"                           / {pano_h * pano_w}")
+    assert _pano_expr in sv_tail
+    sv_tail_quarters = sv_tail.replace(
+        _pano_expr, "CAST(g.g192 AS DOUBLE) / 192.0")
+    streetview_quarters_sql = ("WITH " + wdocs() + "," + sv_net
+                               + sv_ppair_point + sv_tail_quarters)
 
     # --- viewshed GVI: exact pixel tables + embedded kernel rays ---
     px = synth.write_pixel_tables(root, bands=("dsm", "dtm", "green",
@@ -1993,6 +2005,7 @@ def world_oracle_sql() -> dict[str, str]:
     return {
         "polygon_viewshed": poly_vs_sql,
         "polygon_streetview": poly_sv_sql,
+        "streetview_quarters": streetview_quarters_sql,
         "polygon_ndvi": poly_zonal_sql(0.0),
         "polygon_ndvi_buffered": poly_zonal_sql(POLY_DILATE),
         "polygon_landcover": poly_lc_sql,
@@ -2041,6 +2054,22 @@ def q_streetview_gvi(sf_dir: str):
     features = pq.read_table(w["image_features"])
     rollup, _ = vpipe.streetview_gvi(
         poi, edges, features, buffer_dist=100.0, concurrency=None
+    )
+    return rollup
+
+
+def q_streetview_quarters(sf_dir: str):
+    """get_streetview_GVI with crop_by_road_centres=False — panoramas
+    score over the four central-band quarter crops
+    (crop_panoramic_images, visibility.py:855-873,944-949)."""
+    from . import visibility as vpipe
+
+    poi, w = _world_poi()
+    edges = vpipe.edge_coords_table(w["network_nodes"], w["network_edges"])
+    features = pq.read_table(w["image_features"])
+    rollup, _ = vpipe.streetview_gvi(
+        poi, edges, features, buffer_dist=100.0, concurrency=None,
+        crop_by_road_centres=False,
     )
     return rollup
 
@@ -2370,4 +2399,5 @@ QUERIES = {
     "polygon_greenspace": q_polygon_greenspace,
     "polygon_viewshed": q_polygon_viewshed,
     "polygon_streetview": q_polygon_streetview,
+    "streetview_quarters": q_streetview_quarters,
 }
