@@ -277,22 +277,32 @@ def _filter_network_type(edges: "pa.Table", network_type: str) -> "pa.Table":
 
 
 def _gs_polys(gs: "pa.Table") -> list:
-    """Greenspace rows → list of polygons (ring arrays) for the driver
-    dissolve — ``rings`` tables directly, rect side tables via their
-    closed-form corners."""
+    """Greenspace rows → list of polygons (lists of ``(N, 2)`` ring
+    arrays) for the driver dissolve.  Built from the Arrow flat ring
+    buffers via :func:`~greenex_py_ray.stages.dissolve.flat_rings_table`
+    — numpy slices per ring, never per-vertex Python."""
     import numpy as np
 
-    if "rings" in gs.column_names:
-        return [
-            [np.array([[p["x"], p["y"]] for p in ring]) for ring in rlist]
-            for rlist in gs.column("rings").to_pylist()]
-    x0 = gs.column("x0").to_numpy(zero_copy_only=False)
-    y0 = gs.column("y0").to_numpy(zero_copy_only=False)
-    x1 = gs.column("x1").to_numpy(zero_copy_only=False)
-    y1 = gs.column("y1").to_numpy(zero_copy_only=False)
-    return [np.array([[x0[i], y0[i]], [x1[i], y0[i]],
-                      [x1[i], y1[i]], [x0[i], y1[i]]])
-            for i in range(len(gs))]
+    from .stages.dissolve import flat_rings_table
+
+    flat = flat_rings_table(gs)
+    rx = flat.column("ring_x").combine_chunks()
+    xs = rx.values.to_numpy(zero_copy_only=False)
+    ys = (flat.column("ring_y").combine_chunks()
+          .values.to_numpy(zero_copy_only=False))
+    row_off = rx.offsets.to_numpy()
+    sizes_col = flat.column("ring_sizes").combine_chunks()
+    sizes = sizes_col.values.to_numpy(zero_copy_only=False)
+    size_off = sizes_col.offsets.to_numpy()
+    out = []
+    for i in range(len(flat)):
+        rings = []
+        s = row_off[i]
+        for sz in sizes[size_off[i]:size_off[i + 1]]:
+            rings.append(np.column_stack([xs[s:s + sz], ys[s:s + sz]]))
+            s += sz
+        out.append(rings)
+    return out
 
 
 def _dissolve_units(gs: "pa.Table") -> "pa.Table":
@@ -313,6 +323,8 @@ def _dissolve_units(gs: "pa.Table") -> "pa.Table":
 
     if not len(gs):
         return gs
+    if len(gs) > _DISSOLVE_DRIVER_MAX:
+        return _dissolve_units_distributed(gs)
     has_cen = ("centroid_x" in gs.column_names
                and "centroid_y" in gs.column_names)
     has_area = "area" in gs.column_names
@@ -346,6 +358,74 @@ def _dissolve_units(gs: "pa.Table") -> "pa.Table":
             cy[m] = blobs["centroid_y"][bi]
         if merged or not has_area:
             area[m] = blobs["area"][bi]
+    cols = dict(zip(gs.column_names, gs.columns))
+    cols["gs_id"] = pa.array(rep)
+    cols["centroid_x"] = pa.array(cx)
+    cols["centroid_y"] = pa.array(cy)
+    cols["area"] = pa.array(area)
+    return pa.table(cols)
+
+
+#: Above this many greenspace rows the API dissolve routes through the
+#: distributed cell-shuffle path (mirrors near_dedup's driver_threshold
+#: pattern, stages/dedup.py) instead of the driver union-find.  The
+#: env override exists so tests can force the distributed branch on
+#: small tables.
+import os as _os
+
+_DISSOLVE_DRIVER_MAX = int(
+    _os.environ.get("GREENEX_DISSOLVE_DRIVER_MAX", "200000"))
+
+
+def _dissolve_units_distributed(gs: "pa.Table") -> "pa.Table":
+    """Scale path of :func:`_dissolve_units`: the same per-row
+    (gs_id, centroid, area) rewrite, but with overlap pairs, connected
+    components and blob union moments computed by
+    :func:`~greenex_py_ray.stages.dissolve.dissolve_dataset`
+    (``per_member=True``) instead of the driver union-find.  Keys are
+    row positions (the driver path's positional ids) so stored
+    ``gs_id`` values need not be unique; blob members are processed in
+    row order in BOTH paths, so union moments are bit-identical
+    (parity-tested in tests/test_api_kwargs.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from .stages.dissolve import dissolve_dataset, flat_rings_table
+
+    n = len(gs)
+    has_cen = ("centroid_x" in gs.column_names
+               and "centroid_y" in gs.column_names)
+    has_area = "area" in gs.column_names
+    polys = ray.data.from_arrow(flat_rings_table(gs, key_col="__row"))
+    mem = dissolve_dataset(polys, key_col="__row",
+                           per_member=True).to_pandas()
+    rows = mem["__row"].to_numpy()
+    inv = np.empty(n, dtype=np.int64)
+    inv[rows] = np.arange(len(rows))
+    rep_row = mem["rep_id"].to_numpy()[inv]
+    nm = mem["n_members"].to_numpy()[inv]
+    b_area = mem["area"].to_numpy()[inv]
+    b_cx = mem["centroid_x"].to_numpy()[inv]
+    b_cy = mem["centroid_y"].to_numpy()[inv]
+    if has_cen and has_area and not (nm >= 2).any():
+        return gs
+    ids = gs.column("gs_id").to_numpy(zero_copy_only=False)
+    rep = ids.copy()
+    cx = (gs.column("centroid_x").to_numpy(zero_copy_only=False)
+          .astype(np.float64) if has_cen else np.empty(n))
+    cy = (gs.column("centroid_y").to_numpy(zero_copy_only=False)
+          .astype(np.float64) if has_cen else np.empty(n))
+    area = (gs.column("area").to_numpy(zero_copy_only=False)
+            .astype(np.float64) if has_area else np.empty(n))
+    merged = nm >= 2
+    rep[merged] = ids[rep_row[merged]]
+    cmask = merged if has_cen else np.ones(n, dtype=bool)
+    amask = merged if has_area else np.ones(n, dtype=bool)
+    cx[cmask] = b_cx[cmask]
+    cy[cmask] = b_cy[cmask]
+    area[amask] = b_area[amask]
     cols = dict(zip(gs.column_names, gs.columns))
     cols["gs_id"] = pa.array(rep)
     cols["centroid_x"] = pa.array(cx)

@@ -2163,20 +2163,14 @@ def q_dissolve_distributed(sf_dir: str):
     """Distributed dissolve (cell-pair shuffle + connected components +
     per-blob union moments) over the world greenspace table — same rows
     as q_dissolve's driver path (parity-tested in pytest)."""
-    from ..stages.dissolve import dissolve_dataset
+    from ..stages.dissolve import dissolve_dataset, flat_rings_table
     import numpy as _np
 
     w = _world_paths()
     gs = pq.read_table(w["greenspace"])
-    rx, ry = [], []
-    for rlist in gs.column("rings").to_pylist():
-        rx.append([p["x"] for p in rlist[0]])
-        ry.append([p["y"] for p in rlist[0]])
-    polys = ray.data.from_arrow(pa.table({
-        "gs_id": gs.column("gs_id"),
-        "ring_x": pa.array(rx, pa.list_(pa.float64())),
-        "ring_y": pa.array(ry, pa.list_(pa.float64())),
-    }))
+    flat = flat_rings_table(gs)  # vectorized from Arrow offset buffers
+    polys = ray.data.from_arrow(
+        flat.set_column(0, "gs_id", gs.column("gs_id")))
     out = dissolve_dataset(polys, key_col="gs_id")
     return out.map_batches(
         lambda b: pa.table({

@@ -184,6 +184,60 @@ def dissolve_convex(rings, ids: list[int] | None = None,
     return out
 
 
+def flat_rings_table(gs: "object", key_col: str = "__row") -> "object":
+    """Greenspace side table → flat ring columns
+    ``(key_col:int64, ring_x:list<double>, ring_y:list<double>,
+    ring_sizes:list<int32>)`` for :func:`dissolve_dataset` — built
+    entirely from Arrow offset buffers (no per-vertex Python).
+
+    Accepts either a ``rings`` table (``list<list<struct{x,y}>>``) or a
+    rect side table (``x0/y0/x1/y1``).  The key is the ROW POSITION
+    (matching the driver dissolve's positional ids), not ``gs_id`` —
+    stored ids need not be unique."""
+    import pyarrow as pa
+
+    n = len(gs)
+    row = pa.array(np.arange(n, dtype=np.int64))
+    if "rings" in gs.column_names:
+        outer = gs.column("rings")
+        if isinstance(outer, pa.ChunkedArray):
+            outer = outer.combine_chunks()
+        inner = outer.values  # ListArray<struct{x,y}> (unsliced child)
+        pts = inner.values
+        xs = pa.array(pts.field("x").to_numpy(zero_copy_only=False),
+                      pa.float64())
+        ys = pa.array(pts.field("y").to_numpy(zero_copy_only=False),
+                      pa.float64())
+        oo = outer.offsets.to_numpy().astype(np.int64)  # n+1 ring-list offs
+        io = inner.offsets.to_numpy().astype(np.int64)  # point offsets
+        row_pt_off = io[oo]  # per-row first-point offset into pts
+        ring_x = pa.ListArray.from_arrays(pa.array(row_pt_off,
+                                                   pa.int64()), xs)
+        ring_y = pa.ListArray.from_arrays(pa.array(row_pt_off,
+                                                   pa.int64()), ys)
+        sizes = pa.array(np.diff(io).astype(np.int32))
+        ring_sizes = pa.ListArray.from_arrays(
+            pa.array(oo, pa.int64()), sizes)
+        return pa.table({key_col: row, "ring_x": ring_x, "ring_y": ring_y,
+                         "ring_sizes": ring_sizes})
+    x0 = gs.column("x0").to_numpy(zero_copy_only=False)
+    y0 = gs.column("y0").to_numpy(zero_copy_only=False)
+    x1 = gs.column("x1").to_numpy(zero_copy_only=False)
+    y1 = gs.column("y1").to_numpy(zero_copy_only=False)
+    xs = np.column_stack([x0, x1, x1, x0]).ravel()
+    ys = np.column_stack([y0, y0, y1, y1]).ravel()
+    off = pa.array(np.arange(n + 1, dtype=np.int64) * 4)
+    sz = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int64)),
+        pa.array(np.full(n, 4, dtype=np.int32)))
+    return pa.table({
+        key_col: row,
+        "ring_x": pa.ListArray.from_arrays(off, pa.array(xs, pa.float64())),
+        "ring_y": pa.ListArray.from_arrays(off, pa.array(ys, pa.float64())),
+        "ring_sizes": sz,
+    })
+
+
 def _polys_from_flat(rx, ry, sizes):
     """Rebuild list-of-rings polys from flattened ring columns."""
     out = []
@@ -204,6 +258,7 @@ def dissolve_dataset(
     cell_size: float = 1000.0,
     key_col: str = "gs_id",
     pair_driver_threshold: int = 5_000_000,
+    per_member: bool = False,
 ) -> "object":
     """DISTRIBUTED dissolve (D1 at side-table scale): the cross-cell
     stitch version of :func:`dissolve_polygons`.
@@ -221,7 +276,11 @@ def dissolve_dataset(
        computes each blob's union area + centroid.
 
     Returns (rep_id, n_members, area, centroid_x, centroid_y) — the
-    same rows as the driver-side path (validated in tests).
+    same rows as the driver-side path (validated in tests).  With
+    ``per_member=True`` returns one row PER MEMBER instead:
+    (key_col, rep_id, n_members, area, centroid_x, centroid_y), the
+    shape :func:`greenex_py_ray.api._dissolve_units` joins back onto
+    the source table above its driver-size gate.
     """
     import pyarrow as pa
 
@@ -317,6 +376,16 @@ def dissolve_dataset(
                 np.mean([p[0][:, 1].mean() for p in grp]))
         else:
             area, cx, cy = geom.overlay_moments(grp, "union")
+        if per_member:
+            k = len(keys)
+            return pa.table({
+                key_col: pa.array(np.sort(keys).astype(np.int64)),
+                "rep_id": pa.array(np.full(k, int(keys.min()), np.int64)),
+                "n_members": pa.array(np.full(k, k, np.int64)),
+                "area": pa.array(np.full(k, area)),
+                "centroid_x": pa.array(np.full(k, cx)),
+                "centroid_y": pa.array(np.full(k, cy)),
+            })
         return pa.table({
             "rep_id": pa.array([int(keys.min())], pa.int64()),
             "n_members": pa.array([len(keys)], pa.int64()),
