@@ -1099,10 +1099,19 @@ def _world_poi(limit: int | None = None):
         docs = doc_src.read_documents(w["documents"])
     if limit:
         # limit BEFORE decode so a large world doesn't decode rows the
-        # query then drops; repartition afterwards — a limit collapses
-        # the stream to a couple of blocks, which would feed the actor
-        # pools nearly serially
-        docs = docs.limit(limit).repartition(64)
+        # query then drops.  A limit collapses the stream to a couple
+        # of blocks, which would feed the actor pools nearly serially —
+        # but instead of a repartition (an all-to-all BARRIER that cost
+        # ~2.4 s of the 7.3 s viewshed gate in round 3), let the decode
+        # stage split blocks itself: map_batches emits one output block
+        # per batch, so a small batch_size re-fans the stream with no
+        # shuffle
+        docs = docs.limit(limit)
+        poi = docs.map_batches(
+            doc_src.DecodeGeom(), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=max(32, limit // 64),
+        ).select_columns(["doc_id", "x", "y"])
+        return poi, w
     poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
     return poi, w
 

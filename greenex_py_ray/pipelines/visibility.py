@@ -76,6 +76,7 @@ def viewshed_gvi(
     concurrency: int | None = None,
     batch_size: int = 512,
     poi_kind: str = "point",
+    sample_batch_size: int = 64,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """poi(key,x,y) → (per-PoI rollup, per-sample-point GVI rows).
 
@@ -110,7 +111,11 @@ def viewshed_gvi(
             edges_ref=eref, buffer_dist=buffer_dist, sample_dist=sample_dist,
             key_col=key_col,
         ),
-        batch_format="pyarrow", batch_size=256,
+        # one sampler batch → one kernel-feed block: 256-PoI batches
+        # collapse a 2k-PoI input to 8 blocks, starving a 28-actor
+        # kernel pool (Ray warned 'operator only received 8 inputs');
+        # 64 keeps the pool fed at gate scale and is noise at 400k PoIs
+        batch_format="pyarrow", batch_size=sample_batch_size,
         concurrency=as_pool(concurrency), num_cpus=0.25,
     )
     scored = pts.map_batches(
