@@ -37,11 +37,20 @@ def edge_coords_table(nodes_path: str, edges_path: str) -> pa.Table:
     nid = nodes.column("node_id").to_numpy(zero_copy_only=False)
     nx = nodes.column("x").to_numpy(zero_copy_only=False)
     ny = nodes.column("y").to_numpy(zero_copy_only=False)
-    pos = {int(i): k for k, i in enumerate(nid)}
     u = edges.column("u").to_numpy(zero_copy_only=False)
     v = edges.column("v").to_numpy(zero_copy_only=False)
-    pu = np.fromiter((pos[int(i)] for i in u), dtype=np.int64, count=len(u))
-    pv = np.fromiter((pos[int(i)] for i in v), dtype=np.int64, count=len(v))
+    # node-id → position via searchsorted over the sorted id array —
+    # pure vector (the per-edge dict lookup this replaces was minutes
+    # of driver time on a 10^8-edge continental network); endpoints
+    # missing from the node table raise like the dict KeyError did
+    order = np.argsort(nid, kind="stable")
+    sn = nid[order]
+    iu = np.searchsorted(sn, u).clip(0, len(sn) - 1)
+    iv = np.searchsorted(sn, v).clip(0, len(sn) - 1)
+    if not ((sn[iu] == u).all() and (sn[iv] == v).all()):
+        raise KeyError("edge endpoint missing from the node table")
+    pu = order[iu]
+    pv = order[iv]
     cols = {
         "ax": pa.array(nx[pu]), "ay": pa.array(ny[pu]),
         "bx": pa.array(nx[pv]), "by": pa.array(ny[pv]),

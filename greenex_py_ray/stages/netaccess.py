@@ -57,16 +57,15 @@ def _graph_from_tables(nodes: pa.Table, edges: pa.Table) -> CSRGraph:
 
 def _rings_from_table(gs: pa.Table):
     """greenspace table → list of (gs_id, exterior ring ndarray (N,2),
-    centroid xy)."""
-    out = []
+    centroid xy) — ring arrays sliced off the flat Arrow buffers (no
+    per-vertex Python in actor ``__init__``)."""
+    from .coverage import _rings_list
+
     ids = gs.column("gs_id").to_pylist()
-    rings_col = gs.column("rings").to_pylist()
     cx = gs.column("centroid_x").to_pylist()
     cy = gs.column("centroid_y").to_pylist()
-    for i, rlist in enumerate(rings_col):
-        ring = np.array([[p["x"], p["y"]] for p in rlist[0]], dtype=np.float64)
-        out.append((ids[i], ring, cx[i], cy[i]))
-    return out
+    return [(ids[i], ring, cx[i], cy[i])
+            for i, ring in enumerate(_rings_list(gs))]
 
 
 class NetworkDistance:
