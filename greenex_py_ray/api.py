@@ -455,21 +455,61 @@ def _min_area_filter(gs: "pa.Table", min_area) -> "pa.Table":
 
 
 def _emit(ds, name: str, docs, src_crs, write_to_file: bool,
-          output_dir, plot_aoi: bool, buffer_dist=None):
+          output_dir, plot_aoi: bool, buffer_dist=None,
+          output_format: str = "parquet"):
     """Shared ``write_to_file`` / ``output_dir`` / ``plot_aoi`` tail —
     every reference entry writes its result GPKG and plots the AoI
     (availability.py:294-300, accessibility.py:185-204).  Here: a
-    resumable key-partitioned parquet set (S13) plus a self-contained
-    Leaflet HTML of the PoI locations (buffer rings when a buffer
-    distance applies).  Both default OFF (a documented deviation: a
-    streaming engine must not write the CWD by default)."""
+    resumable key-partitioned parquet set (S13) by default, or — with
+    ``output_format='gpkg'`` — a single GeoPackage like the reference's
+    ``to_file`` (accessibility.py:173-180), with the PoI geometry
+    re-attached so QGIS/geopandas read it directly.  Both default OFF
+    (a documented deviation: a streaming engine must not write the CWD
+    by default).  The GPKG sink is driver-side by design (one sqlite
+    file of per-PoI metric rows — the QGIS-interop path, not the scale
+    path)."""
     if not (write_to_file or plot_aoi):
         return ds
     import os
 
+    if output_format not in ("parquet", "gpkg"):
+        raise ValueError("output_format must be 'parquet' or 'gpkg'")
     out = output_dir or os.getcwd()
     os.makedirs(out, exist_ok=True)
-    if write_to_file:
+    if write_to_file and output_format == "gpkg":
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray as _ray
+
+        from .sources.gpkg import write_gpkg
+
+        ds = ds.materialize()
+        tbl = pa.concat_tables(
+            [_ray.get(r) for r in ds.to_arrow_refs()],
+            promote_options="default")
+        flat = tbl.select([c for c in tbl.column_names
+                           if not pa.types.is_nested(
+                               tbl.schema.field(c).type)])
+        poly = _geom_kind(docs) in ("POLYGON", "MULTIPOLYGON")
+        geo_cols = (["doc_id", "ring_x", "ring_y", "ring_sizes"]
+                    if poly else ["doc_id", "x", "y"])
+        gt = pa.concat_tables(
+            [_ray.get(r) for r in docs.map_batches(
+                doc_src.DecodeGeom(parse_polygons=poly, src_crs=src_crs),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).select_columns(geo_cols).materialize().to_arrow_refs()],
+            promote_options="default")
+        idx = pd.Index(gt.column("doc_id").to_pylist()).get_indexer(
+            flat.column("doc_id").to_pylist())
+        if (idx < 0).any():
+            raise ValueError("result rows with no matching PoI geometry")
+        aligned = gt.take(pa.array(idx))
+        for c in geo_cols[1:]:
+            flat = flat.append_column(c, aligned.column(c))
+        write_gpkg(flat, os.path.join(out, f"{name}.gpkg"), layer=name,
+                   crs=src_crs or "EPSG:3395")
+    elif write_to_file:
         from .lineage import resumable_write
 
         ds = ds.materialize()
@@ -570,6 +610,7 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
                   trip_time: float | None = None,
                   plot_aoi: bool = False, write_to_file: bool = False,
                   output_dir: str | None = None,
+                  output_format: str = "parquet",
                   concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_mean_NDVI (availability.py:41-342).
@@ -604,7 +645,8 @@ def get_mean_NDVI(poi, ndvi_tile_dir: str, buffer_dist: float | None = 300.0,
         )
     return _emit(_attach(docs, metrics), "mean_NDVI", docs, src_crs,
                  write_to_file, output_dir, plot_aoi,
-                 buffer_dist=(dist if mode == "point" else None))
+                 buffer_dist=(dist if mode == "point" else None),
+                 output_format=output_format)
 
 
 def get_landcover_percentages(poi, landcover_tile_dir: str,
@@ -620,6 +662,7 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
                               plot_aoi: bool = False,
                               write_to_file: bool = False,
                               output_dir: str | None = None,
+                  output_format: str = "parquet",
                               concurrency: int | None = None,
                               classmap: dict[int, str] | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
@@ -667,7 +710,8 @@ def get_landcover_percentages(poi, landcover_tile_dir: str,
         )
     return _emit(_attach(docs, metrics), "landcover_percentages", docs,
                  src_crs, write_to_file, output_dir, plot_aoi,
-                 buffer_dist=(dist if mode == "point" else None))
+                 buffer_dist=(dist if mode == "point" else None),
+                 output_format=output_format)
 
 
 def get_canopy_percentage(poi, canopy_vector_file: str,
@@ -683,6 +727,7 @@ def get_canopy_percentage(poi, canopy_vector_file: str,
                           plot_aoi: bool = False,
                           write_to_file: bool = False,
                           output_dir: str | None = None,
+                  output_format: str = "parquet",
                           concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_canopy_percentage (availability.py:600-780);
@@ -714,7 +759,8 @@ def get_canopy_percentage(poi, canopy_vector_file: str,
         )
     return _emit(_attach(docs, metrics), "canopy_percentage", docs,
                  src_crs, write_to_file, output_dir, plot_aoi,
-                 buffer_dist=(dist if mode == "point" else None))
+                 buffer_dist=(dist if mode == "point" else None),
+                 output_format=output_format)
 
 
 def get_greenspace_percentage(poi, greenspace_vector_file: str,
@@ -730,6 +776,7 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
                               plot_aoi: bool = False,
                               write_to_file: bool = False,
                               output_dir: str | None = None,
+                  output_format: str = "parquet",
                               concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """availability.get_greenspace_percentage (availability.py:783-1010);
@@ -762,7 +809,8 @@ def get_greenspace_percentage(poi, greenspace_vector_file: str,
         )
     return _emit(_attach(docs, metrics), "greenspace_percentage", docs,
                  src_crs, write_to_file, output_dir, plot_aoi,
-                 buffer_dist=(dist if mode == "point" else None))
+                 buffer_dist=(dist if mode == "point" else None),
+                 output_format=output_format)
 
 
 def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
@@ -776,6 +824,7 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
                                      plot_aoi: bool = False,
                                      write_to_file: bool = False,
                                      output_dir: str | None = None,
+                  output_format: str = "parquet",
                                      concurrency: int | None = None,
                   src_crs: str | None = None) -> "ray.data.Dataset":
     """accessibility.get_shortest_distance_greenspace
@@ -841,7 +890,8 @@ def get_shortest_distance_greenspace(poi, greenspace_vector_file: str,
         )
     return _emit(_attach(docs, metrics), "shortest_distance_greenspace",
                  docs, src_crs, write_to_file, output_dir, plot_aoi,
-                 buffer_dist=target_dist)
+                 buffer_dist=target_dist,
+                 output_format=output_format)
 
 
 def _vis_poi(docs, src_crs, polygon_type, buffer_dist):
@@ -889,6 +939,7 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
                      polygon_type: str = "neighbourhood",
                      write_to_file: bool = False,
                      output_dir: str | None = None,
+                  output_format: str = "parquet",
                      concurrency: int | None = None,
                   src_crs: str | None = None):
     """visibility.get_viewshed_GVI (visibility.py:50-293).  Returns
@@ -917,7 +968,8 @@ def get_viewshed_GVI(poi, dsm_tile_dir: str,
         poi_kind=poi_kind,
     )
     out = _emit(_attach(docs, rollup), "viewshed_GVI", docs, src_crs,
-                write_to_file, output_dir, False)
+                write_to_file, output_dir, False,
+                 output_format=output_format)
     return out, per_point
 
 
@@ -928,6 +980,7 @@ def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
                        crop_by_road_centres: bool = True,
                        write_to_file: bool = False,
                        output_dir: str | None = None,
+                  output_format: str = "parquet",
                        concurrency: int | None = None,
                   src_crs: str | None = None):
     """visibility.get_streetview_GVI (visibility.py:296-437) with the
@@ -946,7 +999,8 @@ def get_streetview_GVI(poi, network_nodes_file: str, network_edges_file: str,
         poi_kind=poi_kind, crop_by_road_centres=crop_by_road_centres,
     )
     out = _emit(_attach(docs, rollup), "streetview_GVI", docs, src_crs,
-                write_to_file, output_dir, False)
+                write_to_file, output_dir, False,
+                 output_format=output_format)
     return out, per_point
 
 

@@ -226,3 +226,167 @@ def polygons_to_rings(t: pa.Table, dst_crs: str | None = None,
     })
     meta = {b"crs": (dst_crs or src_crs or "").encode()}
     return out.replace_schema_metadata(meta)
+
+
+# ---------------------------------------------------------------------------
+# Writer (S13 as GeoPackage: the reverse of read_gpkg)
+# ---------------------------------------------------------------------------
+
+def _wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def _wkb_polygon(xs: np.ndarray, ys: np.ndarray, sizes) -> bytes:
+    parts = [struct.pack("<BII", 1, _WKB_POLYGON, len(sizes))]
+    off = 0
+    for s in sizes:
+        parts.append(struct.pack("<I", int(s)))
+        ring = np.empty(2 * s, np.float64)
+        ring[0::2] = xs[off:off + s]
+        ring[1::2] = ys[off:off + s]
+        parts.append(ring.tobytes())
+        off += s
+    return b"".join(parts)
+
+
+def _wkb_linestring(xs: np.ndarray, ys: np.ndarray) -> bytes:
+    n = len(xs)
+    line = np.empty(2 * n, np.float64)
+    line[0::2] = xs
+    line[1::2] = ys
+    return struct.pack("<BII", 1, _WKB_LINESTRING, n) + line.tobytes()
+
+
+def _gp_blob(wkb: bytes, srs_id: int) -> bytes:
+    # GP header: magic, version 0, flags 0x01 (little-endian, no
+    # envelope), srs_id — then plain WKB
+    return b"GP" + bytes([0, 0x01]) + struct.pack("<i", srs_id) + wkb
+
+
+def _sql_type(t: pa.DataType) -> str:
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        return "INTEGER"
+    if pa.types.is_floating(t):
+        return "REAL"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BLOB"
+    return "TEXT"
+
+
+def write_gpkg(t: pa.Table, path: str, layer: str = "results",
+               crs: str = "EPSG:3395") -> None:
+    """Write an Arrow table as a one-layer GeoPackage (OGC 12-128r) —
+    the reverse of :func:`read_gpkg`, so the reference's QGIS/geopandas
+    round trip works (`accessibility.py:173-180`, `availability.py:294-301`
+    write their result GPKGs the same way).
+
+    Geometry comes from the engine's native columns: ``x``/``y`` →
+    POINT, ``ring_x``/``ring_y``/``ring_sizes`` → POLYGON (even-odd),
+    ``geom_x``/``geom_y`` → LINESTRING.  All other non-nested columns
+    become feature attributes (nested columns like ``spans`` are the
+    parquet sink's job — refuse rather than mangle).
+
+    This is a driver-side sink for RESULT tables (per-PoI metric rows —
+    small next to the inputs); the resumable parquet+manifest writer
+    stays the scale path."""
+    import os
+    import sqlite3 as _sqlite3
+
+    cols = set(t.column_names)
+    if {"x", "y"} <= cols:
+        kind, gname = "POINT", "geom"
+        geom_cols = {"x", "y"}
+    elif {"ring_x", "ring_y"} <= cols:
+        kind, gname = "POLYGON", "geom"
+        geom_cols = {"ring_x", "ring_y", "ring_sizes"}
+    elif {"geom_x", "geom_y"} <= cols:
+        kind, gname = "LINESTRING", "geom"
+        geom_cols = {"geom_x", "geom_y"}
+    else:
+        raise ValueError(
+            "write_gpkg needs x/y, ring_x/ring_y[/ring_sizes] or "
+            f"geom_x/geom_y geometry columns; got {sorted(cols)}")
+    attr_cols = [c for c in t.column_names if c not in geom_cols]
+    for c in attr_cols:
+        if pa.types.is_nested(t.schema.field(c).type):
+            raise ValueError(
+                f"nested column {c!r} is not representable in a "
+                "GeoPackage attribute table; drop it (spans belong to "
+                "the parquet sink)")
+    srs_id = int(str(crs).split(":")[-1]) if ":" in str(crs) else int(crs)
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = _sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+        con.execute("PRAGMA user_version = 10300")
+        con.execute(
+            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, "
+            "srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, "
+            "organization_coordsys_id INTEGER NOT NULL, definition TEXT "
+            "NOT NULL, description TEXT)")
+        srs_rows = [("Undefined cartesian", -1, "NONE", -1, "undefined"),
+                    ("Undefined geographic", 0, "NONE", 0, "undefined"),
+                    ("WGS 84", 4326, "EPSG", 4326, "GEOGCS[\"WGS 84\"]")]
+        if srs_id not in (-1, 0, 4326):
+            srs_rows.append((f"EPSG:{srs_id}", srs_id, "EPSG", srs_id,
+                             f"EPSG:{srs_id}"))
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?, ?, ?, ?, ?, NULL)",
+            srs_rows)
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, "
+            "data_type TEXT NOT NULL, identifier TEXT UNIQUE, description "
+            "TEXT DEFAULT '', last_change DATETIME, min_x DOUBLE, min_y "
+            "DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)")
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, "
+            "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
+            "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT "
+            "NULL, PRIMARY KEY (table_name, column_name))")
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, ?, ?, ?, 0, 0)",
+            (layer, gname, kind, srs_id))
+        attr_defs = ", ".join(
+            f'"{c}" {_sql_type(t.schema.field(c).type)}' for c in attr_cols)
+        con.execute(
+            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY'
+            + (", " + attr_defs if attr_defs else "")
+            + f', "{gname}" BLOB)')
+
+        attrs = [t.column(c).to_pylist() for c in attr_cols]
+        n = t.num_rows
+        if kind == "POINT":
+            xs = t.column("x").to_numpy(zero_copy_only=False)
+            ys = t.column("y").to_numpy(zero_copy_only=False)
+            blobs = [_gp_blob(_wkb_point(float(xs[i]), float(ys[i])), srs_id)
+                     for i in range(n)]
+        elif kind == "POLYGON":
+            rx = t.column("ring_x").to_pylist()
+            ry = t.column("ring_y").to_pylist()
+            if "ring_sizes" in cols:
+                rs = t.column("ring_sizes").to_pylist()
+            else:
+                rs = [[len(r)] for r in rx]
+            blobs = [_gp_blob(_wkb_polygon(
+                np.asarray(rx[i], np.float64), np.asarray(ry[i], np.float64),
+                rs[i] if rs[i] else [len(rx[i])]), srs_id)
+                for i in range(n)]
+        else:
+            gx = t.column("geom_x").to_pylist()
+            gy = t.column("geom_y").to_pylist()
+            blobs = [_gp_blob(_wkb_linestring(
+                np.asarray(gx[i], np.float64),
+                np.asarray(gy[i], np.float64)), srs_id) for i in range(n)]
+        ph = ", ".join("?" for _ in range(len(attr_cols) + 2))
+        rows = ((i + 1, *(a[i] for a in attrs), blobs[i]) for i in range(n))
+        con.executemany(f'INSERT INTO "{layer}" VALUES ({ph})', rows)
+        bounds = (None, None, None, None)
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+            "srs_id, min_x, min_y, max_x, max_y) VALUES (?, 'features', ?, "
+            "?, ?, ?, ?, ?)", (layer, layer, srs_id, *bounds))
+        con.commit()
+    finally:
+        con.close()

@@ -375,3 +375,33 @@ def test_dissolve_units_distributed_rect_and_missing_cols(monkeypatch):
         np.testing.assert_array_equal(
             drv.column(c).to_numpy(zero_copy_only=False),
             dist.column(c).to_numpy(zero_copy_only=False), err_msg=c)
+
+
+def test_write_to_file_gpkg_roundtrip(world, tmp_path):
+    """output_format='gpkg' writes a GeoPackage the stdlib reader reads
+    back with identical metric values and PoI coordinates (reverse of
+    sources/gpkg.py; reference accessibility.py:173-180)."""
+    from greenex_py_ray.sources.gpkg import read_gpkg
+
+    out = str(tmp_path / "gpkg_out")
+    ds = gx.get_mean_NDVI(world["documents"], world["tiles"],
+                          buffer_dist=150.0, write_to_file=True,
+                          output_dir=out, output_format="gpkg")
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    back = read_gpkg(os.path.join(out, "mean_NDVI.gpkg")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(back["mean_NDVI"].to_numpy(),
+                                  df["mean_NDVI"].to_numpy())
+    np.testing.assert_array_equal(back["std_NDVI"].to_numpy(),
+                                  df["std_NDVI"].to_numpy())
+    assert {"x", "y"} <= set(back.columns)
+    assert "spans" not in back.columns
+    assert np.isfinite(back["x"].to_numpy()).all()
+
+
+def test_write_gpkg_rejects_bad_format(world, tmp_path):
+    with pytest.raises(ValueError, match="output_format"):
+        gx.get_mean_NDVI(world["documents"], world["tiles"],
+                         buffer_dist=150.0, write_to_file=True,
+                         output_dir=str(tmp_path),
+                         output_format="shapefile")
