@@ -2011,7 +2011,74 @@ def world_oracle_sql() -> dict[str, str]:
           WHERE {sv_member}
         ),""" + sv_tail)
 
+    # --- D3: undirected edge dedup (same reversed-copy construction as
+    # q_dedup_undirected_edges; DuckDB DISTINCT == bucket_dedup) -------
+    undirected_sql = f"""
+        WITH e AS (SELECT u, v FROM read_parquet({edges_pq})),
+             dup AS (SELECT u, v FROM e
+                     UNION ALL
+                     SELECT v AS u, u AS v FROM e WHERE u % 3 = 0)
+        SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM dup
+    """
+
+    # --- S8: regrid oracle — replicates geoproj.transform's
+    # 3857→(WGS84 hub)→3395 path in SQL (WebMercator.inverse, rad↔deg
+    # round trip, mercator_forward with atanh expanded to
+    # 0.5*ln((1+s)/(1-s))), floors to the source pixel lattice and
+    # recomputes the NDVI closed form at that pixel's center.  The
+    # ≤1-ulp SQL/libm divergence is absorbed by the pixel floor (target
+    # centers never land on source pixel boundaries) and the value
+    # rounding. -------------------------------------------------------
+    from .. import geoproj as _gp
+
+    _ts = synth.TILE_SIZE
+    _rtix0 = int(np.floor(REGRID_BBOX[0] / _ts))
+    _rtix1 = int(np.floor(REGRID_BBOX[2] / _ts))
+    _rtiy0 = int(np.floor(REGRID_BBOX[1] / _ts))
+    _rtiy1 = int(np.floor(REGRID_BBOX[3] / _ts))
+    _npx = int(np.ceil(synth.WORLD / _ts)) * synth.TILE_PX
+    _A_ = repr(float(_gp._A))
+    _E_ = repr(float(_gp._E))
+    regrid_sql = f"""
+        WITH tgt AS (
+          SELECT c.i AS col, r.i AS row
+          FROM range({_rtix0 * synth.TILE_PX}, {(_rtix1 + 1) * synth.TILE_PX}) c(i)
+          CROSS JOIN range({_rtiy0 * synth.TILE_PX}, {(_rtiy1 + 1) * synth.TILE_PX}) r(i)
+          WHERE (c.i + r.i) % 7 = 0
+        ),
+        proj AS (
+          SELECT col, row,
+                 {_A_} * radians(degrees(((col + 0.5) * 10.0) / {_A_})) AS sx,
+                 sin(radians(degrees(
+                     2.0 * atan(exp(((row + 0.5) * 10.0) / {_A_}))
+                     - pi() / 2.0))) AS s
+          FROM tgt
+        ),
+        merc AS (
+          SELECT col, row, sx,
+                 {_A_} * (0.5 * ln((1.0 + s) / (1.0 - s))
+                          - {_E_} * 0.5 * ln((1.0 + {_E_} * s)
+                                             / (1.0 - {_E_} * s))) AS sy
+          FROM proj
+        ),
+        srcpix AS (
+          SELECT col, row,
+                 CAST(floor(sx / 10.0) AS BIGINT) AS scol,
+                 CAST(floor(sy / 10.0) AS BIGINT) AS srow
+          FROM merc
+          WHERE floor(sx / 10.0) >= 0 AND floor(sx / 10.0) < {_npx}
+            AND floor(sy / 10.0) >= 0 AND floor(sy / 10.0) < {_npx}
+        )
+        SELECT col, row,
+               round(0.45 * sin(px * 0.00123) * cos(py * 0.00117)
+                     + 0.30 * sin((px + py) * 0.00071) + 0.15, 6) AS val
+        FROM (SELECT col, row, scol * 10.0 + 5.0 AS px,
+                     srow * 10.0 + 5.0 AS py FROM srcpix)
+    """
+
     return {
+        "dedup_undirected_edges": undirected_sql,
+        "regrid_3857": regrid_sql,
         "polygon_viewshed": poly_vs_sql,
         "polygon_streetview": poly_sv_sql,
         "streetview_quarters": streetview_quarters_sql,
@@ -2355,7 +2422,83 @@ def q_polygon_greenspace(sf_dir: str):
         stringify=False, name="greenspace_cover", dissolve=True)
 
 
+def q_dedup_undirected_edges(sf_dir: str):
+    """D3 gate: (u,v)/(v,u) road-segment dedup (visibility.py:596-612).
+    The world edge list is single-orientation, so the query first makes
+    the input non-vacuous by appending the reversed copy of every edge
+    with u % 3 == 0, then normalizes + dedups."""
+    from ..stages.dedup import dedup_undirected_edges
+
+    w = _world_paths()
+    edges = ray.data.read_parquet(w["network_edges"], columns=["u", "v"])
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        m = (u % 3) == 0
+        return pa.table({
+            "u": pa.array(_np.concatenate([u, v[m]])),
+            "v": pa.array(_np.concatenate([v, u[m]])),
+        })
+
+    return dedup_undirected_edges(
+        edges.map_batches(add_rev, batch_format="pyarrow"))
+
+
+#: EPSG:3857 target window of the regrid gate (meters; its inverse
+#: image in the EPSG:3395 world frame sits well inside the synthetic
+#: raster extent)
+REGRID_BBOX = (4000.0, 4000.0, 7000.0, 7000.0)
+
+
+def q_regrid_3857(sf_dir: str):
+    """S8 gate: the world NDVI store (EPSG:3395-as-local-meters)
+    resampled nearest-neighbor onto an EPSG:3857 target grid
+    (stages/regrid.py — the reference's rioxarray ``reproject`` step).
+    Output: one row per (deterministically subsampled) target pixel
+    whose center maps inside the source extent."""
+    from ..stages.regrid import reproject_raster
+
+    w = _world_paths()
+    ds = reproject_raster(w["tiles"], "ndvi", "EPSG:3395", "EPSG:3857",
+                          REGRID_BBOX)
+    px = synth.TILE_PX
+
+    def explode(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        tix = b.column("tix").to_numpy(zero_copy_only=False)
+        tiy = b.column("tiy").to_numpy(zero_copy_only=False)
+        ws = b.column("w").to_numpy(zero_copy_only=False)
+        hs = b.column("h").to_numpy(zero_copy_only=False)
+        data = b.column("data").to_pylist()
+        cols, rows_, vals = [], [], []
+        for i in range(len(b)):
+            arr = _np.frombuffer(data[i], dtype=_np.float64).reshape(
+                int(hs[i]), int(ws[i]))
+            cc = tix[i] * px + _np.arange(int(ws[i]), dtype=_np.int64)
+            rr = tiy[i] * px + _np.arange(int(hs[i]), dtype=_np.int64)
+            gc, gr = _np.meshgrid(cc, rr, indexing="xy")
+            m = _np.isfinite(arr) & (((gc + gr) % 7) == 0)
+            cols.append(gc[m])
+            rows_.append(gr[m])
+            vals.append(_np.round(arr[m], 6))
+        cat = (lambda parts, t: pa.array(
+            _np.concatenate(parts) if parts else _np.empty(0, t)))
+        return pa.table({
+            "col": cat(cols, _np.int64),
+            "row": cat(rows_, _np.int64),
+            "val": cat(vals, _np.float64),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 QUERIES = {
+    "dedup_undirected_edges": q_dedup_undirected_edges,
+    "regrid_3857": q_regrid_3857,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,
