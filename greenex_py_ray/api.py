@@ -157,12 +157,29 @@ def _tiles(src: str, band: str):
 
     from .sources.geotiff import ingest_to_tiles
 
+    import tempfile
+
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.abspath(src)}:{st.st_mtime_ns}:{band}".encode()
     ).hexdigest()[:12]
-    out = f"/tmp/greenex_ingest_{key}"
+    # per-user 0700 cache root: a predictable world-writable /tmp path
+    # could be pre-created by another local user, making the engine
+    # silently trust attacker-controlled tiles (round-3 advice)
+    root = os.path.join(tempfile.gettempdir(),
+                        f"greenex_cache_{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    rst = os.stat(root)
+    if rst.st_uid != os.getuid():
+        raise PermissionError(
+            f"ingest cache dir {root} is owned by uid {rst.st_uid}, "
+            "not the current user — refusing to trust it")
+    os.chmod(root, 0o700)
+    out = os.path.join(root, f"ingest_{key}")
     marker = os.path.join(out, "DONE")
+    if os.path.exists(marker) and os.stat(out).st_uid != os.getuid():
+        raise PermissionError(
+            f"cached ingest {out} is not owned by the current user")
     if not os.path.exists(marker):
         info = ingest_to_tiles(src, out, band)
         with open(marker, "w") as f:
@@ -570,6 +587,17 @@ def _route_poi(docs, src_crs, polygon_type, buffer_type, dist):
         raise ValueError("buffer_type must be 'euclidean', 'network' or None")
     kind = _geom_kind(docs)
     is_poly = kind in ("POLYGON", "MULTIPOLYGON")
+    if (buffer_type == "euclidean" and dist is None
+            and (not is_poly or polygon_type == "house")):
+        # the reference raises this BEFORE any geometry work
+        # (availability.py:97-99); without it a point-mode call with
+        # buffer_dist=None crashed deep in the zonal kernel with an
+        # obscure TypeError ('house' polygons collapse to centroid
+        # points, so the point rule applies to them too)
+        raise ValueError(
+            "buffer distance required for point geometries "
+            "(buffer_type='euclidean' needs a positive buffer_dist, or "
+            "travel_speed + trip_time)")
     if is_poly:
         if polygon_type not in ("neighbourhood", "house"):
             raise ValueError(

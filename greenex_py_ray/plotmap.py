@@ -188,10 +188,17 @@ def write_map_html(out_path: str, layers: list[dict], title: str | None = None,
         tip = ""
         if lyr["tooltip_fields"]:
             fields = json.dumps(lyr["tooltip_fields"])
+            # bindTooltip interprets HTML — property values (e.g. a
+            # doc_id containing markup) must be escaped, not
+            # interpolated raw into the tooltip DOM (round-3 advice)
             tip = (", onEachFeature: function(f, l) {"
                    f" var fs = {fields};"
+                   " var esc = function(v) { var d ="
+                   " document.createElement('div');"
+                   " d.textContent = String(v); return d.innerHTML; };"
                    " l.bindTooltip(fs.map(function(k) {"
-                   " return k + ': ' + f.properties[k]; }).join('<br>'));"
+                   " return esc(k) + ': ' + esc(f.properties[k]);"
+                   " }).join('<br>'));"
                    " }")
         layer_js.append(
             "L.geoJSON(%s, {style: function() { return %s; },"
@@ -207,8 +214,11 @@ def write_map_html(out_path: str, layers: list[dict], title: str | None = None,
     overlay_init = "; ".join(
         "overlays[%s] = L.layerGroup().addTo(map)" % json.dumps(l["name"])
         for l in rendered)
-    title_html = (f'<h3 style="text-align:center">{title}</h3>'
-                  if title else "")  # accessibility.py:219
+    import html as _html
+
+    title_html = (
+        f'<h3 style="text-align:center">{_html.escape(title)}</h3>'
+        if title else "")  # accessibility.py:219; escaped (r3 advice)
     html = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"/>
 <link rel="stylesheet" href="{_LEAFLET_CSS}"/>

@@ -69,6 +69,18 @@ def read_geotiff(path: str):
         raise ValueError(f"{path}: not a classic TIFF")
     t = _read_ifd(buf, bo, ifd_off)
     w, h = t[256], t[257]
+    spp = t.get(277, 1)  # SamplesPerPixel
+    if spp != 1:
+        raise ValueError(
+            f"{path}: SamplesPerPixel={spp} — multi-band TIFFs are not "
+            "supported by this baseline reader (a strip of interleaved "
+            "samples would be silently misread as one band); extract "
+            "the band to its own single-band file first")
+    if 322 in t or 324 in t:  # TileWidth / TileOffsets
+        raise ValueError(
+            f"{path}: tiled TIFF layout is not supported by this "
+            "baseline reader; rewrite as a strip TIFF "
+            "(gdal_translate -co TILED=NO)")
     comp = t.get(259, 1)
     bits = t[258]
     sfmt = t.get(339, 1)  # 1 uint, 2 int, 3 float
@@ -135,12 +147,23 @@ def ingest_to_tiles(path: str, out_dir: str, band: str,
 
     dtype = _synth.BAND_DTYPE.get(band, np.float64)
     if not np.issubdtype(dtype, np.floating):
-        fill = 0.0
+        fill = None
         if meta["nodata"] is not None:
             try:
                 fill = float(meta["nodata"])
             except ValueError:
                 pass
+        if fill is None:
+            # no GDAL nodata tag: pick a pad sentinel OUTSIDE the
+            # raster's observed code set — padding edge tiles with 0
+            # would silently merge pad pixels into a genuine class 0
+            # (they'd surface as that class's percentage instead of the
+            # 'nodata' column the derived classmap labels)
+            obs = set(int(c) for c in
+                      np.unique(arr[np.isfinite(arr)]).tolist())
+            fill = float(np.iinfo(dtype).min)
+            while fill in obs:
+                fill += 1.0
         arr = np.where(np.isfinite(arr), arr, fill)
     south = np.flipud(arr).astype(dtype)  # row 0 = southmost (tile store)
     h, w = south.shape
@@ -192,6 +215,12 @@ def ingest_to_tiles(path: str, out_dir: str, band: str,
         # takes its classmap from the source's classification metadata
         # and passes unknown codes through numerically
         # (availability.py:447-450,556 ``classmap.get(x, x)``)
-        info["codes"] = sorted(int(c) for c in np.unique(south).tolist())
+        codes = {int(c) for c in np.unique(south).tolist()}
+        if w % tile_px or h % tile_px:
+            # edge tiles were padded with the sentinel — include it so
+            # the derived classmap labels those pixels 'nodata' and
+            # percentages still sum to 100 for AoIs past the bounds
+            codes.add(int(fill))
+        info["codes"] = sorted(codes)
         info["nodata_code"] = int(fill)
     return info
