@@ -120,7 +120,11 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GREENEX_BENCH_ONLY=os.environ.get(
                        "GREENEX_BENCH_ONLY", "spans_mean_ndvi_metrics,viewshed_gvi"),
-                   GREENEX_WORLD_DOCS=os.environ.get("GREENEX_SCALING_DOCS", "6000000"),
+                   # 12M docs: the zonal pipeline's fixed actor-pool ramp
+                   # (~2.4 s at 32 CPUs, ~0.9 s at 8) is 27 % of a 6M-doc
+                   # hi leg but 17 % at 12M; 24M regresses (object-store
+                   # pressure, 797k vs 863k rows/s) — see BASELINE.md
+                   GREENEX_WORLD_DOCS=os.environ.get("GREENEX_SCALING_DOCS", "12000000"),
                    GREENEX_VIEWSHED_POIS=os.environ.get("GREENEX_SCALING_POIS", "400000"))
         out = subprocess.run(
             ["taskset", "-c", f"0-{ncpu - 1}",

