@@ -135,16 +135,20 @@ def landcover_percentages(
 def get_mean_ndvi_documents(
     documents_path: str, tile_root: str, buffer_dist: float = 300.0,
     concurrency: int | None = None, num_join_partitions: int | None = None,
+    batch_size: int = 2048,
 ) -> "ray.data.Dataset":
     """Flagship pipeline: spans documents → decode geom → zonal NDVI →
-    join metrics back onto the untouched documents (span passthrough)."""
+    join metrics back onto the untouched documents (span passthrough).
+
+    ``batch_size``: raise toward 16384 on large inputs — the SAT-chord
+    kernel runs one vectorized pass per (tile, point-group), so larger
+    batches amortize numpy dispatch (+40 % single-thread measured);
+    keep small on small inputs so the actor pool stays fed."""
     docs = doc_src.read_documents(documents_path)
     poi = doc_src.decode_geom(docs).select_columns(["doc_id", "x", "y"])
-    # scale-path batch size: large batches → large per-tile point
-    # groups in the SAT-chord kernel (one vectorized pass per group),
-    # +40 % single-thread vs the 2048 small-input default
     metrics = mean_ndvi(poi, tile_root, buffer_dist, key_col="doc_id",
-                        concurrency=as_pool(concurrency), batch_size=16384)
+                        concurrency=as_pool(concurrency),
+                        batch_size=batch_size)
     # metrics schema passed explicitly: .schema() on the lazy zonal
     # pipeline would execute a probe slice of it
     return bucket_join_attach(

@@ -64,6 +64,15 @@ def _world_docs_n() -> int:
     return int(os.environ.get("GREENEX_WORLD_DOCS", "2000"))
 
 
+def _zonal_batch_size(n_rows: int, pool_width: int = 16) -> int:
+    """Batch size for the fused SAT-chord zonal stage: as large as
+    possible (big per-tile point groups amortize numpy dispatch, +40 %
+    single-thread at 16384) while still producing ≥4 batches per pool
+    actor so the stream keeps every actor fed."""
+    per_actor = max(1, n_rows // (4 * pool_width))
+    return int(min(16384, max(2048, per_actor)))
+
+
 def _world_tiles_root() -> str:
     """Lazily materialize the shared synthetic tile store under /tmp
     (idempotent, driver-side, ~30 MB/band)."""
@@ -1126,7 +1135,8 @@ def q_spans_mean_ndvi(sf_dir: str):
     the spans); bench.py still times it directly as the flagship."""
     w = _world_paths()
     return availability.get_mean_ndvi_documents(
-        w["documents"], w["tiles"], buffer_dist=300.0, concurrency=None
+        w["documents"], w["tiles"], buffer_dist=300.0, concurrency=None,
+        batch_size=_zonal_batch_size(_world_docs_n()),
     )
 
 
@@ -1136,13 +1146,15 @@ def q_spans_mean_ndvi_metrics(sf_dir: str):
     onto the document payload is output materialization, benchmarked
     separately in q_spans_mean_ndvi)."""
     poi, w = _world_poi()
-    # batch_size 16384 (not the 2048 small-input default): the SAT-chord
-    # kernel runs one vectorized pass per (tile, point-group); large
-    # batches mean large groups, amortizing numpy dispatch — measured
-    # +40 % single-thread on the 6M-doc world with bit-identical output
-    # (per-point math is independent and tile groups stay key-sorted)
+    # Input-aware batch size: 16384 on big inputs — the SAT-chord kernel
+    # runs one vectorized pass per (tile, point-group), so large batches
+    # mean large groups and less numpy dispatch (+40 % single-thread on
+    # the 6M-doc world, bit-identical output) — but at gate/bench scale
+    # a 16384 batch would collapse the stream to a couple of tasks and
+    # starve the actor pool (the round-3 viewshed-pool lesson).
     return availability.mean_ndvi(poi, w["tiles"], 300.0, key_col="doc_id",
-                                  concurrency=None, batch_size=16384)
+                                  concurrency=None,
+                                  batch_size=_zonal_batch_size(_world_docs_n()))
 
 
 def q_spans_mean_ndvi_payload(sf_dir: str):
