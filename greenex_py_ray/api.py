@@ -524,8 +524,13 @@ def _emit(ds, name: str, docs, src_crs, write_to_file: bool,
         aligned = gt.take(pa.array(idx))
         for c in geo_cols[1:]:
             flat = flat.append_column(c, aligned.column(c))
+        # DecodeGeom reprojected src_crs inputs into its EPSG:3395
+        # working frame above, so the written coordinates are ALWAYS
+        # 3395 metres — stamping the file with src_crs would label
+        # metre coordinates as e.g. degrees and place features
+        # off-planet in QGIS
         write_gpkg(flat, os.path.join(out, f"{name}.gpkg"), layer=name,
-                   crs=src_crs or "EPSG:3395")
+                   crs="EPSG:3395")
     elif write_to_file:
         from .lineage import resumable_write
 

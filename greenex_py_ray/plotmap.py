@@ -56,6 +56,17 @@ _DEFAULT_STYLES = [
 ]
 
 
+def _js(obj) -> str:
+    """JSON for interpolation inside an inline <script> block.
+
+    ``json.dumps`` alone is NOT script-safe: a literal ``</script>``
+    inside any string value terminates the script element and injects
+    markup (the HTML parser doesn't know about JS strings).  Escaping
+    ``</`` as ``<\\/`` is a no-op in JavaScript and closes the vector.
+    """
+    return json.dumps(obj).replace("</", "<\\/")
+
+
 def _rows_of(data, row_cap: int):
     """Materialize a layer source (Dataset / pyarrow Table / pandas
     DataFrame / list of dicts) to a list of row dicts, capped."""
@@ -187,7 +198,7 @@ def write_map_html(out_path: str, layers: list[dict], title: str | None = None,
     for lyr in rendered:
         tip = ""
         if lyr["tooltip_fields"]:
-            fields = json.dumps(lyr["tooltip_fields"])
+            fields = _js(lyr["tooltip_fields"])
             # bindTooltip interprets HTML — property values (e.g. a
             # doc_id containing markup) must be escaped, not
             # interpolated raw into the tooltip DOM (round-3 advice)
@@ -205,14 +216,14 @@ def write_map_html(out_path: str, layers: list[dict], title: str | None = None,
             " pointToLayer: function(f, ll) {"
             " return L.circleMarker(ll, %s); }%s})"
             ".addTo(overlays[%s]);"
-            % (json.dumps(lyr["geojson"]), json.dumps(lyr["style"]),
-               json.dumps(lyr["style"]), tip, json.dumps(lyr["name"])))
+            % (_js(lyr["geojson"]), _js(lyr["style"]),
+               _js(lyr["style"]), tip, _js(lyr["name"])))
     # features live in their LayerGroup and the GROUP is on the map —
     # the layer-control checkboxes reflect map.hasLayer(group), so
     # adding features straight to the map would render them with their
     # checkboxes unchecked (folium's behavior is checked-and-visible)
     overlay_init = "; ".join(
-        "overlays[%s] = L.layerGroup().addTo(map)" % json.dumps(l["name"])
+        "overlays[%s] = L.layerGroup().addTo(map)" % _js(l["name"])
         for l in rendered)
     import html as _html
 
@@ -226,8 +237,8 @@ def write_map_html(out_path: str, layers: list[dict], title: str | None = None,
 <style>#map {{ height: 94vh; }}</style></head>
 <body>{title_html}<div id="map"></div>
 <script>
-var map = L.map('map').setView({json.dumps(center)}, {zoom});
-L.tileLayer({json.dumps(url)}, {{attribution: {json.dumps(attr)}}}).addTo(map);
+var map = L.map('map').setView({_js(center)}, {zoom});
+L.tileLayer({_js(url)}, {{attribution: {_js(attr)}}}).addTo(map);
 var overlays = {{}}; {overlay_init};
 {os.linesep.join(layer_js)}
 L.control.layers(null, overlays).addTo(map);

@@ -55,11 +55,17 @@ def _ring_buffers(gs: pa.Table):
 
 def _rings_list(gs: pa.Table) -> list[np.ndarray]:
     """Exterior (first) ring of each polygon row as an ``(N, 2)``
-    array — numpy slices over the flat Arrow buffers."""
+    array — numpy slices over the flat Arrow buffers.  A row with an
+    EMPTY rings list yields a (0, 2) array: indexing ``io[oo[i] + 1]``
+    there would silently return the NEXT row's ring (or fall off the
+    end on the last row)."""
     xs, ys, oo, io = _ring_buffers(gs)
-    s = io[oo[:-1]]
-    e = io[oo[:-1] + 1]
-    return [np.column_stack([xs[a:b], ys[a:b]]) for a, b in zip(s, e)]
+    nrings = oo[1:] - oo[:-1]
+    s = io[np.minimum(oo[:-1], len(io) - 1)]
+    e = io[np.minimum(oo[:-1] + 1, len(io) - 1)]
+    empty = np.empty((0, 2))
+    return [np.column_stack([xs[a:b], ys[a:b]]) if n > 0 else empty
+            for a, b, n in zip(s, e, nrings)]
 
 
 def _polys_list(gs: pa.Table) -> "list[list[np.ndarray]]":

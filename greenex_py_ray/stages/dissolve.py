@@ -284,7 +284,10 @@ def dissolve_dataset(
     """
     import pyarrow as pa
 
+    import pyarrow.compute as pc
+
     import ray.data as rd
+    from ray.data.aggregate import Count as _Count
     from ray.data.aggregate import Min as _Min
 
     from .. import cells
@@ -349,14 +352,33 @@ def dissolve_dataset(
                             "component": b.column(key_col)}),
         batch_format="pyarrow",
     )
+    # one aggregate yields BOTH the min label and a multi-membership
+    # flag for free: `own` contributes exactly one row per key and
+    # `comp` one row per PAIRED key, so label_rows == 2 ⟺ the key is in
+    # a ≥2-member component.  Splitting on it lets the expensive
+    # groupby(component).map_groups run only over genuinely-multi blobs
+    # — near-unique components through map_groups is the
+    # one-pandas-call-per-group pitfall (most polygons are disjoint, so
+    # most components are singletons).
     labels = own.union(comp).groupby("key").aggregate(
-        _Min("component", alias_name="component"))
+        _Min("component", alias_name="component"),
+        _Count(alias_name="label_rows"))
     labels = labels.map_batches(
         lambda b: pa.table({key_col: b.column("key"),
-                            "component": b.column("component")}),
+                            "component": b.column("component"),
+                            "is_multi": pc.greater_equal(
+                                b.column("label_rows"), 2)}),
         batch_format="pyarrow",
     )
-    labeled = bucket_join_attach(polys, labels, key=key_col)
+    labeled = bucket_join_attach(polys, labels, key=key_col).materialize()
+
+    def _take_side(multi: bool):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("is_multi"), multi))
+        return f
+
+    multi_rows = labeled.map_batches(_take_side(True), batch_format="pyarrow")
+    single_rows = labeled.map_batches(_take_side(False), batch_format="pyarrow")
 
     def blob(tbl: pa.Table) -> pa.Table:
         keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
@@ -376,6 +398,12 @@ def dissolve_dataset(
                 np.mean([p[0][:, 1].mean() for p in grp]))
         else:
             area, cx, cy = geom.overlay_moments(grp, "union")
+            if area <= 0:
+                # mean-vertex fallback, same as dissolve_polygons'
+                # driver path — overlay_moments returns (0, 0) centroids
+                # for zero-area blobs
+                cx = float(np.mean([r[:, 0].mean() for p in grp for r in p]))
+                cy = float(np.mean([r[:, 1].mean() for p in grp for r in p]))
         if per_member:
             k = len(keys)
             return pa.table({
@@ -394,4 +422,45 @@ def dissolve_dataset(
             "centroid_y": pa.array([cy]),
         })
 
-    return labeled.groupby("component").map_groups(blob, batch_format="pyarrow")
+    def singletons(tbl: pa.Table) -> pa.Table:
+        """Per-row moments for 1-member components — identical math to
+        ``blob`` on a single-member group, but streaming map_batches
+        (no groupby): singleton components are the common case and a
+        per-group pandas call for each would dominate the stage."""
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        ps = _polys_from_flat(
+            tbl.column("ring_x").to_pylist(), tbl.column("ring_y").to_pylist(),
+            tbl.column("ring_sizes").to_pylist() if has_sizes else None,
+        )
+        n = len(keys)
+        areas = np.empty(n)
+        cxs = np.empty(n)
+        cys = np.empty(n)
+        for i, p in enumerate(ps):
+            if len(p) == 1 and geom.is_convex(p[0]):
+                area, mx, my = _union_moments_convex([p[0]])
+                cx = mx / area if area > 0 else float(p[0][:, 0].mean())
+                cy = my / area if area > 0 else float(p[0][:, 1].mean())
+            else:
+                area, cx, cy = geom.overlay_moments([p], "union")
+                if area <= 0:
+                    cx = float(np.mean([r[:, 0].mean() for r in p]))
+                    cy = float(np.mean([r[:, 1].mean() for r in p]))
+            areas[i] = area
+            cxs[i] = cx
+            cys[i] = cy
+        cols = {
+            "rep_id": pa.array(keys.astype(np.int64)),
+            "n_members": pa.array(np.ones(n, np.int64)),
+            "area": pa.array(areas),
+            "centroid_x": pa.array(cxs),
+            "centroid_y": pa.array(cys),
+        }
+        if per_member:
+            cols = {key_col: pa.array(keys.astype(np.int64)), **cols}
+        return pa.table(cols)
+
+    blobs = multi_rows.groupby("component").map_groups(
+        blob, batch_format="pyarrow")
+    return blobs.union(single_rows.map_batches(
+        singletons, batch_format="pyarrow"))

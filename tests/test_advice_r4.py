@@ -120,3 +120,69 @@ def test_plotmap_escapes_title_and_tooltips(tmp_path):
     assert "&lt;script&gt;" in html
     # tooltip values go through the DOM escaper, not raw interpolation
     assert "esc(f.properties[k])" in html
+
+
+def test_plotmap_script_breakout_escaped(tmp_path):
+    """A literal '</script>' inside any JSON-interpolated value must not
+    terminate the inline script element (json.dumps alone is not
+    script-safe; _js escapes '</' as '<\\/')."""
+    from greenex_py_ray import plotmap
+
+    payload = "</script><script>alert(1)</script>"
+    out = str(tmp_path / "m.html")
+    plotmap.write_map_html(
+        out,
+        [{"name": payload, "kind": "points",
+          "data": [{"doc_id": payload, "x": 0.0, "y": 0.0}],
+          "tooltip_fields": ["doc_id"]}],
+        src_crs="EPSG:3857", title=None)
+    html = open(out).read()
+    body = html.split("<script>", 1)[1] if "<script>" in html else html
+    # the only legitimate '</script>' closes the map script block
+    assert body.count("</script>") == 1
+    assert "<\\/script>" in body  # the escaped payload survives as JS
+
+
+def test_rings_list_empty_row_yields_empty_ring():
+    """A row whose rings list is EMPTY must map to a (0, 2) ring, not
+    silently steal the next row's geometry (or IndexError on the last
+    row)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from greenex_py_ray.stages.coverage import _rings_list
+
+    pt = pa.struct([("x", pa.float64()), ("y", pa.float64())])
+    ring_t = pa.list_(pa.list_(pt))
+    sq = [[{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0},
+           {"x": 1.0, "y": 1.0}, {"x": 0.0, "y": 1.0}]]
+    tri = [[{"x": 5.0, "y": 5.0}, {"x": 6.0, "y": 5.0},
+            {"x": 5.0, "y": 6.0}]]
+    # empty row in the middle AND at the end
+    tbl = pa.table({"rings": pa.array([sq, [], tri, []], ring_t)})
+    rings = _rings_list(tbl)
+    assert len(rings) == 4
+    assert rings[0].shape == (4, 2)
+    assert rings[1].shape == (0, 2)
+    assert rings[2].shape == (3, 2)  # NOT the empty row's neighbour
+    assert np.allclose(rings[2][0], [5.0, 5.0])
+    assert rings[3].shape == (0, 2)
+
+
+def test_gpkg_sink_stamps_working_crs(tmp_path, world):
+    """write_to_file + src_crs: coordinates are reprojected into the
+    EPSG:3395 working frame, so the .gpkg must be stamped 3395 — not
+    the source CRS (metre coords labelled as degrees render off-planet)."""
+    import glob
+    import os
+
+    from greenex_py_ray import api
+    from greenex_py_ray.sources.gpkg import gpkg_crs
+
+    out_dir = str(tmp_path / "gpkg_out")
+    api.get_mean_NDVI(
+        world["documents"], world["tiles"], buffer_dist=100.0,
+        src_crs="EPSG:3857",  # genuinely reprojected into 3395
+        write_to_file=True, output_format="gpkg", output_dir=out_dir)
+    path = glob.glob(os.path.join(out_dir, "*.gpkg"))[0]
+    assert gpkg_crs(path) == "EPSG:3395"
