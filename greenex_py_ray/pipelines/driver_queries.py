@@ -2118,6 +2118,8 @@ def world_oracle_sql() -> dict[str, str]:
                                             "greenspace_cover"),
         "dissolve": dissolve_sql,
         "dissolve_distributed": dissolve_sql,
+        "dissolve_min_area":
+            f"SELECT * FROM ({dissolve_sql}) WHERE area >= 400000",
         "network_distance": network_sql,
         "streetview_gvi": streetview_sql,
         "viewshed_gvi": viewshed_sql,
@@ -2250,6 +2252,18 @@ def q_dissolve(sf_dir: str):
         "centroid_x": pa.array(_np.round(out["centroid_x"], 3)),
         "centroid_y": pa.array(_np.round(out["centroid_y"], 3)),
     })
+
+
+def q_dissolve_min_area(sf_dir: str):
+    """M10 min-area filter as a value gate: dissolve, then keep merged
+    units with ``area >= 400000`` (the reference applies
+    ``min_greenspace_area`` AFTER dissolving, accessibility.py:81-84,
+    129-131 — same order here).  The threshold sits >5 000 m² from the
+    nearest unit area, so rounding can't flip membership."""
+    import pyarrow.compute as pc
+
+    t = q_dissolve(sf_dir)
+    return t.filter(pc.greater_equal(t.column("area"), 400000.0))
 
 
 def q_dissolve_distributed(sf_dir: str):
@@ -2552,6 +2566,7 @@ QUERIES = {
     "isochrone_landcover": q_isochrone_landcover,
     "isochrone_greenspace": q_isochrone_greenspace,
     "dissolve": q_dissolve,
+    "dissolve_min_area": q_dissolve_min_area,
     "dissolve_distributed": q_dissolve_distributed,
     "ivf_topk": q_ivf_topk,
     "polygon_ndvi": q_polygon_ndvi,
