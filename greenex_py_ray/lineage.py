@@ -62,6 +62,7 @@ def write_partition(tbl: pa.Table, out_dir: str, partition: int,
         "row_count": tbl.num_rows,
         "checksum": _checksum(tbl),
         "wall_ms": int((time.time() - t0) * 1000),
+        "bytes": os.path.getsize(final),
     }
     mpath = os.path.join(out_dir, "_manifest", f"partition-{partition}.json")
     with open(mpath + ".tmp", "w") as f:
