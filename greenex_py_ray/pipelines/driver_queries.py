@@ -2093,7 +2093,46 @@ def world_oracle_sql() -> dict[str, str]:
                      srow * 10.0 + 5.0 AS py FROM srcpix)
     """
 
+    # --- M1/M9/M13/A8: per-row kind + bounds-containment validators ---
+    # poly rect bounds recompute _world_rect_poly_spans' binary64
+    # arithmetic exactly (same hw/hh closed forms as the polygon gates);
+    # a polygon is 'within' only when its WHOLE rect is (vertex rule)
+    _vhw = (f"({_POLY_HW[0]!r} + {_POLY_HW[1]!r}"
+            f" * (CAST(substr(doc_id, 5) AS BIGINT) % {_POLY_HW[2]}))")
+    _vhh = (f"({_POLY_HH[0]!r} + {_POLY_HH[1]!r}"
+            f" * (CAST(substr(doc_id, 5) AS BIGINT) % {_POLY_HH[2]}))")
+    _bx0, _by0, _bx1, _by1 = VAL_BBOX
+    validators_sql = f"""
+        WITH src AS (
+          SELECT doc_id,
+                 list_filter(spans, s -> s.kind = 'geom')[1].text AS g
+          FROM read_parquet('{glob}')
+          WHERE doc_id < 'doc-{VAL_POINT_POIS:012d}'
+        ),
+        pts AS (
+          SELECT doc_id, split_part(g, '(', 1) AS geom_kind,
+                 CAST(regexp_extract(g, {pt}, 1) AS DOUBLE) AS x,
+                 CAST(regexp_extract(g, {pt}, 2) AS DOUBLE) AS y
+          FROM src
+        ),
+        prect AS (
+          SELECT doc_id, x - {_vhw} AS x0, y - {_vhh} AS y0,
+                 x + {_vhw} AS x1, y + {_vhh} AS y1
+          FROM pts WHERE doc_id < 'doc-{VAL_POLY_POIS:012d}'
+        )
+        SELECT doc_id, geom_kind,
+               (x >= {_bx0!r} AND x <= {_bx1!r}
+                AND y >= {_by0!r} AND y <= {_by1!r}) AS within
+        FROM pts
+        UNION ALL
+        SELECT doc_id || '-poly' AS doc_id, 'POLYGON' AS geom_kind,
+               (x0 >= {_bx0!r} AND x1 <= {_bx1!r}
+                AND y0 >= {_by0!r} AND y1 <= {_by1!r}) AS within
+        FROM prect
+    """
+
     return {
+        "geometry_validators": validators_sql,
         "dedup_undirected_edges": undirected_sql,
         "regrid_3857": regrid_sql,
         "polygon_viewshed": poly_vs_sql,
@@ -2335,14 +2374,13 @@ _POLY_HW = (60.3, 20.0, 8)
 _POLY_HH = (80.7, 20.0, 5)
 
 
-def _world_rect_poly_docs(limit: int = 400):
-    """Deterministic rect-POLYGON PoIs derived from the world documents:
-    each doc's point becomes an axis-aligned rect (half-widths keyed off
-    the doc number) serialized as a WKT POLYGON span, so the gates
-    exercise the real spans→DecodeGeom(parse_polygons=True) path while
-    every AoI bound stays closed-form expressible in the DuckDB oracle."""
-    from ..sources import documents as doc_src
-
+def _world_rect_poly_spans(limit: int = 400):
+    """Spans-form (pre-decode) deterministic rect-POLYGON documents:
+    each world doc's point becomes an axis-aligned rect (half-widths
+    keyed off the doc number) serialized as a WKT POLYGON span, so the
+    consuming gates exercise the real spans→DecodeGeom(parse_polygons=
+    True) path while every AoI bound stays closed-form expressible in
+    the DuckDB oracle."""
     poi, w = _world_poi(limit)
 
     def to_poly_docs(b: pa.Table) -> pa.Table:
@@ -2363,7 +2401,15 @@ def _world_rect_poly_docs(limit: int = 400):
         return pa.table({"doc_id": b.column("doc_id"),
                          "spans": pa.array(spans, pa.list_(synth.SPAN_TYPE))})
 
-    docs = poi.map_batches(to_poly_docs, batch_format="pyarrow")
+    return poi.map_batches(to_poly_docs, batch_format="pyarrow"), w
+
+
+def _world_rect_poly_docs(limit: int = 400):
+    """Decoded rect-POLYGON PoIs (ring arrays) — see
+    :func:`_world_rect_poly_spans` for the construction."""
+    from ..sources import documents as doc_src
+
+    docs, w = _world_rect_poly_spans(limit)
     decoded = docs.map_batches(doc_src.DecodeGeom(parse_polygons=True),
                                batch_format="pyarrow")
     return decoded.select_columns(["doc_id", "ring_x", "ring_y",
@@ -2453,6 +2499,51 @@ def q_polygon_greenspace(sf_dir: str):
         stringify=False, name="greenspace_cover", dissolve=True)
 
 
+#: geometry_validators gate knobs: mixed POINT ∪ POLYGON document set
+#: checked against a bounds box that splits both kinds non-trivially
+#: (at the 2000-doc gate world: 179/300 points inside, 111/200 polygons
+#: fully inside, 4 polygons whose centroid is inside but whose rect
+#: pokes out — the vertex-level rule diverging from the centroid rule)
+VAL_POINT_POIS = 300
+VAL_POLY_POIS = 200
+VAL_BBOX = (3000.0, 3000.0, 17000.0, 17000.0)
+
+
+def q_geometry_validators(sf_dir: str):
+    """M1/M9/M13/A8 gate: per-row geometry-kind extraction + bounds
+    containment over a mixed POINT ∪ POLYGON document set — the
+    reference's homogeneity check (accessibility.py:34-37), polygon
+    mask (M9) and raster-bounds containment validator
+    (availability.py:219-226) value-verified per row.  Polygon rows
+    get a ``-poly`` id suffix so both kinds coexist in one keyed
+    output; their containment tests every vertex (ring min/max), so a
+    rect can fail while its centroid passes."""
+    import pyarrow.compute as pc
+
+    from ..sources import documents as doc_src
+
+    w = _world_paths()
+    pts = (doc_src.read_documents(w["documents"])
+           .limit(VAL_POINT_POIS).select_columns(["doc_id", "spans"]))
+    polys, _ = _world_rect_poly_spans(VAL_POLY_POIS)
+
+    def suffix_ids(b: pa.Table) -> pa.Table:
+        ids = pc.binary_join_element_wise(
+            pc.cast(b.column("doc_id"), pa.string()), "-poly", "")
+        return b.set_column(b.schema.get_field_index("doc_id"),
+                            "doc_id", ids)
+
+    mixed = pts.union(
+        polys.map_batches(suffix_ids, batch_format="pyarrow")
+        .select_columns(["doc_id", "spans"]))
+    decoded = mixed.map_batches(doc_src.DecodeGeom(parse_polygons=True),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    bbox = VAL_BBOX
+    return decoded.map_batches(
+        lambda b: doc_src.bounds_flags_table(b, *bbox),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_undirected_edges(sf_dir: str):
     """D3 gate: (u,v)/(v,u) road-segment dedup (visibility.py:596-612).
     The world edge list is single-orientation, so the query first makes
@@ -2528,6 +2619,7 @@ def q_regrid_3857(sf_dir: str):
 
 
 QUERIES = {
+    "geometry_validators": q_geometry_validators,
     "dedup_undirected_edges": q_dedup_undirected_edges,
     "regrid_3857": q_regrid_3857,
     "cell_assignment": q_cell_assignment,

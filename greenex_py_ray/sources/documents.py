@@ -285,23 +285,68 @@ def validate_geometry_homogeneous(ds: "ray.data.Dataset") -> str:
     return next(iter(kinds))
 
 
+def bounds_flag_batch(batch: pa.Table, x0: float, y0: float,
+                      x1: float, y1: float) -> np.ndarray:
+    """Per-row containment flag — the M13/A8 kernel.
+
+    Point rows test the decoded ``(x, y)``; polygon rows (non-empty
+    ``ring_x``/``ring_y``) test EVERY vertex via per-row ring min/max
+    (the reference checks geometry *bounds*, availability.py:219-226,
+    so a polygon poking past the box fails even when its centroid is
+    inside).  Vectorized: ``np.minimum.reduceat`` over the flattened
+    ring values — no per-row Python loop."""
+    x = batch.column("x").to_numpy(zero_copy_only=False)
+    y = batch.column("y").to_numpy(zero_copy_only=False)
+    lo_x, hi_x = x.copy(), x.copy()
+    lo_y, hi_y = y.copy(), y.copy()
+    if "ring_x" in batch.column_names:
+        for col, lo, hi in (("ring_x", lo_x, hi_x), ("ring_y", lo_y, hi_y)):
+            arr = batch.column(col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            offs = arr.offsets.to_numpy(zero_copy_only=False)
+            starts, ends = offs[:-1], offs[1:]
+            nonempty = ends > starts
+            if vals.size and nonempty.any():
+                # reduceat segment i depends only on s[i] (and s[i+1]);
+                # clamping empty rows' starts to 0 keeps every index
+                # valid and only corrupts results we mask out anyway
+                s = np.where(nonempty, starts, 0)
+                lo[nonempty] = np.minimum.reduceat(vals, s)[nonempty]
+                hi[nonempty] = np.maximum.reduceat(vals, s)[nonempty]
+    return (lo_x >= x0) & (hi_x <= x1) & (lo_y >= y0) & (hi_y <= y1)
+
+
+def bounds_flags_table(batch: pa.Table, x0: float, y0: float,
+                       x1: float, y1: float) -> pa.Table:
+    """Per-row validator projection: (doc_id, geom_kind, within) — the
+    M1 kind extraction next to the M13 containment flag, one row per
+    document (used by the ``geometry_validators`` gate)."""
+    flags = bounds_flag_batch(batch, x0, y0, x1, y1)
+    if "geom_kind" in batch.column_names:
+        kind = batch.column("geom_kind")
+    else:
+        kind = pa.array(["POINT"] * len(batch), pa.string())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "geom_kind": kind,
+        "within": pa.array(flags),
+    })
+
+
 def validate_within_bounds(ds: "ray.data.Dataset", x0: float, y0: float,
                            x1: float, y1: float, strict: bool = True) -> bool:
     """M13 containment validator (availability.py:219-226): all decoded
-    points inside the raster/vector bounds box.  Global boolean
-    aggregate over per-batch bounds checks; ``strict`` raises (points
-    path) vs warns (polygons path)."""
+    geometries inside the raster/vector bounds box.  Global boolean
+    aggregate over per-batch :func:`bounds_flag_batch` checks (polygon
+    rows test every vertex); ``strict`` raises (points path) vs warns
+    (polygons path)."""
     from ray.data.aggregate import Min
 
     checked = ds.map_batches(
         lambda b: pa.table({"ok": pa.array(
-            (
-                (b.column("x").to_numpy(zero_copy_only=False) >= x0)
-                & (b.column("x").to_numpy(zero_copy_only=False) <= x1)
-                & (b.column("y").to_numpy(zero_copy_only=False) >= y0)
-                & (b.column("y").to_numpy(zero_copy_only=False) <= y1)
-            ).astype(np.int8)
-        )}),
+            bounds_flag_batch(b, x0, y0, x1, y1).astype(np.int8))}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     all_ok = bool(checked.aggregate(Min("ok", alias_name="m"))["m"])
