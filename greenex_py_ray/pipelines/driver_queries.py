@@ -1082,6 +1082,115 @@ ORACLE_SQL["ivf_topk"] = _ivf_topk_sql()
 
 
 # ---------------------------------------------------------------------------
+# CRS projection gates (M2 / M7+M8) — the geoproj kernels re-derived in
+# ANSI SQL.  DuckDB lacks hyperbolic functions, so atanh/sinh/asinh/cosh
+# are spelled via ln/exp; ellipsoid and Krüger-series constants are
+# interpolated as exact float64 reprs of the geoproj module constants.
+# Measured numpy-vs-DuckDB deltas: ≤4e-9 m (projections, rounded to
+# 1e-4 m) and ≤3e-15 deg (bbox, rounded to 1e-9 deg).
+# ---------------------------------------------------------------------------
+
+def _crs_sql_entries() -> dict[str, str]:
+    from .. import geoproj as gp
+
+    A = repr(gp._A)
+    E = repr(gp._E)
+    E2 = repr(gp._E2)
+    A1 = repr(gp._A1)
+    K0 = repr(gp._UTM_K0)
+    alpha = [repr(a) for a in gp._ALPHA]
+
+    project_3395 = f"""
+        WITH pts AS (
+          SELECT doc_id, ({_X} / 20000.0 * 360.0 - 180.0) AS lon,
+                         ({_Y} / 20000.0 * 160.0 - 80.0)  AS lat
+          FROM documents),
+        s AS (SELECT doc_id, radians(lon) AS lam, sin(radians(lat)) AS sp
+              FROM pts)
+        SELECT doc_id,
+               round({A} * lam, 4) AS mx,
+               round({A} * (0.5*ln((1+sp)/(1-sp))
+                            - {E} * 0.5*ln((1+{E}*sp)/(1-{E}*sp))), 4) AS my
+        FROM s
+    """
+
+    # Krüger forward series: xi += a_j sin(2j xi') cosh(2j eta'),
+    # eta += a_j cos(2j xi') sinh(2j eta')   (Karney 2011 eq. 11)
+    terms_xi = " + ".join(
+        f"{alpha[j]} * sin({2 * (j + 1)}.0*xip)"
+        f" * ((exp({2 * (j + 1)}.0*etap)+exp(-{2 * (j + 1)}.0*etap))/2)"
+        for j in range(6))
+    terms_eta = " + ".join(
+        f"{alpha[j]} * cos({2 * (j + 1)}.0*xip)"
+        f" * ((exp({2 * (j + 1)}.0*etap)-exp(-{2 * (j + 1)}.0*etap))/2)"
+        for j in range(6))
+    project_utm = f"""
+        WITH pts AS (
+          SELECT doc_id, radians({_X} / 20000.0 * 5.0 + 0.5) AS lam,
+                         radians({_Y} / 20000.0 * 70.0 + 10.0) AS phi
+          FROM documents),
+        -- conformal latitude: t = sinh(atanh(sin phi) - e atanh(e sin phi))
+        c AS (SELECT doc_id, lam - radians(3.0) AS dl, sin(phi) AS sp
+              FROM pts),
+        t AS (SELECT doc_id, dl,
+                (exp(0.5*ln((1+sp)/(1-sp)) - {E}*0.5*ln((1+{E}*sp)/(1-{E}*sp)))
+               - exp(-(0.5*ln((1+sp)/(1-sp))
+                       - {E}*0.5*ln((1+{E}*sp)/(1-{E}*sp)))))/2 AS tt
+              FROM c),
+        b AS (SELECT doc_id,
+                atan2(tt, cos(dl)) AS xip,
+                -- asinh(sin dl / hypot(t, cos dl))
+                ln(sin(dl)/sqrt(tt*tt + cos(dl)*cos(dl))
+                   + sqrt(sin(dl)*sin(dl)/(tt*tt + cos(dl)*cos(dl)) + 1.0))
+                  AS etap
+              FROM t),
+        ser AS (SELECT doc_id,
+                       xip + {terms_xi} AS xi,
+                       etap + {terms_eta} AS eta
+                FROM b)
+        SELECT doc_id,
+               round({K0} * ({A1} * eta) + 500000.0, 4) AS utm_e,
+               round({K0} * ({A1} * xi), 4) AS utm_n
+        FROM ser
+    """
+
+    # inverse Mercator latitude: Newton on the isometric latitude,
+    # 6 unrolled iterations (matches geoproj.mercator_inverse exactly)
+    newton = (
+        "lat{i1} AS (SELECT lon0, lon1, psi0, psi1,"
+        " l0 - (0.5*ln((1+sin(l0))/(1-sin(l0)))"
+        "       - {E}*0.5*ln((1+{E}*sin(l0))/(1-{E}*sin(l0))) - psi0)"
+        "    / (cos(l0)/(1-sin(l0)*sin(l0))"
+        "       - {E2}*cos(l0)/(1-{E2}*sin(l0)*sin(l0))) AS l0,"
+        " l1 - (0.5*ln((1+sin(l1))/(1-sin(l1)))"
+        "       - {E}*0.5*ln((1+{E}*sin(l1))/(1-{E}*sin(l1))) - psi1)"
+        "    / (cos(l1)/(1-sin(l1)*sin(l1))"
+        "       - {E2}*cos(l1)/(1-{E2}*sin(l1)*sin(l1))) AS l1"
+        " FROM lat{i})")
+    chain = ",\n        ".join(
+        newton.format(i=i, i1=i + 1, E=E, E2=E2) for i in range(6))
+    bbox_wgs84 = f"""
+        WITH bb AS (SELECT min({_X}) AS x0, min({_Y}) AS y0,
+                           max({_X}) AS x1, max({_Y}) AS y1 FROM documents),
+        lat0 AS (SELECT x0/{A} AS lon0, x1/{A} AS lon1,
+                        y0/{A} AS psi0, y1/{A} AS psi1,
+                        2*atan(exp(y0/{A})) - pi()/2 AS l0,
+                        2*atan(exp(y1/{A})) - pi()/2 AS l1 FROM bb),
+        {chain}
+        SELECT round(degrees(lon0), 9) AS lon_min,
+               round(degrees(l0), 9)   AS lat_min,
+               round(degrees(lon1), 9) AS lon_max,
+               round(degrees(l1), 9)   AS lat_max
+        FROM lat6
+    """
+    return {"project_3395": project_3395, "project_utm": project_utm,
+            "bbox_wgs84": bbox_wgs84}
+
+
+ORACLE_SQL.update(_crs_sql_entries())
+
+
+# ---------------------------------------------------------------------------
 # Interleaved-document (spans world) pipelines — rows-only checks; their
 # value-level parity is covered by the pytest oracles (tests/test_*).
 # All run on the deterministic synthetic world (sf-independent input;
@@ -2618,10 +2727,89 @@ def q_regrid_3857(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_project_3395(sf_dir: str):
+    """M2 gate: WGS84 lon/lat → EPSG:3395 World Mercator forward
+    (geoproj.mercator_forward, Snyder PP 1395 eqs. 7-6..7-10; the
+    reference reprojects every geographic input this way before metric
+    math, accessibility.py:40-50).  lon/lat derive deterministically
+    from doc_id; coordinates rounded to 0.1 mm (measured engine delta
+    ≤4e-9 m)."""
+    from .. import geoproj
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x, y = dt.derive_xy(k)
+        lon = x / dt.WORLD * 360.0 - 180.0
+        lat = y / dt.WORLD * 160.0 - 80.0
+        mx, my = geoproj.transform(lon, lat, "EPSG:4326", "EPSG:3395")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "mx": pa.array(np.round(mx, 4), pa.float64()),
+            "my": pa.array(np.round(my, 4), pa.float64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_project_utm(sf_dir: str):
+    """M2 gate: WGS84 → UTM zone 31N through the full 6th-order Krüger
+    n-series (geoproj.utm_forward, Karney 2011) — the oracle re-derives
+    the whole series in SQL with the same coefficient doubles.  lon is
+    kept inside zone 31 (0.5°..5.5°E), lat 10°..80°N."""
+    from .. import geoproj
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x, y = dt.derive_xy(k)
+        lon = x / dt.WORLD * 5.0 + 0.5
+        lat = y / dt.WORLD * 70.0 + 10.0
+        e, n = geoproj.transform(lon, lat, "EPSG:4326", "UTM:31N")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "utm_e": pa.array(np.round(e, 4), pa.float64()),
+            "utm_n": pa.array(np.round(n, 4), pa.float64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_bbox_wgs84(sf_dir: str):
+    """M7+M8 gate: global bounds aggregate → densified-edge inverse
+    Mercator back to WGS84 (geoproj.bbox_to_wgs84, the reference's
+    total_bounds→4326 step for remote catalog queries,
+    availability.py:76-77).  The SQL oracle unrolls the same 6 Newton
+    iterations on the isometric latitude; degrees rounded to 1e-9
+    (measured engine delta ≤3e-15)."""
+    from .. import geoproj
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    res = ds.aggregate(
+        Min("x", alias_name="x0"), Min("y", alias_name="y0"),
+        Max("x", alias_name="x1"), Max("y", alias_name="y1"),
+    )
+    lon0, lat0, lon1, lat1 = geoproj.bbox_to_wgs84(
+        res["x0"], res["y0"], res["x1"], res["y1"], "EPSG:3395")
+    return pa.table({
+        "lon_min": [round(lon0, 9)], "lat_min": [round(lat0, 9)],
+        "lon_max": [round(lon1, 9)], "lat_max": [round(lat1, 9)],
+    })
+
+
 QUERIES = {
     "geometry_validators": q_geometry_validators,
     "dedup_undirected_edges": q_dedup_undirected_edges,
     "regrid_3857": q_regrid_3857,
+    "project_3395": q_project_3395,
+    "project_utm": q_project_utm,
+    "bbox_wgs84": q_bbox_wgs84,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,

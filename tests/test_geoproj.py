@@ -174,3 +174,33 @@ def test_utm_zone_validation():
             geoproj._parse_crs(bad)
     assert geoproj._parse_crs("EPSG:32631") == ("utm", 31, False)
     assert geoproj._parse_crs("EPSG:32733") == ("utm", 33, True)
+
+
+def test_crs_gate_oracles_match_duckdb():
+    """The three round-4 CRS gates (project_3395 / project_utm /
+    bbox_wgs84) must agree with their DuckDB oracle SQL — the same
+    comparison the driver's correctness gate runs, pinned in-suite so
+    the SQL (hyperbolics via ln/exp, unrolled Newton) can't rot."""
+    import duckdb
+    import pandas as pd
+
+    from greenex_py_ray.pipelines import driver_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')")
+
+    for key in ("project_3395", "project_utm", "bbox_wgs84"):
+        res = dq.QUERIES[key](sf)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        exp = con.execute(dq.ORACLE_SQL[key]).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(exp.columns), key
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        e = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) == len(e) and len(g) > 0, key
+        pd.testing.assert_frame_equal(g, e, check_exact=True)
