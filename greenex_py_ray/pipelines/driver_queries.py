@@ -1191,6 +1191,51 @@ ORACLE_SQL.update(_crs_sql_entries())
 
 
 # ---------------------------------------------------------------------------
+# Geometry-kernel gates (M6 euclidean buffer, M3/M11 polygon centroid)
+# ---------------------------------------------------------------------------
+
+#: buffer gate radius (meters) — scalar like every reference buffer call
+BUFFER_GATE_R = 250.0
+
+ORACLE_SQL["buffer_vertices"] = f"""
+    WITH pts AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+    ang AS (SELECT i, i * (2.0*pi()/64.0) AS a FROM range(0, 64) t(i))
+    SELECT doc_id, i AS vi,
+           round(x + {BUFFER_GATE_R!r}*cos(a), 6) AS vx,
+           round(y + {BUFFER_GATE_R!r}*sin(a), 6) AS vy
+    FROM pts CROSS JOIN ang
+"""
+
+# L-shaped hexagon per doc (notch corner at the derived point): the
+# shoelace area-weighted centroid is genuinely interior-off-center, so
+# the oracle checks the full centroid formula, not a rect midpoint.
+ORACLE_SQL["polygon_centroid"] = f"""
+    WITH d AS (SELECT doc_id, {_X} AS x, {_Y} AS y,
+               {_X} - (50.0 + doc_id*3 % 100) AS x0,
+               {_X} + (60.0 + doc_id*7 % 120) AS x1,
+               {_Y} - (40.0 + doc_id*11 % 90) AS y0,
+               {_Y} + (70.0 + doc_id*5 % 110) AS y1
+               FROM documents),
+    v AS (
+      SELECT doc_id, 0 AS i, x0 AS vx, y0 AS vy FROM d UNION ALL
+      SELECT doc_id, 1, x1, y0 FROM d UNION ALL
+      SELECT doc_id, 2, x1, y FROM d UNION ALL
+      SELECT doc_id, 3, x, y FROM d UNION ALL
+      SELECT doc_id, 4, x, y1 FROM d UNION ALL
+      SELECT doc_id, 5, x0, y1 FROM d),
+    p AS (SELECT a.doc_id, a.vx AS x, a.vy AS y, b.vx AS xn, b.vy AS yn
+          FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.i = (a.i+1) % 6),
+    s AS (SELECT doc_id, sum(x*yn - xn*y)/2.0 AS area,
+                 sum((x+xn)*(x*yn - xn*y)) AS sx,
+                 sum((y+yn)*(x*yn - xn*y)) AS sy
+          FROM p GROUP BY doc_id)
+    SELECT doc_id, round(sx/(6.0*area), 4) AS cx,
+           round(sy/(6.0*area), 4) AS cy
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Interleaved-document (spans world) pipelines — rows-only checks; their
 # value-level parity is covered by the pytest oracles (tests/test_*).
 # All run on the deterministic synthetic world (sf-independent input;
@@ -2803,6 +2848,77 @@ def q_bbox_wgs84(sf_dir: str):
     })
 
 
+def q_buffer_vertices(sf_dir: str):
+    """M6 gate: shapely-style euclidean buffer discretization
+    (geom.buffer_ngon_many, quad_segs=16 → 64-gon, the reference's
+    ``geometry.buffer(buffer_dist)`` step) — one row per ring vertex;
+    vertices are bit-identical between numpy and the SQL cos/sin."""
+    from .. import geom
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x, y = dt.derive_xy(k)
+        rings = geom.buffer_ngon_many(x, y, BUFFER_GATE_R, quad_segs=16)
+        n = rings.shape[1]
+        return pa.table({
+            "doc_id": pa.array(np.repeat(k, n)),
+            "vi": pa.array(np.tile(np.arange(n, dtype=np.int64), len(k))),
+            "vx": pa.array(np.round(rings[:, :, 0].ravel(), 6)),
+            "vy": pa.array(np.round(rings[:, :, 1].ravel(), 6)),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_polygon_centroid(sf_dir: str):
+    """M3/M11 gate: POLYGON WKT spans → DecodeGeom(parse_polygons=True)
+    → area-weighted shoelace centroid (geom.polygon_centroid, the
+    reference's geometry.centroid conversion, accessibility.py:53-56).
+    PoIs are L-shaped hexagons so the centroid is off the bbox midpoint
+    and the full formula is exercised end-to-end through the real
+    spans→decode path."""
+    from ..sources import documents as doc_src
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_poly(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x, y = dt.derive_xy(k)
+        x0 = x - (50.0 + k * 3 % 100)
+        x1 = x + (60.0 + k * 7 % 120)
+        y0 = y - (40.0 + k * 11 % 90)
+        y1 = y + (70.0 + k * 5 % 110)
+        spans = [
+            [{"kind": "geom",
+              "text": (f"POLYGON(({x0[i]!r} {y0[i]!r}, {x1[i]!r} {y0[i]!r}, "
+                       f"{x1[i]!r} {y[i]!r}, {x[i]!r} {y[i]!r}, "
+                       f"{x[i]!r} {y1[i]!r}, {x0[i]!r} {y1[i]!r}, "
+                       f"{x0[i]!r} {y0[i]!r}))"),
+              "media_ref": "", "offset": 0}]
+            for i in range(len(k))]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "spans": pa.array(spans, pa.list_(synth.SPAN_TYPE))})
+
+    dec = ds.map_batches(to_poly, batch_format="pyarrow").map_batches(
+        doc_src.DecodeGeom(parse_polygons=True), batch_format="pyarrow")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "cx": pa.array(np.round(
+                batch.column("x").to_numpy(zero_copy_only=False), 4)),
+            "cy": pa.array(np.round(
+                batch.column("y").to_numpy(zero_copy_only=False), 4)),
+        })
+
+    return dec.map_batches(emit, batch_format="pyarrow")
+
+
 QUERIES = {
     "geometry_validators": q_geometry_validators,
     "dedup_undirected_edges": q_dedup_undirected_edges,
@@ -2810,6 +2926,8 @@ QUERIES = {
     "project_3395": q_project_3395,
     "project_utm": q_project_utm,
     "bbox_wgs84": q_bbox_wgs84,
+    "buffer_vertices": q_buffer_vertices,
+    "polygon_centroid": q_polygon_centroid,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,

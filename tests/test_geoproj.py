@@ -177,8 +177,8 @@ def test_utm_zone_validation():
 
 
 def test_crs_gate_oracles_match_duckdb():
-    """The three round-4 CRS gates (project_3395 / project_utm /
-    bbox_wgs84) must agree with their DuckDB oracle SQL — the same
+    """The round-4 geometry/CRS gates (projections, bbox inverse,
+    buffer n-gon, shoelace centroid) must agree with their DuckDB oracle SQL — the same
     comparison the driver's correctness gate runs, pinned in-suite so
     the SQL (hyperbolics via ln/exp, unrolled Newton) can't rot."""
     import duckdb
@@ -192,7 +192,8 @@ def test_crs_gate_oracles_match_duckdb():
         f"CREATE VIEW documents AS "
         f"SELECT * FROM read_parquet('{sf}/documents.parquet')")
 
-    for key in ("project_3395", "project_utm", "bbox_wgs84"):
+    for key in ("project_3395", "project_utm", "bbox_wgs84",
+                "buffer_vertices", "polygon_centroid"):
         res = dq.QUERIES[key](sf)
         got = res.to_pandas() if hasattr(res, "to_pandas") else res
         if not isinstance(got, pd.DataFrame):
