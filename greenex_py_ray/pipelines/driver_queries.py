@@ -1234,6 +1234,36 @@ ORACLE_SQL["polygon_centroid"] = f"""
     FROM s
 """
 
+# deterministic Lehmer-hash split (stages/sampling.hash_bucket)
+ORACLE_SQL["hash_split"] = """
+    WITH b AS (SELECT doc_id,
+                      ((doc_id * 48271) % 2147483647) % 100 AS bucket
+               FROM documents)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+# grouped top-k over the split assignment (stages/topk.topk_per_group)
+ORACLE_SQL["topk_per_split"] = """
+    WITH b AS (SELECT doc_id, text,
+                      ((doc_id * 48271) % 2147483647) % 100 AS bucket
+               FROM documents),
+    sc AS (SELECT doc_id,
+                  CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+                  CAST(length(text) AS BIGINT) AS n_chars
+           FROM b),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY split
+            ORDER BY n_chars DESC, doc_id ASC) AS "rank"
+          FROM sc)
+    SELECT doc_id, split, n_chars, "rank" FROM r WHERE "rank" <= 5
+"""
+
 
 # ---------------------------------------------------------------------------
 # Interleaved-document (spans world) pipelines — rows-only checks; their
@@ -2848,6 +2878,42 @@ def q_bbox_wgs84(sf_dir: str):
     })
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split assignment
+    (stages/sampling.assign_split): stable Lehmer-hash bucketing per
+    key — the shuffle-free sharding primitive a 100 TB corpus split
+    needs (membership independent of partitioning / cluster size)."""
+    from ..stages.sampling import assign_split
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+    return assign_split(ds, "doc_id", train_pct=80, val_pct=10, salt=0)
+
+
+def q_topk_per_split(sf_dir: str):
+    """Grouped top-k (stages/topk.topk_per_group) composed with the
+    hash-split assignment: the 5 longest documents per train/val/test
+    split, ties by doc_id — the per-batch partial top-k bounds the
+    shuffle to ≤k rows/group/batch regardless of table size."""
+    import pyarrow.compute as pc
+
+    from ..stages.sampling import assign_split
+    from ..stages.topk import topk_per_group
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    split = assign_split(ds, "doc_id", train_pct=80, val_pct=10, salt=0)
+
+    def score(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "split": b.column("split"),
+            "n_chars": pc.cast(pc.utf8_length(b.column("text")),
+                               pa.int64()),
+        })
+
+    scored = split.map_batches(score, batch_format="pyarrow")
+    return topk_per_group(scored, "split", "n_chars", 5, "doc_id")
+
+
 def q_buffer_vertices(sf_dir: str):
     """M6 gate: shapely-style euclidean buffer discretization
     (geom.buffer_ngon_many, quad_segs=16 → 64-gon, the reference's
@@ -2928,6 +2994,8 @@ QUERIES = {
     "bbox_wgs84": q_bbox_wgs84,
     "buffer_vertices": q_buffer_vertices,
     "polygon_centroid": q_polygon_centroid,
+    "hash_split": q_hash_split,
+    "topk_per_split": q_topk_per_split,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,
