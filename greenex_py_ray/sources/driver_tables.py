@@ -63,8 +63,36 @@ class DeriveXY:
         )
 
 
+def _small_table_blocks(path: str) -> int | None:
+    """Block-count override for SMALL single-file tables.  Ray's default
+    read splitting targets ~2×CPUs blocks regardless of input size,
+    which turns a 5k-row gate table into 64 ~80-row blocks — per-task
+    scheduling then dominates every downstream stage and the shuffles
+    fan out 64×64 tiny pieces (measured: minhash_lsh over sf0.1
+    5.8 → 3.4 s with 16 blocks).  Target ≥~300 rows per block, capped
+    at 2×CPUs; ``None`` (Ray's default) for big tables so the
+    scale-path streaming splits are untouched."""
+    try:
+        import pyarrow.parquet as _pq
+
+        rows = _pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+    if rows >= 1_000_000:
+        return None
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+    return max(1, min(rows // 300 + 1, 2 * cpus))
+
+
 def read_table(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    path = f"{sf_dir}/{name}.parquet"
+    kwargs = {"columns": columns}
+    nb = _small_table_blocks(path)
+    if nb is not None:
+        kwargs["override_num_blocks"] = nb
+    return ray.data.read_parquet(path, **kwargs)
 
 
 def read_docs_with_xy(sf_dir: str, cell_size: float = cells.DEFAULT_CELL_SIZE,
