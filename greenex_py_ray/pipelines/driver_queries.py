@@ -1234,27 +1234,34 @@ ORACLE_SQL["polygon_centroid"] = f"""
     FROM s
 """
 
-# deterministic Lehmer-hash split (stages/sampling.hash_bucket)
-ORACLE_SQL["hash_split"] = """
-    WITH b AS (SELECT doc_id,
-                      ((doc_id * 48271) % 2147483647) % 100 AS bucket
-               FROM documents)
-    SELECT doc_id, bucket,
-           CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val'
-                ELSE 'test' END AS split
+# deterministic Lehmer-hash split — bucket/split SQL derived from the
+# stages/sampling constants so the two gates can't drift from the op
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10
+
+
+def _bucket_split_sql() -> tuple[str, str]:
+    from ..stages import sampling as sp
+
+    bucket = f"((doc_id * {sp._MULT}) % {sp._MOD}) % 100"
+    split = (f"CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train' "
+             f"WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+             f"ELSE 'test' END")
+    return bucket, split
+
+
+_BUCKET_SQL, _SPLIT_SQL = _bucket_split_sql()
+
+ORACLE_SQL["hash_split"] = f"""
+    WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
+    SELECT doc_id, bucket, {_SPLIT_SQL} AS split
     FROM b
 """
 
 # grouped top-k over the split assignment (stages/topk.topk_per_group)
-ORACLE_SQL["topk_per_split"] = """
-    WITH b AS (SELECT doc_id, text,
-                      ((doc_id * 48271) % 2147483647) % 100 AS bucket
+ORACLE_SQL["topk_per_split"] = f"""
+    WITH b AS (SELECT doc_id, text, {_BUCKET_SQL} AS bucket
                FROM documents),
-    sc AS (SELECT doc_id,
-                  CASE WHEN bucket < 80 THEN 'train'
-                       WHEN bucket < 90 THEN 'val'
-                       ELSE 'test' END AS split,
+    sc AS (SELECT doc_id, {_SPLIT_SQL} AS split,
                   CAST(length(text) AS BIGINT) AS n_chars
            FROM b),
     r AS (SELECT *, row_number() OVER (
@@ -2886,7 +2893,8 @@ def q_hash_split(sf_dir: str):
     from ..stages.sampling import assign_split
 
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
-    return assign_split(ds, "doc_id", train_pct=80, val_pct=10, salt=0)
+    return assign_split(ds, "doc_id", train_pct=SPLIT_TRAIN_PCT,
+                        val_pct=SPLIT_VAL_PCT, salt=0)
 
 
 def q_topk_per_split(sf_dir: str):
@@ -2900,7 +2908,8 @@ def q_topk_per_split(sf_dir: str):
     from ..stages.topk import topk_per_group
 
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    split = assign_split(ds, "doc_id", train_pct=80, val_pct=10, salt=0)
+    split = assign_split(ds, "doc_id", train_pct=SPLIT_TRAIN_PCT,
+                         val_pct=SPLIT_VAL_PCT, salt=0)
 
     def score(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -2955,10 +2964,13 @@ def q_polygon_centroid(sf_dir: str):
         k = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
         x, y = dt.derive_xy(k)
-        x0 = x - (50.0 + k * 3 % 100)
-        x1 = x + (60.0 + k * 7 % 120)
-        y0 = y - (40.0 + k * 11 % 90)
-        y1 = y + (70.0 + k * 5 % 110)
+        # .tolist() → plain Python floats: repr of np.float64 is not a
+        # WKT-parseable literal under numpy >= 2
+        x0 = (x - (50.0 + k * 3 % 100)).tolist()
+        x1 = (x + (60.0 + k * 7 % 120)).tolist()
+        y0 = (y - (40.0 + k * 11 % 90)).tolist()
+        y1 = (y + (70.0 + k * 5 % 110)).tolist()
+        x, y = x.tolist(), y.tolist()
         spans = [
             [{"kind": "geom",
               "text": (f"POLYGON(({x0[i]!r} {y0[i]!r}, {x1[i]!r} {y0[i]!r}, "

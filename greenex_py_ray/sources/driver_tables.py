@@ -75,15 +75,24 @@ def _small_table_blocks(path: str) -> int | None:
     try:
         import pyarrow.parquet as _pq
 
-        rows = _pq.ParquetFile(path).metadata.num_rows
+        md = _pq.ParquetFile(path).metadata
+        rows = md.num_rows
+        nbytes = sum(md.row_group(i).total_byte_size
+                     for i in range(md.num_row_groups))
     except Exception:
         return None
-    if rows >= 1_000_000:
+    # wide-row tables (few rows, big payloads) must keep Ray's
+    # byte-based splitting: a row-count cap alone would force e.g.
+    # 900k multi-KB docs into 2×CPUs oversized blocks
+    if rows >= 1_000_000 or nbytes >= 256 * 1024 * 1024:
         return None
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
-    return max(1, min(rows // 300 + 1, 2 * cpus))
+    nb = max(1, min(rows // 300 + 1, 2 * cpus))
+    # keep blocks under ~64 MB (uncompressed) even when the row count
+    # alone would allow fewer
+    return max(nb, nbytes // (64 * 1024 * 1024) + 1)
 
 
 def read_table(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":

@@ -2,8 +2,9 @@
 op: stable train/val/test sharding and subsampling at corpus scale).
 
 The bucket function is a Lehmer-style modular hash chosen so that ANSI
-SQL reproduces it without 64-bit overflow for any realistic key range
-(``k * 48271 < 2^63`` for ``k < 1.9e14``):
+SQL reproduces it without 64-bit overflow for any realistic
+NON-NEGATIVE key range (``k * 48271 < 2^63`` for ``0 <= k < 1.9e14``;
+negative keys are rejected — see :func:`hash_bucket`):
 
     bucket(k) = ((k * 48271 + salt) % 2147483647) % 100
 
@@ -24,8 +25,15 @@ _MOD = 2147483647
 
 
 def hash_bucket(key: np.ndarray, salt: int = 0) -> np.ndarray:
-    """Deterministic bucket 0..99 per integer key."""
+    """Deterministic bucket 0..99 per NON-NEGATIVE integer key.
+
+    Negative keys are rejected: numpy's ``%`` returns non-negative
+    remainders while SQL's follows the dividend's sign, so a negative
+    key would silently desynchronize an externally-reproduced split."""
     k = np.asarray(key, dtype=np.int64)
+    if k.size and k.min() < 0:
+        raise ValueError("hash_bucket requires non-negative keys "
+                         "(SQL %% sign semantics differ for negatives)")
     return ((k * _MULT + salt) % _MOD) % 100
 
 

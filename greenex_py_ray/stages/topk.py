@@ -24,6 +24,12 @@ def _topk_indices(group: np.ndarray, score: np.ndarray, tie: np.ndarray,
     plus their 0-based within-group ranks.  Fully vectorized:
     factorize → lexsort → per-group rank via run starts."""
     gi = np.unique(group, return_inverse=True)[1]
+    if score.dtype.kind == "u":
+        # negation wraps for unsigned dtypes (score==0 would sort as
+        # the BEST row); reinterpret in a signed/float domain first
+        score = (score.astype(np.int64)
+                 if score.size == 0 or score.max() <= np.iinfo(np.int64).max
+                 else score.astype(np.float64))
     # lexsort: last key is primary → group asc, then score desc, tie asc
     order = np.lexsort((tie, -score, gi))
     gs = gi[order]

@@ -176,7 +176,7 @@ def test_utm_zone_validation():
     assert geoproj._parse_crs("EPSG:32733") == ("utm", 33, True)
 
 
-def test_crs_gate_oracles_match_duckdb():
+def test_crs_gate_oracles_match_duckdb(sf_dir):
     """The round-4 geometry/CRS gates (projections, bbox inverse,
     buffer n-gon, shoelace centroid) must agree with their DuckDB oracle SQL — the same
     comparison the driver's correctness gate runs, pinned in-suite so
@@ -186,7 +186,7 @@ def test_crs_gate_oracles_match_duckdb():
 
     from greenex_py_ray.pipelines import driver_queries as dq
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS "

@@ -71,3 +71,22 @@ def test_hash_split_deterministic_and_partition_invariant(ray_session):
     s = hash_sample(ray.data.from_arrow(tbl), "doc_id", 10).to_pandas()
     assert set(s["doc_id"]) == set(
         a.loc[a["bucket"] < 10, "doc_id"])
+
+
+def test_topk_unsigned_scores_and_negative_keys(ray_session):
+    """Review fixes: unsigned score columns must not wrap under
+    negation, and hash_bucket must reject negative keys (SQL %
+    sign semantics differ)."""
+    import pytest
+
+    from greenex_py_ray.stages.sampling import hash_bucket
+    from greenex_py_ray.stages.topk import _topk_indices
+
+    g = np.zeros(4, np.int64)
+    s = np.array([0, 5, 3, 7], np.uint64)
+    t = np.arange(4, dtype=np.int64)
+    idx, rank = _topk_indices(g, s, t, 2)
+    assert list(s[idx]) == [7, 5]  # not [0, ...] via wraparound
+
+    with pytest.raises(ValueError):
+        hash_bucket(np.array([-1], np.int64))
