@@ -1251,6 +1251,23 @@ def _bucket_split_sql() -> tuple[str, str]:
 
 _BUCKET_SQL, _SPLIT_SQL = _bucket_split_sql()
 
+# exact discrete quantiles: smallest v with cumulative count >= ceil(q*n)
+# (the same explicit definition stages/quantiles.py uses — no reliance
+# on an engine-specific quantile builtin)
+ORACLE_SQL["token_quantiles"] = r"""
+    WITH tc AS (
+      SELECT CAST(array_length(string_split_regex(trim(text), '\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    h AS (SELECT n_tokens AS v, count(*) AS c FROM tc GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM h),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h)
+    SELECT q,
+           (SELECT min(v) FROM cum
+            WHERE cum >= ceil(q * (SELECT n FROM tot))) AS value
+    FROM (VALUES (0.25), (0.5), (0.9), (0.99)) qs(q)
+"""
+
 ORACLE_SQL["hash_split"] = f"""
     WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
     SELECT doc_id, bucket, {_SPLIT_SQL} AS split
@@ -2923,6 +2940,23 @@ def q_topk_per_split(sf_dir: str):
     return topk_per_group(scored, "split", "n_chars", 5, "doc_id")
 
 
+QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact token-count distribution quantiles
+    (stages/quantiles.exact_quantiles): per-batch value-count partials,
+    a groupby whose shuffle payload is O(#distinct values), driver
+    walk over the tiny merged histogram — the corpus-percentile op a
+    filter-threshold selection needs at 100 TB."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = ds.map_batches(text.token_count_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return exact_quantiles(toks, "n_tokens", QUANTILE_QS)
+
+
 def q_buffer_vertices(sf_dir: str):
     """M6 gate: shapely-style euclidean buffer discretization
     (geom.buffer_ngon_many, quad_segs=16 → 64-gon, the reference's
@@ -3008,6 +3042,7 @@ QUERIES = {
     "polygon_centroid": q_polygon_centroid,
     "hash_split": q_hash_split,
     "topk_per_split": q_topk_per_split,
+    "token_quantiles": q_token_quantiles,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,

@@ -1,0 +1,58 @@
+"""Exact distribution quantiles over an integer-valued column
+(training-data op: corpus length/score percentiles for filter-threshold
+selection).
+
+Scale design: per-batch value-count partials (``np.unique`` — rows
+collapse to distinct values before anything moves), a ``groupby(value)``
+sum whose shuffle payload is O(#distinct values) not O(rows), and a
+driver-side quantile walk over the tiny merged histogram.  The quantile
+definition is explicit — the smallest value whose cumulative count
+reaches ``ceil(q·n)`` (``quantile_disc`` semantics) — so ANSI SQL
+reproduces it with a windowed cumulative sum, no engine-specific
+quantile builtin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def value_counts(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+    """(v, c) distinct-value counts of ``ds[col]`` — partial per-batch
+    counts, then a groupby-sum over values only."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch.column(col).to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"v": pa.array(v.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("v").aggregate(Sum("c", alias_name="c")))
+
+
+def exact_quantiles(ds: "ray.data.Dataset", col: str,
+                    qs: "tuple[float, ...]") -> pa.Table:
+    """Exact discrete quantiles of an integer column: for each ``q``,
+    the smallest value whose cumulative count ≥ ``ceil(q·n)``.  The
+    driver only ever sees the merged (value, count) histogram."""
+    hist = value_counts(ds, col).sort("v").take_all()
+    v = np.array([r["v"] for r in hist], dtype=np.int64)
+    c = np.array([r["c"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        target = int(np.ceil(q * n))
+        out_q.append(float(q))
+        out_v.append(int(v[np.searchsorted(cum, max(target, 1))]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})

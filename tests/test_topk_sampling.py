@@ -90,3 +90,24 @@ def test_topk_unsigned_scores_and_negative_keys(ray_session):
 
     with pytest.raises(ValueError):
         hash_bucket(np.array([-1], np.int64))
+
+
+def test_exact_quantiles_matches_definition(ray_session):
+    """exact_quantiles == smallest v with cumcount >= ceil(q*n), and is
+    partition-invariant."""
+    from greenex_py_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 200, 5000).astype(np.int64)
+    tbl = pa.table({"n": pa.array(vals)})
+    qs = (0.25, 0.5, 0.9, 0.99)
+
+    sv = np.sort(vals)
+    exp = {q: int(sv[int(np.ceil(q * len(sv))) - 1]) for q in qs}
+
+    for nblocks in (1, 17):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = exact_quantiles(ds, "n", qs).to_pandas()
+        got = dict(zip(out["q"], out["value"]))
+        assert {round(k, 2): int(v) for k, v in got.items()} == \
+            {round(k, 2): v for k, v in exp.items()}
