@@ -41,8 +41,10 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
                     qs: "tuple[float, ...]") -> pa.Table:
     """Exact discrete quantiles of an integer column: for each ``q``,
     the smallest value whose cumulative count ≥ ``ceil(q·n)``.  The
-    driver only ever sees the merged (value, count) histogram."""
-    hist = value_counts(ds, col).sort("v").take_all()
+    driver only ever sees the merged (value, count) histogram — bounded
+    at 5M distinct values so a mistakenly high-cardinality column
+    raises instead of materializing an unbounded histogram."""
+    hist = value_counts(ds, col).sort("v").take_all(limit=5_000_000)
     v = np.array([r["v"] for r in hist], dtype=np.int64)
     c = np.array([r["c"] for r in hist], dtype=np.int64)
     cum = np.cumsum(c)
