@@ -1251,6 +1251,32 @@ def _bucket_split_sql() -> tuple[str, str]:
 
 _BUCKET_SQL, _SPLIT_SQL = _bucket_split_sql()
 
+# TF-IDF query ranking — same tokenization as the langid oracle; idf
+# quantized to integer micro-units exactly like stages/tfidf.py
+_TFIDF_VALUES = ", ".join(f"('{t}')" for t in
+                          ("join", "vector", "spark", "window", "hash"))
+ORACLE_SQL["tfidf_topk"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z'']+') AS ws
+                  FROM documents),
+    q AS (SELECT * FROM (VALUES """ + _TFIDF_VALUES + r""") t(term)),
+    tf AS (SELECT toks.doc_id, q.term,
+             CAST(length(list_filter(ws, w -> w = q.term)) AS BIGINT) AS tf
+           FROM toks CROSS JOIN q),
+    df AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+           FROM tf GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM documents),
+    w AS (SELECT term,
+                 CAST(round(round(ln((tot.n + 1.0) / (df.df + 1.0)) + 1.0,
+                                  6) * 1000000.0, 0) AS BIGINT) AS w
+          FROM df, tot),
+    sc AS (SELECT tf.doc_id, sum(tf.tf * w.w) AS score_q6
+           FROM tf JOIN w USING (term) GROUP BY tf.doc_id),
+    r AS (SELECT doc_id, score_q6, row_number() OVER (
+            ORDER BY score_q6 DESC, doc_id ASC) AS "rank" FROM sc)
+    SELECT doc_id, score_q6, "rank" FROM r WHERE "rank" <= 20
+"""
+
 # exact discrete quantiles: smallest v with cumulative count >= ceil(q*n)
 # (the same explicit definition stages/quantiles.py uses — no reliance
 # on an engine-specific quantile builtin)
@@ -2940,6 +2966,22 @@ def q_topk_per_split(sf_dir: str):
     return topk_per_group(scored, "split", "n_chars", 5, "doc_id")
 
 
+TFIDF_TERMS = ("join", "vector", "spark", "window", "hash")
+TFIDF_K = 20
+
+
+def q_tfidf_topk(sf_dir: str):
+    """TF-IDF query ranking (stages/tfidf.tfidf_topk): top 20 documents
+    by quantized-idf lexical score against a fixed 5-term query — DF is
+    aggregated for the query terms only (O(#terms) shuffle), the weight
+    map rides into the scoring actors, and the global top-k is a
+    partial-top-k scan."""
+    from ..stages.tfidf import tfidf_topk
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, TFIDF_TERMS, TFIDF_K)
+
+
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -3043,6 +3085,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "topk_per_split": q_topk_per_split,
     "token_quantiles": q_token_quantiles,
+    "tfidf_topk": q_tfidf_topk,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,

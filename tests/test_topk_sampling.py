@@ -111,3 +111,39 @@ def test_exact_quantiles_matches_definition(ray_session):
         got = dict(zip(out["q"], out["value"]))
         assert {round(k, 2): int(v) for k, v in got.items()} == \
             {round(k, 2): v for k, v in exp.items()}
+
+
+def test_tfidf_topk_matches_bruteforce(ray_session):
+    """tfidf_topk == brute-force quantized-idf scoring + sort, and the
+    per-batch partial pass loses nothing across partitionings."""
+    import re
+
+    from greenex_py_ray.stages.tfidf import tfidf_topk
+
+    rng = np.random.default_rng(21)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 30)))
+             for _ in range(400)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    terms = ("alpha", "gamma", "zeta")
+    k = 15
+
+    word = re.compile(r"[a-zA-Z']+")
+    tfs = np.array([[word.findall(t.lower()).count(q) for q in terms]
+                    for t in texts], dtype=np.int64)
+    dfs = (tfs > 0).sum(axis=0)
+    ws = np.array([int(round(round(np.log((400 + 1.0) / (d + 1.0)) + 1.0,
+                                   6) * 1e6)) for d in dfs], np.int64)
+    scores = tfs @ ws
+    order = np.lexsort((np.arange(400), -scores))
+    exp = [(int(i), int(scores[i]), r + 1)
+           for r, i in enumerate(order[:k])]
+
+    for nblocks in (1, 13):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = tfidf_topk(ds, terms, k).to_pandas().sort_values("rank")
+        got = list(zip(out["doc_id"].astype(int),
+                       out["score_q6"].astype(int),
+                       out["rank"].astype(int)))
+        assert got == exp
