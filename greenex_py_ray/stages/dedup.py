@@ -151,24 +151,46 @@ class MinHasher:
         v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return v.min(axis=1)
 
+    #: max shingles per universal-hash pass.  The (P, ΣS) product array
+    #: is P×ΣS×8 bytes; unchunked, a 16k-doc batch allocates ~2 GB per
+    #: task and thrashes (measured 129 docs/s single-thread vs 2600 at
+    #: ~260k-shingle chunks — the pass must stay cache/heap friendly
+    #: no matter what batch size the caller streams in).
+    SHINGLE_CHUNK = 262_144
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         n = len(texts)
         if n == 0:
             sigs = np.zeros((0, self.num_perm), dtype=np.uint64)
         else:
-            # batch-vectorized: one (P, ΣS) universal-hash pass over the
-            # concatenated shingle sets, per-doc min via reduceat
+            # batch-vectorized: a (P, ΣS) universal-hash pass over the
+            # concatenated shingle sets, per-doc min via reduceat —
+            # chunked over docs so ΣS per pass stays bounded
             shingle_sets = self.shingle_hashes_batch(texts)
             lens = np.array([len(sh) for sh in shingle_sets], dtype=np.int64)
-            nonempty = lens > 0
             sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
-            if nonempty.any():
-                cat = np.concatenate([sh for sh in shingle_sets if len(sh)])
-                v = (self.a[:, None] * cat[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-                starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
-                mins = np.minimum.reduceat(v, starts, axis=1)  # (P, n_nonempty)
-                sigs[nonempty] = mins.T
+            lo = 0
+            while lo < n:
+                hi = lo + 1
+                tot = lens[lo]
+                while hi < n and tot + lens[hi] <= self.SHINGLE_CHUNK:
+                    tot += lens[hi]
+                    hi += 1
+                cl = lens[lo:hi]
+                nonempty = cl > 0
+                if nonempty.any():
+                    cat = np.concatenate(
+                        [sh for sh in shingle_sets[lo:hi] if len(sh)])
+                    v = (self.a[:, None] * cat[None, :]
+                         + self.b[:, None]) % np.uint64(_MERSENNE)
+                    starts = np.concatenate(
+                        ([0], np.cumsum(cl[nonempty])[:-1]))
+                    mins = np.minimum.reduceat(v, starts, axis=1)
+                    sub = sigs[lo:hi]
+                    sub[nonempty] = mins.T
+                    sigs[lo:hi] = sub
+                lo = hi
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
         )

