@@ -312,3 +312,39 @@ def test_minhash_shingle_chunking_identity():
     big.SHINGLE_CHUNK = 10 ** 12        # one pass
     assert small(batch).column("minhash").to_pylist() == \
         big(batch).column("minhash").to_pylist()
+
+
+def test_embedding_near_dups_multitable_recall(ray_session):
+    """Multi-table hyperplane LSH: the 2-table union recovers planted
+    near-dup pairs the single table misses, with no false pairs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from greenex_py_ray.stages.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(9)
+    N, D = 4000, 32
+    V = rng.standard_normal((N, D))
+    rows = np.flatnonzero(np.arange(N) % 4 == 3)
+    V[rows] = V[rows - 1] + 0.05 * rng.standard_normal((len(rows), D))
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(V.reshape(-1)), D)
+    tbl = pa.table({"vec_id": pa.array(np.arange(N, dtype=np.int64)),
+                    "embedding": arr})
+    ds = ray.data.from_arrow(tbl)
+
+    def stats(tables):
+        out = embedding_near_dups(ds, dim=D, threshold=0.99,
+                                  tables=tables, concurrency=2).to_pandas()
+        a = out["key_a"].to_numpy()
+        b = out["key_b"].to_numpy()
+        planted = ((b - a == 1) & (b % 4 == 3)) | \
+            ((a - b == 1) & (a % 4 == 3))
+        return planted.sum(), int((~planted).sum()), \
+            set(zip(a.tolist(), b.tolist()))
+
+    r1, f1, p1 = stats(1)
+    r2, f2, p2 = stats(2)
+    assert f1 == 0 and f2 == 0
+    assert r2 > r1              # second table adds recall
+    assert p1 <= p2             # union is a superset
+    assert r2 >= 0.9 * len(rows)
