@@ -206,6 +206,80 @@ def ivf_topk(
                             probe_cells=probe_cells)
 
 
+def ivf_build(ds: "ray.data.Dataset", centroids: np.ndarray, dim: int,
+              out_dir: str, vec_col: str = "embedding",
+              concurrency: int = 4) -> str:
+    """Build a persisted IVF index: assign every vector to its coarse
+    cell and write CELL-PARTITIONED parquet (one hive directory per
+    ``ivf_cell``).  This is the build-once/query-many split
+    :func:`ivf_topk` lacks — that one-shot form re-assigns the whole
+    table per call, so it can never beat a brute scan; with the index
+    on disk a query reads ONLY its probed cells' files
+    (nprobe/n_centroids of the data)."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs=dict(centroids_ref=cref, dim=dim,
+                                              vec_col=vec_col),
+        batch_format="pyarrow", concurrency=as_pool(concurrency),
+        num_cpus=0.25,
+    )
+    assigned.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    return out_dir
+
+
+def ivf_query_index(index_dir: str, queries: dict, centroids: np.ndarray,
+                    k: int, dim: int, nprobe: int = 4,
+                    key_col: str = "vec_id",
+                    concurrency: int = 4) -> "ray.data.Dataset":
+    """Top-k per query against a persisted :func:`ivf_build` index —
+    reads only the probed cells' partitions, then brute-forces inside
+    (the standard IVF probe).  Approximate: recall depends on how well
+    the quantizer separates the data (isotropic gaussians are the
+    worst case; clustered embeddings probe well)."""
+    import os as _os
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Q = np.asarray(queries["vectors"], dtype=np.float64)
+    d = -2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+    probe_cells = np.argsort(d, axis=1)[:, :nprobe]
+    cells = np.unique(probe_cells)
+    import glob as _glob
+
+    # expand each probed cell dir to its parquet files (a list of
+    # directories is not reliably expanded by the reader)
+    paths = []
+    for c in cells.tolist():
+        d = _os.path.join(index_dir, f"ivf_cell={c}")
+        if _os.path.isdir(d):
+            paths.extend(sorted(_glob.glob(_os.path.join(d, "*.parquet"))))
+    if not paths:
+        return brute_force_topk(
+            ray.data.from_arrow(pa.table({key_col: pa.array([], pa.int64())})),
+            queries, k, dim, key_col, concurrency)
+    # the hive path segment (ivf_cell=N) is restored as a column on
+    # read (as a string — cast back to int64), so per-query probe
+    # masking stays strict: each query scores only ITS cells, not the
+    # union across queries
+    import pyarrow.compute as _pc
+
+    def cast_cell(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("ivf_cell")
+        col = _pc.cast(_pc.cast(b.column("ivf_cell"), pa.string()),
+                       pa.int64())
+        return b.set_column(i, "ivf_cell", col)
+
+    # a partitioned build leaves ~write-concurrency small files per
+    # cell; one read task per tiny file would swamp the probe with
+    # scheduling overhead, so bundle files into at most ~2×concurrency
+    # blocks
+    pruned = ray.data.read_parquet(
+        paths, override_num_blocks=max(1, min(len(paths),
+                                              2 * max(concurrency, 4))),
+    ).map_batches(cast_cell, batch_format="pyarrow", zero_copy_batch=True)
+    return brute_force_topk(pruned, queries, k, dim, key_col, concurrency,
+                            probe_cells=probe_cells)
+
+
 class CosinePairsExact:
     """Actor stage: exact all-pairs cosine similarity join against a
     BROADCAST (id, vector) matrix — each batch emits its pairs

@@ -348,3 +348,50 @@ def test_embedding_near_dups_multitable_recall(ray_session):
     assert r2 > r1              # second table adds recall
     assert p1 <= p2             # union is a superset
     assert r2 >= 0.9 * len(rows)
+
+
+def test_ivf_index_build_query(ray_session, tmp_path):
+    """Persisted IVF index: build writes one hive dir per cell; the
+    query path reads ONLY probed cells, keeps strict per-query probe
+    masking, and achieves full recall on clustered data with trained
+    centroids."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from greenex_py_ray.stages import similarity as sim
+
+    rng = np.random.default_rng(17)
+    D, NC = 16, 8
+    centers = rng.standard_normal((NC, D)) * 4
+    lab = rng.integers(0, NC, 3000)
+    V = centers[lab] + 0.2 * rng.standard_normal((3000, D))
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(V.reshape(-1)), D)
+    tbl = pa.table({"vec_id": pa.array(np.arange(3000, dtype=np.int64)),
+                    "embedding": arr})
+    ds = ray.data.from_arrow(tbl)
+    C = sim.train_centroids(V[::3], n_centroids=NC)
+    q = {"query_id": np.arange(4, dtype=np.int64),
+         "vectors": V[[10, 500, 1500, 2500]] + 0.05 * rng.standard_normal((4, D))}
+
+    idx = str(tmp_path / "ivf_idx")
+    sim.ivf_build(ds, C, D, idx, concurrency=2)
+    assert any(d.startswith("ivf_cell=") for d in os.listdir(idx))
+
+    bf = sim.brute_force_topk(ds, q, 5, D, concurrency=2).to_pandas()
+    iv = sim.ivf_query_index(idx, q, C, 5, D, nprobe=2,
+                             concurrency=2).to_pandas()
+    hits = sum(len(set(bf[bf.query_id == i]["vec_id"])
+                   & set(iv[iv.query_id == i]["vec_id"])) for i in range(4))
+    assert hits / 20.0 >= 0.95  # clustered + trained → near-full recall
+
+    # strict probe masking: every result row's vector must sit in a
+    # cell its own query probed
+    Q = np.asarray(q["vectors"], dtype=np.float64)
+    d = -2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+    probe = np.argsort(d, axis=1)[:, :2]
+    d2 = -2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+    cell_of = d2.argmin(1)
+    for _, row in iv.iterrows():
+        assert cell_of[int(row["vec_id"])] in probe[int(row["query_id"])]
