@@ -1300,6 +1300,25 @@ ORACLE_SQL["hash_split"] = f"""
     FROM b
 """
 
+# stratified sample: n rows per split, ranked by the full Lehmer hash
+# (hrank = the pre-%100 residue of the same hash _BUCKET_SQL buckets)
+def _hrank_sql() -> str:
+    from ..stages import sampling as sp
+
+    return f"(doc_id * {sp._MULT}) % {sp._MOD}"
+
+
+ORACLE_SQL["stratified_sample"] = f"""
+    WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket,
+                      {_hrank_sql()} AS hrank
+               FROM documents),
+    sc AS (SELECT doc_id, {_SPLIT_SQL} AS split, hrank FROM b),
+    r AS (SELECT doc_id, split, row_number() OVER (
+            PARTITION BY split ORDER BY hrank ASC, doc_id ASC) AS rn
+          FROM sc)
+    SELECT doc_id, split FROM r WHERE rn <= 20
+"""
+
 # grouped top-k over the split assignment (stages/topk.topk_per_group)
 ORACLE_SQL["topk_per_split"] = f"""
     WITH b AS (SELECT doc_id, text, {_BUCKET_SQL} AS bucket
@@ -2982,6 +3001,23 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, TFIDF_TERMS, TFIDF_K)
 
 
+STRATIFIED_N = 20
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample
+    (stages/sampling.stratified_sample): 20 docs per train/val/test
+    split, ranked by the full Lehmer hash — the class-balancing
+    primitive, with the partial-top-k bound on the shuffle."""
+    from ..stages.sampling import assign_split, stratified_sample
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+    split = assign_split(ds, "doc_id", train_pct=SPLIT_TRAIN_PCT,
+                         val_pct=SPLIT_VAL_PCT, salt=0)
+    out = stratified_sample(split, "split", "doc_id", STRATIFIED_N)
+    return out.select_columns(["doc_id", "split"])
+
+
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -3086,6 +3122,7 @@ QUERIES = {
     "topk_per_split": q_topk_per_split,
     "token_quantiles": q_token_quantiles,
     "tfidf_topk": q_tfidf_topk,
+    "stratified_sample": q_stratified_sample,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,

@@ -66,3 +66,37 @@ def hash_sample(ds: "ray.data.Dataset", key_col: str, rate_pct: int,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def hash_rank(key: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic pseudo-random rank per non-negative integer key
+    (full Lehmer residue, not the 0..99 bucket) — the ordering key for
+    stratified sampling."""
+    k = np.asarray(key, dtype=np.int64)
+    if k.size and k.min() < 0:
+        raise ValueError("hash_rank requires non-negative keys")
+    return (k * _MULT + salt) % _MOD
+
+
+def stratified_sample(ds: "ray.data.Dataset", group_col: str, key_col: str,
+                      n_per_group: int,
+                      salt: int = 0) -> "ray.data.Dataset":
+    """Deterministic ``n_per_group`` rows per group (training-data op:
+    class/domain balancing).  Rows are ranked by the Lehmer hash of
+    their key — a stable pseudo-random order — and the per-group top-n
+    is taken with the bounded partial-top-k machinery
+    (:func:`~greenex_py_ray.stages.topk.topk_per_group`), so at most
+    ``n`` rows per group per batch ever enter the shuffle."""
+    from .topk import topk_per_group
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        # negate so the SMALLEST hash wins under top-k's desc ordering
+        return batch.append_column(
+            "neg_rank", pa.array(-hash_rank(k, salt), pa.int64()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = topk_per_group(ranked, group_col, "neg_rank", n_per_group,
+                         key_col, emit_rank=False)
+    return out.drop_columns(["neg_rank"])

@@ -147,3 +147,32 @@ def test_tfidf_topk_matches_bruteforce(ray_session):
                        out["score_q6"].astype(int),
                        out["rank"].astype(int)))
         assert got == exp
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """stratified_sample: exactly n per group, stable across
+    partitionings, and equal to the brute-force hash-order head."""
+    from greenex_py_ray.stages.sampling import (_MOD, _MULT,
+                                                stratified_sample)
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "grp": pa.array(rng.integers(0, 5, n).astype(np.int64)),
+    })
+    k = np.arange(n, dtype=np.int64)
+    hr = (k * _MULT) % _MOD
+    import pandas as pd
+    exp = (pd.DataFrame({"doc_id": k, "grp": tbl.column("grp").to_numpy(),
+                         "hr": hr})
+           .sort_values(["grp", "hr", "doc_id"])
+           .groupby("grp").head(7))
+    exp_set = set(zip(exp["grp"], exp["doc_id"]))
+
+    for nblocks in (1, 11):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = stratified_sample(ds, "grp", "doc_id", 7).to_pandas()
+        got = set(zip(out["grp"].astype(int), out["doc_id"].astype(int)))
+        assert got == exp_set
+        assert (out.groupby("grp").size() == 7).all()
