@@ -1252,9 +1252,14 @@ def _bucket_split_sql() -> tuple[str, str]:
 _BUCKET_SQL, _SPLIT_SQL = _bucket_split_sql()
 
 # TF-IDF query ranking — same tokenization as the langid oracle; idf
-# quantized to integer micro-units exactly like stages/tfidf.py
-_TFIDF_VALUES = ", ".join(f"('{t}')" for t in
-                          ("join", "vector", "spark", "window", "hash"))
+# quantized to integer micro-units exactly like stages/tfidf.py.
+# These constants drive BOTH the Ray query defs below and the SQL
+# literals here, so the two sides cannot drift.
+TFIDF_TERMS = ("join", "vector", "spark", "window", "hash")
+TFIDF_K = 20
+STRATIFIED_N = 20
+QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
+_TFIDF_VALUES = ", ".join(f"('{t}')" for t in TFIDF_TERMS)
 ORACLE_SQL["tfidf_topk"] = r"""
     WITH toks AS (SELECT doc_id,
                          regexp_extract_all(lower(text), '[a-z'']+') AS ws
@@ -1274,8 +1279,10 @@ ORACLE_SQL["tfidf_topk"] = r"""
            FROM tf JOIN w USING (term) GROUP BY tf.doc_id),
     r AS (SELECT doc_id, score_q6, row_number() OVER (
             ORDER BY score_q6 DESC, doc_id ASC) AS "rank" FROM sc)
-    SELECT doc_id, score_q6, "rank" FROM r WHERE "rank" <= 20
+    SELECT doc_id, score_q6, "rank" FROM r WHERE "rank" <= {TFIDF_K}
 """
+ORACLE_SQL["tfidf_topk"] = ORACLE_SQL["tfidf_topk"].replace(
+    "{TFIDF_K}", str(TFIDF_K))
 
 # exact discrete quantiles: smallest v with cumulative count >= ceil(q*n)
 # (the same explicit definition stages/quantiles.py uses — no reliance
@@ -1291,8 +1298,8 @@ ORACLE_SQL["token_quantiles"] = r"""
     SELECT q,
            (SELECT min(v) FROM cum
             WHERE cum >= ceil(q * (SELECT n FROM tot))) AS value
-    FROM (VALUES (0.25), (0.5), (0.9), (0.99)) qs(q)
-"""
+    FROM (VALUES {QS}) qs(q)
+""".replace("{QS}", ", ".join(f"({q})" for q in QUANTILE_QS))
 
 ORACLE_SQL["hash_split"] = f"""
     WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
@@ -1316,8 +1323,8 @@ ORACLE_SQL["stratified_sample"] = f"""
     r AS (SELECT doc_id, split, row_number() OVER (
             PARTITION BY split ORDER BY hrank ASC, doc_id ASC) AS rn
           FROM sc)
-    SELECT doc_id, split FROM r WHERE rn <= 20
-"""
+    SELECT doc_id, split FROM r WHERE rn <= {{N}}
+""".replace("{N}", str(STRATIFIED_N))
 
 # grouped top-k over the split assignment (stages/topk.topk_per_group)
 ORACLE_SQL["topk_per_split"] = f"""
@@ -2985,10 +2992,6 @@ def q_topk_per_split(sf_dir: str):
     return topk_per_group(scored, "split", "n_chars", 5, "doc_id")
 
 
-TFIDF_TERMS = ("join", "vector", "spark", "window", "hash")
-TFIDF_K = 20
-
-
 def q_tfidf_topk(sf_dir: str):
     """TF-IDF query ranking (stages/tfidf.tfidf_topk): top 20 documents
     by quantized-idf lexical score against a fixed 5-term query — DF is
@@ -2999,9 +3002,6 @@ def q_tfidf_topk(sf_dir: str):
 
     ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return tfidf_topk(ds, TFIDF_TERMS, TFIDF_K)
-
-
-STRATIFIED_N = 20
 
 
 def q_stratified_sample(sf_dir: str):
@@ -3016,9 +3016,6 @@ def q_stratified_sample(sf_dir: str):
                          val_pct=SPLIT_VAL_PCT, salt=0)
     out = stratified_sample(split, "split", "doc_id", STRATIFIED_N)
     return out.select_columns(["doc_id", "split"])
-
-
-QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 
 
 def q_token_quantiles(sf_dir: str):

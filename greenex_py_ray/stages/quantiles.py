@@ -41,12 +41,24 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
                     qs: "tuple[float, ...]") -> pa.Table:
     """Exact discrete quantiles of an integer column: for each ``q``,
     the smallest value whose cumulative count ≥ ``ceil(q·n)``.  The
-    driver only ever sees the merged (value, count) histogram — bounded
-    at 5M distinct values so a mistakenly high-cardinality column
-    raises instead of materializing an unbounded histogram."""
-    hist = value_counts(ds, col).sort("v").take_all(limit=5_000_000)
-    v = np.array([r["v"] for r in hist], dtype=np.int64)
-    c = np.array([r["c"] for r in hist], dtype=np.int64)
+    driver only ever sees the merged (value, count) histogram — pulled
+    as Arrow blocks (not Python row dicts) and bounded at 5M distinct
+    values so a mistakenly high-cardinality column raises instead of
+    materializing an unbounded histogram."""
+    tbls, total = [], 0
+    for b in value_counts(ds, col).sort("v").iter_batches(
+            batch_format="pyarrow"):
+        total += len(b)
+        if total > 5_000_000:
+            raise ValueError(
+                f"{col}: more than 5M distinct values — not a sensible "
+                "integer-histogram quantile column")
+        tbls.append(b)
+    hist = (pa.concat_tables(tbls) if tbls
+            else pa.table({"v": pa.array([], pa.int64()),
+                           "c": pa.array([], pa.int64())}))
+    v = hist.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = hist.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
     cum = np.cumsum(c)
     n = int(cum[-1]) if len(cum) else 0
     out_q, out_v = [], []

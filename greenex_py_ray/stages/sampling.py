@@ -24,17 +24,25 @@ _MULT = 48271
 _MOD = 2147483647
 
 
-def hash_bucket(key: np.ndarray, salt: int = 0) -> np.ndarray:
-    """Deterministic bucket 0..99 per NON-NEGATIVE integer key.
+def hash_rank(key: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic pseudo-random rank per NON-NEGATIVE integer key
+    (the full Lehmer residue) — the ordering key for stratified
+    sampling, and the pre-``% 100`` value :func:`hash_bucket` buckets.
 
     Negative keys are rejected: numpy's ``%`` returns non-negative
     remainders while SQL's follows the dividend's sign, so a negative
     key would silently desynchronize an externally-reproduced split."""
     k = np.asarray(key, dtype=np.int64)
     if k.size and k.min() < 0:
-        raise ValueError("hash_bucket requires non-negative keys "
-                         "(SQL %% sign semantics differ for negatives)")
-    return ((k * _MULT + salt) % _MOD) % 100
+        raise ValueError("hash_rank/hash_bucket require non-negative "
+                         "keys (SQL %% sign semantics differ for "
+                         "negatives)")
+    return (k * _MULT + salt) % _MOD
+
+
+def hash_bucket(key: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic bucket 0..99 per non-negative integer key."""
+    return hash_rank(key, salt) % 100
 
 
 def assign_split(ds: "ray.data.Dataset", key_col: str,
@@ -66,16 +74,6 @@ def hash_sample(ds: "ray.data.Dataset", key_col: str, rate_pct: int,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
-
-
-def hash_rank(key: np.ndarray, salt: int = 0) -> np.ndarray:
-    """Deterministic pseudo-random rank per non-negative integer key
-    (full Lehmer residue, not the 0..99 bucket) — the ordering key for
-    stratified sampling."""
-    k = np.asarray(key, dtype=np.int64)
-    if k.size and k.min() < 0:
-        raise ValueError("hash_rank requires non-negative keys")
-    return (k * _MULT + salt) % _MOD
 
 
 def stratified_sample(ds: "ray.data.Dataset", group_col: str, key_col: str,

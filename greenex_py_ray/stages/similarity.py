@@ -88,6 +88,7 @@ class BruteForceTopK:
 def brute_force_topk(
     ds: "ray.data.Dataset", queries: dict, k: int, dim: int,
     key_col: str = "vec_id", concurrency: int = 4, probe_cells=None,
+    vec_col: str = "embedding",
 ) -> "ray.data.Dataset":
     """Global top-k per query: broadcast queries, per-batch local top-k,
     then a tiny per-query reduce (the candidate set is ≤ k·num_batches
@@ -105,6 +106,7 @@ def brute_force_topk(
 
     def scan(batch: pa.Table) -> pa.Table:
         return BruteForceTopK(ref, k=k, dim=dim, key_col=key_col,
+                              vec_col=vec_col,
                               probe_cells=probe_cells)(batch)
 
     cand = ds.map_batches(scan, batch_format="pyarrow")
@@ -187,9 +189,7 @@ def ivf_topk(
         IVFAssign, fn_constructor_kwargs=dict(centroids_ref=cref, dim=dim),
         batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
-    Q = np.asarray(queries["vectors"], dtype=np.float64)
-    d = -2.0 * (Q @ centroids.T) + (centroids * centroids).sum(1)[None, :]
-    probe_cells = np.argsort(d, axis=1)[:, :nprobe]
+    probe_cells = _probe_cells(queries, centroids, nprobe)
     cells = np.unique(probe_cells)
     # prune the dataset to probed cells, then brute-force inside
     pruned = assigned.map_batches(
@@ -206,16 +206,39 @@ def ivf_topk(
                             probe_cells=probe_cells)
 
 
+def _probe_cells(queries: dict, centroids: np.ndarray,
+                 nprobe: int) -> np.ndarray:
+    """(nq, nprobe) nearest coarse cells per query — the single probe
+    rule shared by the one-shot and persisted-index paths."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Q = np.asarray(queries["vectors"], dtype=np.float64)
+    d = -2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+    return np.argsort(d, axis=1)[:, :nprobe]
+
+
 def ivf_build(ds: "ray.data.Dataset", centroids: np.ndarray, dim: int,
               out_dir: str, vec_col: str = "embedding",
-              concurrency: int = 4) -> str:
+              concurrency: int = 4, overwrite: bool = False) -> str:
     """Build a persisted IVF index: assign every vector to its coarse
     cell and write CELL-PARTITIONED parquet (one hive directory per
     ``ivf_cell``).  This is the build-once/query-many split
     :func:`ivf_topk` lacks — that one-shot form re-assigns the whole
     table per call, so it can never beat a brute scan; with the index
     on disk a query reads ONLY its probed cells' files
-    (nprobe/n_centroids of the data)."""
+    (nprobe/n_centroids of the data).
+
+    Refuses a non-empty ``out_dir`` unless ``overwrite=True`` (which
+    clears it): ``write_parquet`` appends uuid-named files, so writing
+    into a stale index would silently mix old and new vectors."""
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(out_dir) and _os.listdir(out_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} is not empty — a rebuild into a stale index "
+                "would mix old and new files; pass overwrite=True")
+        _shutil.rmtree(out_dir)
     cref = ray.put(np.asarray(centroids, dtype=np.float64))
     assigned = ds.map_batches(
         IVFAssign, fn_constructor_kwargs=dict(centroids_ref=cref, dim=dim,
@@ -229,7 +252,7 @@ def ivf_build(ds: "ray.data.Dataset", centroids: np.ndarray, dim: int,
 
 def ivf_query_index(index_dir: str, queries: dict, centroids: np.ndarray,
                     k: int, dim: int, nprobe: int = 4,
-                    key_col: str = "vec_id",
+                    key_col: str = "vec_id", vec_col: str = "embedding",
                     concurrency: int = 4) -> "ray.data.Dataset":
     """Top-k per query against a persisted :func:`ivf_build` index —
     reads only the probed cells' partitions, then brute-forces inside
@@ -238,10 +261,12 @@ def ivf_query_index(index_dir: str, queries: dict, centroids: np.ndarray,
     worst case; clustered embeddings probe well)."""
     import os as _os
 
-    C = np.asarray(centroids, dtype=np.float64)
-    Q = np.asarray(queries["vectors"], dtype=np.float64)
-    d = -2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
-    probe_cells = np.argsort(d, axis=1)[:, :nprobe]
+    if not _os.path.isdir(index_dir):
+        raise FileNotFoundError(
+            f"IVF index dir {index_dir} does not exist — run ivf_build "
+            "first (a silent empty result would be indistinguishable "
+            "from an empty probe)")
+    probe_cells = _probe_cells(queries, centroids, nprobe)
     cells = np.unique(probe_cells)
     import glob as _glob
 
@@ -277,7 +302,7 @@ def ivf_query_index(index_dir: str, queries: dict, centroids: np.ndarray,
                                               2 * max(concurrency, 4))),
     ).map_batches(cast_cell, batch_format="pyarrow", zero_copy_batch=True)
     return brute_force_topk(pruned, queries, k, dim, key_col, concurrency,
-                            probe_cells=probe_cells)
+                            probe_cells=probe_cells, vec_col=vec_col)
 
 
 class CosinePairsExact:

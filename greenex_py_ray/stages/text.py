@@ -119,6 +119,28 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+#: the word tokenization shared by LangId, the TF-IDF stage and their
+#: SQL oracles (``regexp_extract_all(lower(text), '[a-z'']+')``) — one
+#: definition so the engines cannot silently desynchronize
+WORD_RE = re.compile(r"[a-zA-Z']+")
+
+
+def explode_words(texts: "pd.Series"):
+    """Lowercased word explode + factorize for a text Series:
+    ``(n_rows, word_counts, parent_row_idx, codes, vocab)`` — the
+    vectorized token machinery shared by :class:`LangId` and
+    :mod:`~greenex_py_ray.stages.tfidf`."""
+    n = len(texts)
+    toks = texts.fillna("").str.lower().str.findall(WORD_RE)
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    parent = np.repeat(np.arange(n), counts)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) \
+        if counts.sum() else np.empty(0, dtype=object)
+    codes, uniq = pd.factorize(flat)
+    uniq = uniq.to_numpy() if hasattr(uniq, "to_numpy") else np.asarray(uniq)
+    return n, counts, parent, codes, uniq
+
+
 class LangId:
     """Actor stage: stopword/character n-gram language scorer.
 
@@ -129,23 +151,15 @@ class LangId:
     def __init__(self, langs=("en", "es", "de", "fr")):
         self.langs = langs
         self.stop = {l: STOPWORDS[l] for l in langs}
-        self.word = re.compile(r"[a-zA-Z']+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         # one explode + factorize, then per-language membership on the
         # (small) unique-token vocabulary — no per-row lambdas
-        n = len(batch)
-        toks = batch["text"].fillna("").str.lower().str.findall(self.word)
-        counts = toks.str.len().to_numpy(dtype=np.int64)
-        parent = np.repeat(np.arange(n), counts)
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]) \
-            if counts.sum() else np.empty(0, dtype=object)
-        codes, uniq = pd.factorize(flat)
+        n, counts, parent, codes, uniq = explode_words(batch["text"])
         scores = np.zeros((n, len(self.langs)))
         denom = np.maximum(1, counts).astype(np.float64)
         for j, lang in enumerate(self.langs):
-            member = np.isin(uniq.to_numpy() if hasattr(uniq, "to_numpy")
-                             else np.asarray(uniq), list(self.stop[lang]))
+            member = np.isin(uniq, list(self.stop[lang]))
             hits = np.zeros(n, dtype=np.int64)
             if len(codes):
                 np.add.at(hits, parent, member[codes].astype(np.int64))

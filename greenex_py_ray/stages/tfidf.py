@@ -1,13 +1,16 @@
 """TF-IDF query scoring (training-data op: lexical relevance ranking
 for corpus curation and retrieval-style filtering).
 
-Scale design: document frequencies are computed ONLY for the query's
-terms — each batch collapses to at most ``len(query)`` partial (term,
-df) rows before anything shuffles, so the DF aggregation moves
-O(#query terms × #batches) rows no matter the corpus size; the
+Scale design: document frequencies AND the corpus size are computed in
+ONE pass — each batch collapses to at most ``len(query)`` partial
+(term, df, nd) rows before anything shuffles, so the DF aggregation
+moves O(#query terms × #batches) rows no matter the corpus size; the
 resulting {term: weight} map is tiny and rides into the scoring actors
 as a constructor argument; scoring + global top-k run as a per-batch
-partial-top-k scan (``stages/topk``), never a full sort.
+partial-top-k scan (``stages/topk``), never a full sort.  Tokenization
+is :func:`~greenex_py_ray.stages.text.explode_words` — the SAME
+machinery as LangId, so the langid-proven SQL tokenization oracle
+covers this stage too.
 
 Weights are smoothed sklearn-style idf, **quantized to 1e-6 and held
 as integers** (``w = round((ln((N+1)/(df+1)) + 1) · 1e6)``): scores
@@ -18,8 +21,6 @@ order of mathematically-tied documents on summation order alone.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -27,24 +28,13 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-_WORD = re.compile(r"[a-zA-Z']+")
+from .text import explode_words
 
 
-def _explode(batch: pd.DataFrame):
-    """(parent_row, token_code, vocab) explode shared by DF and TF."""
-    n = len(batch)
-    toks = batch["text"].fillna("").str.lower().str.findall(_WORD)
-    counts = toks.str.len().to_numpy(dtype=np.int64)
-    parent = np.repeat(np.arange(n), counts)
-    flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
-            if counts.sum() else np.empty(0, dtype=object))
-    codes, uniq = pd.factorize(flat)
-    return n, parent, codes, np.asarray(uniq, dtype=object)
-
-
-def term_frequencies(batch: pd.DataFrame, terms) -> np.ndarray:
+def term_frequencies(batch: pd.DataFrame, terms,
+                     text_col: str = "text") -> np.ndarray:
     """(n_rows, len(terms)) per-doc term counts, vectorized."""
-    n, parent, codes, uniq = _explode(batch)
+    n, _, parent, codes, uniq = explode_words(batch[text_col])
     tf = np.zeros((n, len(terms)), dtype=np.int64)
     for j, t in enumerate(terms):
         member = uniq == t
@@ -53,20 +43,27 @@ def term_frequencies(batch: pd.DataFrame, terms) -> np.ndarray:
     return tf
 
 
-def query_term_weights(ds: "ray.data.Dataset", terms: "tuple[str, ...]",
-                       n_docs: int) -> "dict[str, int]":
-    """{term: quantized idf weight} for the query terms only."""
+def query_term_weights(ds: "ray.data.Dataset",
+                       terms: "tuple[str, ...]") -> "dict[str, int]":
+    """{term: quantized idf weight} for the query terms only — df and
+    the corpus size ``n`` aggregate in the same single pass (``nd`` is
+    the batch row count on the first term row, 0 elsewhere)."""
     terms = tuple(terms)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         tf = term_frequencies(batch, terms)
+        nd = np.zeros(len(terms), dtype=np.int64)
+        nd[0] = len(batch)
         return pd.DataFrame({"term": list(terms),
-                             "df": (tf > 0).sum(axis=0).astype(np.int64)})
+                             "df": (tf > 0).sum(axis=0).astype(np.int64),
+                             "nd": nd})
 
     rows = (ds.map_batches(partial, batch_format="pandas")
-            .groupby("term").aggregate(Sum("df", alias_name="df"))
+            .groupby("term").aggregate(Sum("df", alias_name="df"),
+                                       Sum("nd", alias_name="nd"))
             .take_all())
     df = {r["term"]: int(r["df"]) for r in rows}
+    n_docs = sum(int(r["nd"]) for r in rows)
     return {t: int(round(round(
         np.log((n_docs + 1.0) / (df.get(t, 0) + 1.0)) + 1.0, 6) * 1e6))
         for t in terms}
@@ -90,11 +87,12 @@ def tfidf_topk(ds: "ray.data.Dataset", terms: "tuple[str, ...]", k: int,
                key_col: str = "doc_id",
                concurrency=(1, 4)) -> "ray.data.Dataset":
     """Global top-k documents by quantized TF-IDF score against a fixed
-    term query; ties broken by ``key_col``.  ``ds`` needs (key, text)."""
+    term query; ties broken by ``key_col``.  ``ds`` needs (key, text)
+    and is executed twice (weights pass + scoring pass) — inherent to
+    TF-IDF, not three times (no separate count pass)."""
     from .topk import topk_per_group
 
-    n_docs = ds.count()
-    weights = query_term_weights(ds, terms, n_docs)
+    weights = query_term_weights(ds, terms)
     scored = ds.map_batches(
         QueryScorer, fn_constructor_kwargs=dict(weights=weights),
         batch_format="pandas", concurrency=concurrency, num_cpus=0.25)
