@@ -1259,7 +1259,22 @@ TFIDF_TERMS = ("join", "vector", "spark", "window", "hash")
 TFIDF_K = 20
 STRATIFIED_N = 20
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
+BIGRAM_K = 30
 _TFIDF_VALUES = ", ".join(f"('{t}')" for t in TFIDF_TERMS)
+
+# top-k word-bigram collocations (stages/text.bigram_topk) — same
+# tokenization as langid/tfidf; counts aggregate over distinct bigrams
+ORACLE_SQL["bigram_topk"] = r"""
+    WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z'']+') AS ws
+                  FROM documents),
+    ex AS (SELECT ws, unnest(generate_series(1, array_length(ws) - 1)) AS i
+           FROM toks),
+    bg AS (SELECT ws[i] || ' ' || ws[i + 1] AS bigram FROM ex),
+    c AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    r AS (SELECT bigram, c, row_number() OVER (
+            ORDER BY c DESC, bigram ASC) AS "rank" FROM c)
+    SELECT bigram, c, "rank" FROM r WHERE "rank" <= {K}
+""".replace("{K}", str(BIGRAM_K))
 ORACLE_SQL["tfidf_topk"] = r"""
     WITH toks AS (SELECT doc_id,
                          regexp_extract_all(lower(text), '[a-z'']+') AS ws
@@ -3018,6 +3033,17 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "split"])
 
 
+def q_bigram_topk(sf_dir: str):
+    """Top-k word-bigram collocations (stages/text.bigram_topk):
+    per-batch partial counts collapse rows to distinct bigrams before
+    the vocabulary-scale shuffle; the global top-k is a bounded
+    partial-top-k pass."""
+    from ..stages.text import bigram_topk
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_topk(ds, BIGRAM_K)
+
+
 def q_token_quantiles(sf_dir: str):
     """Exact token-count distribution quantiles
     (stages/quantiles.exact_quantiles): per-batch value-count partials,
@@ -3120,6 +3146,7 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "tfidf_topk": q_tfidf_topk,
     "stratified_sample": q_stratified_sample,
+    "bigram_topk": q_bigram_topk,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,

@@ -222,3 +222,49 @@ def fingerprint64(texts: list[str]) -> np.ndarray:
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fp = fingerprint64(batch.column(text_col).to_pylist())
     return batch.append_column("fingerprint", pa.array(fp.astype(np.int64)))
+
+
+def bigram_counts_partial(batch: pd.DataFrame,
+                          text_col: str = "text") -> pd.DataFrame:
+    """Per-batch word-bigram counts (collocation mining): consecutive
+    token pairs within a document, collapsed to distinct (bigram, c)
+    rows BEFORE the shuffle — the partial-combine shape a
+    vocabulary-scale aggregation needs."""
+    _, _, parent, codes, uniq = explode_words(batch[text_col])
+    if len(codes) < 2:
+        return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype=np.int64)})
+    flat = uniq[codes]
+    same_doc = parent[1:] == parent[:-1]
+    a = pd.Series(flat[:-1][same_doc], dtype=object)
+    b = pd.Series(flat[1:][same_doc], dtype=object)
+    vc = (a + " " + b).value_counts()
+    return pd.DataFrame({"bigram": vc.index.to_numpy(dtype=object),
+                         "c": vc.to_numpy(np.int64)})
+
+
+def bigram_topk(ds: "ray.data.Dataset", k: int,
+                text_col: str = "text") -> "ray.data.Dataset":
+    """Global top-k bigrams by corpus count, ties by bigram string:
+    per-batch partial counts → groupby(bigram) sum (shuffle payload is
+    O(#distinct bigrams), not rows) → bounded partial top-k."""
+    import pyarrow as _pa
+
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from .topk import topk_per_group
+
+    counts = (ds.map_batches(
+        lambda b: bigram_counts_partial(b, text_col),
+        batch_format="pandas")
+        .groupby("bigram").aggregate(Sum("c", alias_name="c")))
+
+    def tag(b: "_pa.Table") -> "_pa.Table":
+        return b.append_column(
+            "g", _pa.array(np.zeros(len(b), np.int64)))
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = topk_per_group(tagged, "g", "c", k, "bigram")
+    return out.select_columns(["bigram", "c", "rank"])

@@ -176,3 +176,34 @@ def test_stratified_sample_deterministic(ray_session):
         got = set(zip(out["grp"].astype(int), out["doc_id"].astype(int)))
         assert got == exp_set
         assert (out.groupby("grp").size() == 7).all()
+
+
+def test_bigram_topk_matches_bruteforce(ray_session):
+    """bigram_topk == brute-force bigram counting + sort, across
+    partitionings."""
+    import re
+    from collections import Counter
+
+    from greenex_py_ray.stages.text import bigram_topk
+
+    rng = np.random.default_rng(29)
+    vocab = ["red", "green", "blue", "tree", "park", "walk"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 25)))
+             for _ in range(600)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(600, dtype=np.int64)),
+                    "text": pa.array(texts)})
+
+    word = re.compile(r"[a-zA-Z']+")
+    cnt = Counter()
+    for t in texts:
+        ws = word.findall(t.lower())
+        cnt.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    exp = [(bg, c, r + 1) for r, (bg, c) in enumerate(exp)]
+
+    for nblocks in (1, 9):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = bigram_topk(ds, 10).to_pandas().sort_values("rank")
+        got = list(zip(out["bigram"], out["c"].astype(int),
+                       out["rank"].astype(int)))
+        assert got == exp
