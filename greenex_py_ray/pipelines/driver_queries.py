@@ -1260,7 +1260,28 @@ TFIDF_K = 20
 STRATIFIED_N = 20
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 BIGRAM_K = 30
+#: sessionization gap (6 h) in integer microseconds — exact in both engines
+SESSION_GAP_US = 21_600 * 1_000_000
 _TFIDF_VALUES = ", ".join(f"('{t}')" for t in TFIDF_TERMS)
+
+# gap-based sessionization over events (stages/asof.sessionize)
+ORACLE_SQL["sessionize"] = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+               FROM events),
+    l AS (SELECT *, lag(ts_us) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id) AS pts FROM e),
+    b AS (SELECT *, CASE WHEN pts IS NULL
+                         OR ts_us - pts > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS brk FROM l),
+    s AS (SELECT *, CAST(sum(brk) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+          FROM b)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us,
+           round(sum(value), 6) AS sum_value
+    FROM s GROUP BY user_id, session_id
+"""
 
 # top-k word-bigram collocations (stages/text.bigram_topk) — same
 # tokenization as langid/tfidf; counts aggregate over distinct bigrams
@@ -3033,6 +3054,20 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "split"])
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (stages/asof.sessionize): per-user
+    event streams split at >6 h gaps, one row per session — hash-
+    bucketed users (64-group shuffle, not one pandas call per user),
+    vectorized multi-user break/reduceat kernel inside each bucket."""
+    from ..stages.asof import sessionize
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["event_id", "ts", "user_id", "value"])
+    return sessionize(ds, SESSION_GAP_US).select_columns(
+        ["user_id", "session_id", "n_events", "start_us", "end_us",
+         "sum_value"])
+
+
 def q_bigram_topk(sf_dir: str):
     """Top-k word-bigram collocations (stages/text.bigram_topk):
     per-batch partial counts collapse rows to distinct bigrams before
@@ -3147,6 +3182,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "stratified_sample": q_stratified_sample,
     "bigram_topk": q_bigram_topk,
+    "sessionize": q_sessionize,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,

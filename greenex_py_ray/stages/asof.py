@@ -176,3 +176,69 @@ def range_join_count(
                              out_col: out})
 
     return u.groupby("bucket").map_groups(count, batch_format="pandas")
+
+
+def sessionize(ds: "ray.data.Dataset", gap_us: int,
+               user_col: str = "user_id", ts_col: str = "ts",
+               order_col: str = "event_id", value_col: str = "value",
+               num_buckets: int = 64) -> "ray.data.Dataset":
+    """Gap-based sessionization: per user, ordered events split into
+    sessions wherever the inter-event gap exceeds ``gap_us``
+    (microseconds — integer comparison, exactly SQL-reproducible);
+    emits one row per (user, session) with count / start / end / value
+    sum.
+
+    Scale shape: users are HASH-BUCKETED (``user_id % num_buckets``)
+    so the shuffle has ``num_buckets`` groups, not one pandas call per
+    user; inside a bucket the multi-user kernel is one lexsort +
+    vectorized break/reduceat pass.  Timestamps ride as int64
+    microseconds end-to-end."""
+    import pyarrow as pa
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column(user_col).to_numpy(zero_copy_only=False)
+        ts = b.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({
+            user_col: b.column(user_col),
+            "ts_us": ts,
+            order_col: b.column(order_col),
+            value_col: b.column(value_col),
+            "bucket": pa.array((u % num_buckets).astype(np.int64)),
+        })
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[user_col].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        e = g[order_col].to_numpy(np.int64)
+        v = g[value_col].to_numpy(np.float64)
+        order = np.lexsort((e, t, u))
+        u, t, e, v = u[order], t[order], e[order], v[order]
+        brk = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        sess = np.cumsum(brk) - 1              # global session ordinal
+        starts = np.flatnonzero(brk)
+        # per-user session_id: global ordinal minus the user's first
+        user_break = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            user_break[1:] = u[1:] != u[:-1]
+        ustarts = np.flatnonzero(user_break)
+        first_sess_of_user = sess[ustarts]
+        runs = np.diff(np.concatenate((ustarts, [len(u)])))
+        sess_id = sess - np.repeat(first_sess_of_user, runs)
+        counts = np.diff(np.concatenate((starts, [len(u)])))
+        return pd.DataFrame({
+            user_col: u[starts],
+            "session_id": sess_id[starts],
+            "n_events": counts.astype(np.int64),
+            "start_us": t[starts],
+            "end_us": np.maximum.reduceat(t, starts),
+            "sum_value": np.round(np.add.reduceat(v, starts), 6),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(kernel, batch_format="pandas"))

@@ -207,3 +207,46 @@ def test_bigram_topk_matches_bruteforce(ray_session):
         got = list(zip(out["bigram"], out["c"].astype(int),
                        out["rank"].astype(int)))
         assert got == exp
+
+
+def test_sessionize_matches_bruteforce(ray_session):
+    """sessionize == per-user sorted gap-split brute force, across
+    partitionings and bucket counts."""
+    from greenex_py_ray.stages.asof import sessionize
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    users = rng.integers(0, 23, n).astype(np.int64)
+    ts = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
+    rng.shuffle(ts)
+    vals = rng.normal(size=n)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts),  # already integer "microseconds"
+        "value": pa.array(vals),
+    })
+    gap = 5_000_000
+
+    import pandas as pd
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    exp = {}
+    for u, g in df.groupby("user_id"):
+        t = g["ts"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (t[1:] - t[:-1]) > gap
+        sid = np.cumsum(brk) - 1
+        for s in np.unique(sid):
+            m = sid == s
+            exp[(int(u), int(s))] = (int(m.sum()), int(t[m].min()),
+                                     int(t[m].max()),
+                                     round(float(g["value"].to_numpy()[m].sum()), 6))
+
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = sessionize(ds, gap, num_buckets=8).to_pandas()
+        got = {(int(r.user_id), int(r.session_id)):
+               (int(r.n_events), int(r.start_us), int(r.end_us),
+                round(float(r.sum_value), 6))
+               for r in out.itertuples()}
+        assert got == exp
