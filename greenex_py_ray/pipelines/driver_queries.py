@@ -1260,9 +1260,50 @@ TFIDF_K = 20
 STRATIFIED_N = 20
 QUANTILE_QS = (0.25, 0.5, 0.9, 0.99)
 BIGRAM_K = 30
+BM25_K = 20
 #: sessionization gap (6 h) in integer microseconds — exact in both engines
 SESSION_GAP_US = 21_600 * 1_000_000
 _TFIDF_VALUES = ", ".join(f"('{t}')" for t in TFIDF_TERMS)
+
+# BM25 ranking (stages/tfidf.bm25_topk) — Lucene idf form; every float
+# expression below is written in the SAME associativity order as
+# BM25Scorer so the two engines agree to the last ulp before the
+# 6-decimal rounding that drives the rank
+ORACLE_SQL["bm25_topk"] = (r"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z'']+') AS ws
+                  FROM documents),
+    docs AS (SELECT doc_id, ws,
+                    CAST(array_length(ws) AS DOUBLE) AS dl FROM toks),
+    q AS (SELECT * FROM (VALUES """ + _TFIDF_VALUES + r""") t(term)),
+    tf AS (SELECT docs.doc_id, q.term, dl,
+             CAST(length(list_filter(ws, w -> w = q.term)) AS DOUBLE)
+               AS tf
+           FROM docs CROSS JOIN q),
+    stats AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+              FROM tf GROUP BY term),
+    tot AS (SELECT count(*) AS n,
+                   CAST(sum(array_length(ws)) AS DOUBLE) / count(*)
+                     AS avgdl
+            FROM docs),
+    w AS (SELECT term,
+                 ln((tot.n - stats.df + 0.5) / (stats.df + 0.5) + 1.0)
+                   AS idf
+          FROM stats, tot),
+    parts AS (SELECT tf.doc_id,
+                CASE WHEN tf.tf > 0
+                     THEN tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75
+                                            + 0.75 * tf.dl / tot.avgdl))
+                          * w.idf
+                     ELSE 0.0 END AS p
+              FROM tf JOIN w USING (term), tot),
+    sc AS (SELECT doc_id, round(sum(p), 6) AS score_r6
+           FROM parts GROUP BY doc_id),
+    r AS (SELECT doc_id, score_r6, row_number() OVER (
+            ORDER BY score_r6 DESC, doc_id ASC) AS "rank" FROM sc)
+    SELECT doc_id, score_r6, "rank" FROM r WHERE "rank" <= {K}
+""").replace("{K}", str(BM25_K))
 
 # gap-based sessionization over events (stages/asof.sessionize)
 ORACLE_SQL["sessionize"] = f"""
@@ -3054,6 +3095,17 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "split"])
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranking (stages/tfidf.bm25_topk): top 20 documents against
+    the fixed 5-term query — df/avgdl/N aggregate in one
+    O(#terms×#batches) pass, ranking uses the 6-decimal-rounded score
+    so float summation order cannot flip the cross-engine order."""
+    from ..stages.tfidf import bm25_topk
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, TFIDF_TERMS, BM25_K)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (stages/asof.sessionize): per-user
     event streams split at >6 h gaps, one row per session — hash-
@@ -3183,6 +3235,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "bigram_topk": q_bigram_topk,
     "sessionize": q_sessionize,
+    "bm25_topk": q_bm25_topk,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
     "knn_greenspace": q_knn_greenspace,

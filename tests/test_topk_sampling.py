@@ -250,3 +250,39 @@ def test_sessionize_matches_bruteforce(ray_session):
                 round(float(r.sum_value), 6))
                for r in out.itertuples()}
         assert got == exp
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    """bm25_topk == straight-line BM25 + sort on the same formula."""
+    import re
+
+    from greenex_py_ray.stages.tfidf import bm25_topk
+
+    rng = np.random.default_rng(47)
+    vocab = ["sun", "moon", "star", "rain", "wind", "snow", "fog"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 40)))
+             for _ in range(500)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    terms = ("sun", "fog", "snow")
+    k1, b, K = 1.2, 0.75, 12
+
+    word = re.compile(r"[a-zA-Z']+")
+    toks = [word.findall(t.lower()) for t in texts]
+    dl = np.array([len(t) for t in toks], np.float64)
+    avgdl = dl.sum() / len(dl)
+    tf = np.array([[t.count(q) for q in terms] for t in toks], np.float64)
+    df = (tf > 0).sum(axis=0)
+    idf = np.log((500 - df + 0.5) / (df + 0.5) + 1.0)
+    denom = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl)
+    part = np.where(tf > 0, tf * (k1 + 1.0) / denom, 0.0)
+    score = np.round(part @ idf, 6)
+    order = np.lexsort((np.arange(500), -score))
+    exp = [(int(i), float(score[i]), r + 1)
+           for r, i in enumerate(order[:K])]
+
+    out = bm25_topk(ray.data.from_arrow(tbl).repartition(9), terms,
+                    K).to_pandas().sort_values("rank")
+    got = list(zip(out["doc_id"].astype(int), out["score_r6"],
+                   out["rank"].astype(int)))
+    assert got == exp
