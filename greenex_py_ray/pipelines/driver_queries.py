@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -1415,6 +1416,161 @@ ORACLE_SQL["topk_per_split"] = f"""
             ORDER BY n_chars DESC, doc_id ASC) AS "rank"
           FROM sc)
     SELECT doc_id, split, n_chars, "rank" FROM r WHERE "rank" <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: geostatistics (IDW, great-circle kNN) and corpus
+# hygiene (PII redaction, repetition scoring, benchmark decontamination)
+# ---------------------------------------------------------------------------
+
+IDW_RADIUS = 5000.0
+DECON_N = 3
+DECON_BENCH_MOD = 50
+#: lon/lat derivation from the planar (x, y) world — same IEEE ops in
+#: numpy and SQL (scale then shift)
+_LON = "({x} * 0.018 - 180.0)"
+_LAT = "({y} * 0.0085 - 85.0)"
+_SUPX = dt.SQL_X.format(k="s_suppkey")
+_SUPY = dt.SQL_Y.format(k="s_suppkey")
+_NATX = dt.SQL_X.format(k="n_nationkey")
+_NATY = dt.SQL_Y.format(k="n_nationkey")
+
+# IDW (stages/geostats.IDWInterpolator): smoothed power-2 weights with
+# int64-quantized terms — summation order cannot change the result, so
+# the SQL join-order-free SUM matches numpy's axis-1 sum exactly.  Every
+# float expression mirrors the numpy associativity: w = 1/(d2+1), terms
+# (w * 1e12) and ((w * val) * 1e9).
+ORACLE_SQL["idw_interpolation"] = f"""
+    WITH pts AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+    st AS (SELECT {_SUPX} AS sx, {_SUPY} AS sy,
+                  ((s_suppkey * 7919) % 1000) / 10.0 AS val
+           FROM supplier),
+    t AS (SELECT p.doc_id,
+            CAST(round((1.0 / ((p.x - s.sx) * (p.x - s.sx)
+                                + (p.y - s.sy) * (p.y - s.sy) + 1.0))
+                        * 1000000000000.0, 0) AS BIGINT) AS den_t,
+            CAST(round((1.0 / ((p.x - s.sx) * (p.x - s.sx)
+                                + (p.y - s.sy) * (p.y - s.sy) + 1.0))
+                        * s.val * 1000000000.0, 0) AS BIGINT) AS num_t
+          FROM pts p JOIN st s
+            ON (p.x - s.sx) * (p.x - s.sx)
+               + (p.y - s.sy) * (p.y - s.sy) <= {IDW_RADIUS!r} * {IDW_RADIUS!r}),
+    agg AS (SELECT doc_id, count(*) AS n_within,
+                   sum(den_t) AS den, sum(num_t) AS num
+            FROM t GROUP BY doc_id)
+    SELECT p.doc_id,
+           CAST(coalesce(a.n_within, 0) AS BIGINT) AS n_within,
+           CASE WHEN a.n_within > 0
+                THEN round((CAST(a.num AS DOUBLE) * 1000.0)
+                           / CAST(a.den AS DOUBLE), 6) END AS idw
+    FROM pts p LEFT JOIN agg a USING (doc_id)
+"""
+
+# great-circle nearest facility (stages/geostats.HaversineNearest):
+# ranking uses round(d_km, 6) + fid ties so a last-ulp libm difference
+# cannot flip the argmin; term-for-term haversine associativity below
+# matches geostats.haversine_km.
+ORACLE_SQL["haversine_nearest"] = f"""
+    WITH pts AS (SELECT doc_id,
+                        {_LON.format(x=_X)} AS lon,
+                        {_LAT.format(y=_Y)} AS lat
+                 FROM documents),
+    fac AS (SELECT n_nationkey AS fid,
+                   {_LON.format(x=_NATX)} AS flon,
+                   {_LAT.format(y=_NATY)} AS flat
+            FROM nation),
+    d AS (SELECT doc_id, fid,
+            2.0 * 6371.0 * asin(sqrt(least(
+              sin(radians(flat - lat) / 2.0)
+                * sin(radians(flat - lat) / 2.0)
+              + (cos(radians(lat)) * cos(radians(flat)))
+                * (sin(radians(flon - lon) / 2.0)
+                   * sin(radians(flon - lon) / 2.0)), 1.0))) AS dkm
+          FROM pts CROSS JOIN fac),
+    r AS (SELECT doc_id, fid, dkm, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY round(dkm, 6) ASC, fid ASC) AS rn FROM d)
+    SELECT doc_id, fid, round(dkm, 3) AS dist_km FROM r WHERE rn = 1
+"""
+
+# PII redaction (stages/scrub.pii_redact_batch): both engines compile
+# the same RE2 patterns; emails redact first, phones count on the
+# email-redacted text.  The deterministic PII suffix is appended in the
+# same string ops on both sides so redaction has real work to do.
+ORACLE_SQL["pii_redact"] = f"""
+    WITH t AS (SELECT doc_id,
+        coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+          || '@example.com or +12025550'
+          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' now' AS tx
+        FROM documents),
+    s1 AS (SELECT doc_id,
+             CAST(length(regexp_extract_all(tx, '{{EMAIL}}')) AS BIGINT)
+               AS n_emails,
+             regexp_replace(tx, '{{EMAIL}}', '<EMAIL>', 'g') AS t1
+           FROM t)
+    SELECT doc_id, n_emails,
+           CAST(length(regexp_extract_all(t1, '{{PHONE}}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(t1, '{{PHONE}}', '<PHONE>', 'g') AS red_text
+    FROM s1
+"""
+
+
+def _fill_pii_oracle() -> None:
+    from ..stages import scrub
+
+    ORACLE_SQL["pii_redact"] = (ORACLE_SQL["pii_redact"]
+                                .replace("{EMAIL}", scrub.EMAIL_RE)
+                                .replace("{PHONE}", scrub.PHONE_RE))
+
+
+_fill_pii_oracle()
+
+# Gopher-style repetition scoring (stages/scrub.repetition_batch):
+# per-doc distinct/total/top token counts over the shared [a-z']+
+# lowercased tokenization; ratios are single IEEE divisions round-6.
+ORACLE_SQL["repetition"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z'']+') AS ws
+                  FROM documents),
+    ex AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    pc AS (SELECT doc_id, w, count(*) AS c FROM ex GROUP BY doc_id, w),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS top
+            FROM pc GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_distinct, 0) AS n_distinct,
+           CASE WHEN a.n_tokens > 0
+                THEN round(1.0 - CAST(a.n_distinct AS DOUBLE)
+                                 / CAST(a.n_tokens AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_frac,
+           CASE WHEN a.n_tokens > 0
+                THEN round(CAST(a.top AS DOUBLE)
+                           / CAST(a.n_tokens AS DOUBLE), 6)
+                ELSE 0.0 END AS top_frac
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+# benchmark decontamination (stages/decon.decontaminate): word-3-gram
+# overlap between the mod-50 "benchmark" slice and the rest of the
+# corpus; emits contaminated corpus docs with distinct-shared-gram
+# counts.  Same tokenization as bigram_topk; grams joined by ' '.
+ORACLE_SQL["decontaminate"] = f"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z'']+') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     array_to_string(t[i.i:i.i + {DECON_N - 1}], ' ') AS g
+              FROM toks, unnest(range(1, len(t) - {DECON_N} + 2)) AS i(i)
+              WHERE len(t) >= {DECON_N}),
+    bench AS (SELECT DISTINCT g FROM grams
+              WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    hits AS (SELECT DISTINCT doc_id, g FROM grams
+             WHERE doc_id % {DECON_BENCH_MOD} <> 0)
+    SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM hits h JOIN bench b USING (g) GROUP BY h.doc_id
 """
 
 
@@ -3219,7 +3375,134 @@ def q_polygon_centroid(sf_dir: str):
     return dec.map_batches(emit, batch_format="pyarrow")
 
 
+def _idw_stations(sf_dir: str) -> pa.Table:
+    """Station side table from supplier (small side — broadcast)."""
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sx, sy = dt.derive_xy(k)
+    val = ((k * 7919) % 1000) / 10.0
+    return pa.table({"sx": pa.array(sx), "sy": pa.array(sy),
+                     "val": pa.array(val)})
+
+
+def q_idw_interpolation(sf_dir: str):
+    """IDW field interpolation (stages/geostats.IDWInterpolator): the
+    station table broadcasts once via ray.put; each batch computes one
+    (points × stations) distance matrix — no shuffle, int64-quantized
+    sums make the result summation-order independent across engines."""
+    from ..stages.geostats import IDWInterpolator
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    ref = ray.put(_idw_stations(sf_dir))
+    out = ds.map_batches(
+        IDWInterpolator,
+        fn_constructor_kwargs=dict(stations_ref=ref, radius=IDW_RADIUS),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.25,
+    )
+    return out.select_columns(["doc_id", "n_within", "idw"])
+
+
+def q_haversine_nearest(sf_dir: str):
+    """Great-circle nearest facility (stages/geostats.HaversineNearest):
+    geodesic twin of the planar kNN gate — facilities (nation table)
+    broadcast, ranking on round-6 km with fid ties."""
+    from ..stages.geostats import HaversineNearest
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_lonlat(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x, y = dt.derive_xy(k)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lon": pa.array(x * 0.018 - 180.0),
+            "lat": pa.array(y * 0.0085 - 85.0),
+        })
+
+    fac_t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    fk = fac_t.column("n_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    fx, fy = dt.derive_xy(fk)
+    facilities = pa.table({"fid": pa.array(fk),
+                           "flon": pa.array(fx * 0.018 - 180.0),
+                           "flat": pa.array(fy * 0.0085 - 85.0)})
+    ref = ray.put(facilities)
+    out = ds.map_batches(add_lonlat, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+        HaversineNearest,
+        fn_constructor_kwargs=dict(facilities_ref=ref),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.25,
+    )
+    return out.select_columns(["doc_id", "fid", "dist_km"])
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (stages/scrub.pii_redact_batch): Arrow RE2
+    find/replace of emails then phones with typed placeholder tokens;
+    a deterministic PII suffix is appended first (same string ops in
+    the oracle) so every row exercises both passes."""
+    from ..stages import scrub
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_pii(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["doc_id"].astype("int64")
+        batch = batch.copy()
+        batch["text"] = (batch["text"].fillna("") + " contact user"
+                         + k.astype(str) + "@example.com or +12025550"
+                         + (k % 1000).astype(str).str.zfill(3) + " now")
+        return batch
+
+    red = ds.map_batches(add_pii, batch_format="pandas").map_batches(
+        scrub.pii_redact_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return red.select_columns(["doc_id", "n_emails", "n_phones", "red_text"])
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition scoring (stages/scrub.repetition_batch):
+    duplicate-token fraction + most-common-token share per doc, one
+    explode+factorize per batch."""
+    from ..stages import scrub
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(scrub.repetition_batch, batch_format="pandas")
+    return out.select_columns(
+        ["doc_id", "n_tokens", "n_distinct", "dup_frac", "top_frac"])
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decon.decontaminate): the
+    mod-50 doc slice plays the eval set; its distinct word-3-grams
+    broadcast once and every other doc sharing >=1 gram is flagged
+    with the distinct-shared count.  Broadcast-not-shuffle: the
+    benchmark side is tiny by construction, the corpus streams."""
+    from ..stages.decon import decontaminate
+
+    bench_t = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    bmask = (bench_t.column("doc_id").to_numpy(zero_copy_only=False)
+             % DECON_BENCH_MOD) == 0
+    bench_texts = bench_t.filter(pa.array(bmask)).column(
+        "text").to_pandas()
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def drop_bench(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((k % DECON_BENCH_MOD) != 0))
+
+    corpus = ds.map_batches(drop_bench, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return decontaminate(corpus, bench_texts, DECON_N)
+
+
 QUERIES = {
+    "idw_interpolation": q_idw_interpolation,
+    "haversine_nearest": q_haversine_nearest,
+    "pii_redact": q_pii_redact,
+    "repetition": q_repetition,
+    "decontaminate": q_decontaminate,
     "geometry_validators": q_geometry_validators,
     "dedup_undirected_edges": q_dedup_undirected_edges,
     "regrid_3857": q_regrid_3857,

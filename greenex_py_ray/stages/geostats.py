@@ -1,0 +1,143 @@
+"""Geostatistical stages: IDW interpolation and great-circle kNN.
+
+Two classic per-point exposure operators the reference's availability /
+accessibility pillars imply but never ship as standalone stages:
+
+* **Inverse-distance-weighted interpolation** — estimate a field value
+  at every PoI from a small set of irregular sample stations (the
+  standard fallback when no raster covers an AoI; see e.g. the zonal
+  path `/root/reference/GreenExp/availability.py:90-140` which assumes a
+  gridded NDVI — IDW is what you do when you only have station
+  measurements).  Physical plan: the station table is tiny → broadcast
+  once with ``ray.put``; each batch computes an ``(n_points, n_station)``
+  squared-distance matrix in one numpy shot.  No shuffle.
+
+* **Great-circle (haversine) nearest-facility** — the geodesic twin of
+  ``stages/access.NearestGreenspace`` (accessibility.py:277-320) for
+  lon/lat inputs where a euclidean planar distance is wrong.  Same
+  broadcast-small-side plan.
+
+Cross-engine determinism (the DuckDB gate hashes values):
+
+* IDW uses smoothed power-2 weights ``w = 1/(d² + 1)`` — no ``pow``/
+  ``sqrt`` in the weight, only +,*,/ which are IEEE-exact in both
+  engines — and **integer-quantized partial sums**: each term is
+  rounded to a fixed grid (``round(w * 1e12)`` / ``round(w*v * 1e9)``)
+  and summed as int64, so summation order cannot change the result.
+* haversine ranks candidates by ``round(d_km, 6), facility_id`` so a
+  last-ulp libm difference between numpy and DuckDB cannot flip the
+  argmin unless two stations are within a millimetre of equidistant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+#: integer quantization grids for the order-independent IDW sums
+IDW_DEN_Q = 1e12
+IDW_NUM_Q = 1e9
+EARTH_R_KM = 6371.0
+
+
+def _resolve(ref):
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+class IDWInterpolator:
+    """map_batches actor: smoothed power-2 IDW from broadcast stations.
+
+    ``stations_ref``: (ObjectRef of) a pyarrow Table with columns
+    ``sx, sy, val``.  Appends per input point:
+
+    * ``n_within`` — stations with ``d² <= radius²``;
+    * ``idw`` — ``round(Σ w·v / Σ w, 6)`` over those stations with
+      ``w = 1/(d² + 1)``, computed through the int64-quantized sums
+      described in the module docstring (NULL when ``n_within == 0``).
+    """
+
+    def __init__(self, stations_ref, radius: float,
+                 x_col: str = "x", y_col: str = "y"):
+        t = _resolve(stations_ref)
+        self.sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.val = t.column("val").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.r2 = float(radius) * float(radius)
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        dx = x[:, None] - self.sx[None, :]
+        dy = y[:, None] - self.sy[None, :]
+        d2 = dx * dx + dy * dy
+        within = d2 <= self.r2
+        w = 1.0 / (d2 + 1.0)
+        # int64-quantized terms -> order-independent exact sums
+        den_t = np.where(within, np.round(w * IDW_DEN_Q), 0.0).astype(np.int64)
+        num_t = np.where(within, np.round(w * self.val[None, :] * IDW_NUM_Q),
+                         0.0).astype(np.int64)
+        den = den_t.sum(axis=1)
+        num = num_t.sum(axis=1)
+        n_within = within.sum(axis=1).astype(np.int64)
+        safe_den = np.where(den > 0, den, 1)
+        # num/den = (num/1e9)/(den/1e12) = num * 1e3 / den
+        idw = np.round(num * (IDW_DEN_Q / IDW_NUM_Q) / safe_den, 6)
+        idw_arr = pa.array(idw, pa.float64(),
+                           mask=(n_within == 0))
+        return (batch.append_column("n_within", pa.array(n_within))
+                .append_column("idw", idw_arr))
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    """Great-circle distance in km (vectorized, broadcasting inputs).
+
+    Formula written to match the SQL oracle term-for-term:
+    ``2R · asin(sqrt(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))``.
+    """
+    p1 = np.radians(lat1)
+    p2 = np.radians(lat2)
+    dphi = np.radians(lat2 - lat1) / 2.0
+    dlam = np.radians(lon2 - lon1) / 2.0
+    a = np.sin(dphi) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlam) ** 2
+    return 2.0 * EARTH_R_KM * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+
+class HaversineNearest:
+    """map_batches actor: nearest broadcast facility by great-circle km.
+
+    ``facilities_ref``: (ObjectRef of) a pyarrow Table with columns
+    ``fid, flon, flat``.  Appends ``fid`` (nearest facility id, ties by
+    smaller id on the round-6 distance) and ``dist_km`` (round 3).
+    """
+
+    def __init__(self, facilities_ref, lon_col: str = "lon",
+                 lat_col: str = "lat"):
+        t = _resolve(facilities_ref)
+        self.fid = t.column("fid").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.flon = t.column("flon").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.flat = t.column("flat").to_numpy(zero_copy_only=False).astype(np.float64)
+        # ties on the quantized distance break by ascending fid: presort
+        order = np.argsort(self.fid, kind="stable")
+        self.fid = self.fid[order]
+        self.flon = self.flon[order]
+        self.flat = self.flat[order]
+        self.lon_col, self.lat_col = lon_col, lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        d = haversine_km(lon[:, None], lat[:, None],
+                         self.flon[None, :], self.flat[None, :])
+        dq = np.round(d, 6)
+        # argmin on the quantized distance; fids ascending -> first min
+        # is the smallest fid among round-6 ties (matches the SQL
+        # row_number ORDER BY round(d,6), fid)
+        idx = np.argmin(dq, axis=1)
+        rows = np.arange(len(idx))
+        return (batch.append_column("fid", pa.array(self.fid[idx]))
+                .append_column("dist_km",
+                               pa.array(np.round(d[rows, idx], 3),
+                                        pa.float64())))

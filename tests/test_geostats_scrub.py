@@ -1,0 +1,170 @@
+"""Round-4 stages: IDW / haversine geostatistics, PII redaction,
+repetition scoring and benchmark decontamination — brute-force
+python/numpy oracles on toy inputs."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _stations(n=20, seed=5):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "sx": pa.array(rng.uniform(0, 1000, n)),
+        "sy": pa.array(rng.uniform(0, 1000, n)),
+        "val": pa.array(np.round(rng.uniform(0, 100, n), 3)),
+    })
+
+
+def test_idw_matches_bruteforce(ray_session):
+    from greenex_py_ray.stages.geostats import IDWInterpolator
+
+    st = _stations()
+    rng = np.random.default_rng(7)
+    px = rng.uniform(0, 1000, 200)
+    py = rng.uniform(0, 1000, 200)
+    pts = pa.table({"pid": pa.array(np.arange(200, dtype=np.int64)),
+                    "x": pa.array(px), "y": pa.array(py)})
+    radius = 300.0
+
+    ds = ray.data.from_arrow(pts).repartition(8)
+    out = ds.map_batches(
+        IDWInterpolator,
+        fn_constructor_kwargs=dict(stations_ref=ray.put(st), radius=radius),
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas().sort_values("pid").reset_index(drop=True)
+
+    sx = st.column("sx").to_numpy()
+    sy = st.column("sy").to_numpy()
+    val = st.column("val").to_numpy()
+    for i in range(200):
+        d2 = (px[i] - sx) ** 2 + (py[i] - sy) ** 2
+        within = d2 <= radius * radius
+        assert out["n_within"][i] == within.sum()
+        if within.sum() == 0:
+            assert pd.isna(out["idw"][i])
+        else:
+            w = 1.0 / (d2[within] + 1.0)
+            exp = (w * val[within]).sum() / w.sum()
+            # quantized sums agree with the float ratio to ~1e-6 rel
+            assert abs(out["idw"][i] - exp) < 1e-4
+
+
+def test_haversine_nearest_matches_bruteforce(ray_session):
+    from greenex_py_ray.stages.geostats import (HaversineNearest,
+                                                haversine_km)
+
+    rng = np.random.default_rng(11)
+    fac = pa.table({
+        "fid": pa.array(np.arange(10, dtype=np.int64)),
+        "flon": pa.array(rng.uniform(-180, 180, 10)),
+        "flat": pa.array(rng.uniform(-80, 80, 10)),
+    })
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-80, 80, 300)
+    pts = pa.table({"pid": pa.array(np.arange(300, dtype=np.int64)),
+                    "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    out = (ray.data.from_arrow(pts).repartition(4)
+           .map_batches(HaversineNearest,
+                        fn_constructor_kwargs=dict(facilities_ref=ray.put(fac)),
+                        batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("pid").reset_index(drop=True))
+
+    flon = fac.column("flon").to_numpy()
+    flat = fac.column("flat").to_numpy()
+    for i in range(300):
+        d = haversine_km(lon[i], lat[i], flon, flat)
+        j = int(np.argmin(np.round(d, 6)))
+        assert out["fid"][i] == j
+        assert abs(out["dist_km"][i] - d[j]) < 1e-3
+
+
+def test_haversine_km_known_value():
+    from greenex_py_ray.stages.geostats import haversine_km
+
+    # London (51.5072 N, -0.1276 E) -> Paris (48.8566 N, 2.3522 E):
+    # great-circle ~343.5 km (R=6371)
+    d = float(haversine_km(-0.1276, 51.5072, 2.3522, 48.8566))
+    assert math.isclose(d, 343.5, abs_tol=1.0)
+
+
+def test_pii_redact_batch():
+    from greenex_py_ray.stages.scrub import pii_redact_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail me at a.b+c@example.org or x@y.io today",
+            "call +1-555-0100-999 or 12345678901",
+            None,
+            "no pii here",
+        ]),
+    })
+    out = pii_redact_batch(t).to_pydict()
+    assert out["n_emails"] == [2, 0, 0, 0]
+    assert out["n_phones"] == [0, 2, 0, 0]
+    assert out["red_text"][0] == "mail me at <EMAIL> or <EMAIL> today"
+    assert out["red_text"][1] == "call <PHONE> or <PHONE>"
+    assert out["red_text"][2] == ""
+    assert out["red_text"][3] == "no pii here"
+
+
+def test_pii_phone_not_counted_inside_email():
+    from greenex_py_ray.stages.scrub import pii_redact_batch
+
+    # digits in the local part vanish with the email redaction, so the
+    # phone pass can't double count them
+    t = pa.table({"text": pa.array(["write 123456789012@example.com"])})
+    out = pii_redact_batch(t).to_pydict()
+    assert out["n_emails"] == [1]
+    assert out["n_phones"] == [0]
+    assert out["red_text"] == ["write <EMAIL>"]
+
+
+def test_repetition_batch():
+    from greenex_py_ray.stages.scrub import repetition_batch
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a a a", "one two three four", ""],
+    })
+    out = repetition_batch(df)
+    assert list(out["n_tokens"]) == [4, 4, 0]
+    assert list(out["n_distinct"]) == [1, 4, 0]
+    assert list(out["dup_frac"]) == [0.75, 0.0, 0.0]
+    assert list(out["top_frac"]) == [1.0, 0.25, 0.0]
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    from greenex_py_ray.stages.decon import decontaminate, ngram_strings
+
+    bench = pd.Series(["the quick brown fox jumps",
+                       "pack my box with five dozen"])
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "the quick brown fox sleeps",      # shares 'the quick brown',
+                                               # 'quick brown fox'
+            "my box with five things",         # shares 'my box with',
+                                               # 'box with five'
+            "totally unrelated words here",
+            "the quick brown fox jumps",       # full overlap: 3 grams
+            "",
+            "quick brown fox the quick brown", # 2 distinct shared grams
+        ],
+    })
+    ds = ray.data.from_pandas(corpus).repartition(3)
+    out = decontaminate(ds, bench, n=3).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["n_shared"].astype(int)))
+    assert got == {0: 2, 1: 2, 3: 3, 5: 2}
+
+    # ngram helper: doc boundaries never produce cross-doc grams
+    parent, grams = ngram_strings(pd.Series(["a b", "c d e"]), 2)
+    assert list(parent) == [0, 1, 1]
+    assert list(grams) == ["a b", "c d", "d e"]
