@@ -1573,6 +1573,97 @@ ORACLE_SQL["decontaminate"] = f"""
     FROM hits h JOIN bench b USING (g) GROUP BY h.doc_id
 """
 
+SEQ_LEN = 512
+PACK_BUCKET = 64
+KDE_CELL = 500.0
+KDE_SIGMA = 400.0
+KDE_RADIUS = 1000.0
+KDE_N = 40  # 40 × 40 grid over the 20 km synthetic world
+
+# sequence packing (stages/packing.sequence_pack): concat-then-chunk
+# offsets via distributed prefix sum (bucket totals + within-bucket
+# cumsum); the oracle is the window-function definition of the same.
+ORACLE_SQL["sequence_pack"] = f"""
+    WITH tc AS (SELECT doc_id,
+                  CAST(array_length(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS n_tokens
+                FROM documents),
+    o AS (SELECT doc_id, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS "offset"
+          FROM tc)
+    SELECT doc_id, n_tokens, "offset",
+           CASE WHEN n_tokens > 0
+                THEN "offset" // {SEQ_LEN} END AS start_seq,
+           CASE WHEN n_tokens > 0
+                THEN ("offset" + n_tokens - 1) // {SEQ_LEN} END AS end_seq
+    FROM o
+"""
+
+# unigram LM scoring (stages/lm.unigram_logprob): corpus-fit token
+# logprobs quantized to int64 micro-nats — per-doc sums are
+# order-independent, so the unordered SQL GROUP BY matches exactly.
+ORACLE_SQL["unigram_logprob"] = r"""
+    WITH toks AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS w
+                  FROM documents),
+    v AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM v),
+    wq AS (SELECT w, CAST(round(ln(CAST(c AS DOUBLE) / tot.t)
+                                * 1000000.0, 0) AS BIGINT) AS q
+           FROM v, tot),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(q) AS BIGINT) AS sum_logp_q
+          FROM toks JOIN wq USING (w) GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(s.n_words, 0) AS n_words,
+           coalesce(s.sum_logp_q, 0) AS sum_logp_q
+    FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+# Gaussian KDE heatmap (stages/geostats.kde_grid): per-batch partial
+# densities in int64 nano-weights → O(touched-cells) groupby; the SQL
+# candidate ranges are a superset of the kernel disk on both sides and
+# the d2 <= r² filter equalizes membership.
+ORACLE_SQL["kde_grid"] = f"""
+    WITH pts AS (SELECT {_X} AS x, {_Y} AS y FROM documents),
+    gi AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, {KDE_N}) t(i)),
+    cand AS (SELECT gx.i AS ix, gy.i AS iy,
+               (gx.i * {KDE_CELL!r} + {KDE_CELL / 2.0!r} - p.x)
+                 * (gx.i * {KDE_CELL!r} + {KDE_CELL / 2.0!r} - p.x)
+               + (gy.i * {KDE_CELL!r} + {KDE_CELL / 2.0!r} - p.y)
+                 * (gy.i * {KDE_CELL!r} + {KDE_CELL / 2.0!r} - p.y) AS d2
+             FROM pts p
+             JOIN gi gx ON gx.i >= floor((p.x - {KDE_RADIUS!r}) / {KDE_CELL!r})
+                       AND gx.i <= floor((p.x + {KDE_RADIUS!r}) / {KDE_CELL!r})
+             JOIN gi gy ON gy.i >= floor((p.y - {KDE_RADIUS!r}) / {KDE_CELL!r})
+                       AND gy.i <= floor((p.y + {KDE_RADIUS!r}) / {KDE_CELL!r})),
+    t AS (SELECT ix, iy,
+            CAST(round(exp(-(d2) / {2.0 * KDE_SIGMA * KDE_SIGMA!r})
+                       * 1000000000.0, 0) AS BIGINT) AS q
+          FROM cand WHERE d2 <= {KDE_RADIUS!r} * {KDE_RADIUS!r})
+    SELECT ix, iy, CAST(count(*) AS BIGINT) AS n_contrib,
+           CAST(sum(q) AS BIGINT) AS density_q
+    FROM t GROUP BY ix, iy
+"""
+
+# NFC normalization + whitespace collapse (stages/scrub.normalize_batch)
+# — a deterministic decomposed-accent suffix (letter + U+0300 combining
+# grave) is appended in the same string ops on both sides so NFC
+# composition has real work to do on every row.
+ORACLE_SQL["normalize_text"] = r"""
+    WITH t AS (SELECT doc_id,
+                 coalesce(text, '') || chr(65 + CAST(doc_id % 26 AS INTEGER))
+                   || chr(768) AS tx
+               FROM documents),
+    n AS (SELECT doc_id, tx,
+            trim(regexp_replace(nfc_normalize(tx), '\s+', ' ', 'g'))
+              AS norm_text
+          FROM t)
+    SELECT doc_id, norm_text, (norm_text <> tx) AS changed FROM n
+"""
+
 
 # ---------------------------------------------------------------------------
 # Interleaved-document (spans world) pipelines — rows-only checks; their
@@ -3497,7 +3588,70 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench_texts, DECON_N)
 
 
+def q_sequence_pack(sf_dir: str):
+    """Concat-then-chunk sequence packing (stages/packing): global
+    token offsets by distributed prefix sum — bucket totals shuffle
+    O(#buckets), within-bucket cumsum shuffles each row once by
+    contiguous key range.  A small bucket_span at gate scale exercises
+    multiple buckets."""
+    from ..stages.packing import sequence_pack
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = ds.map_batches(text.token_count_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens"])
+    out = sequence_pack(toks, SEQ_LEN, bucket_span=PACK_BUCKET)
+    return out.select_columns(
+        ["doc_id", "n_tokens", "offset", "start_seq", "end_seq"])
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Corpus-fit unigram LM scoring (stages/lm.unigram_logprob):
+    vocab count pass (O(vocab) shuffle) → broadcast → per-doc summed
+    micro-nat logprobs."""
+    from ..stages.lm import unigram_logprob
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
+def q_kde_grid(sf_dir: str):
+    """Gaussian KDE heatmap (stages/geostats.kde_grid): each point
+    spreads quantized kernel weights onto grid cells within the
+    radius; per-batch partials collapse before the cell groupby."""
+    from ..stages.geostats import kde_grid
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return kde_grid(ds, KDE_CELL, KDE_SIGMA, KDE_RADIUS, KDE_N, KDE_N)
+
+
+def q_normalize_text(sf_dir: str):
+    """NFC + whitespace canonicalization (stages/scrub.normalize_batch)
+    with a deterministic decomposed-accent suffix so composition fires
+    on every row."""
+    from ..stages import scrub
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    letters = np.array([chr(65 + i) for i in range(26)])
+
+    def add_suffix(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["doc_id"].to_numpy().astype(np.int64)
+        batch = batch.copy()
+        batch["text"] = (batch["text"].fillna("")
+                         + pd.Series(letters[k % 26], index=batch.index)
+                         + "\u0300")
+        return batch
+
+    out = ds.map_batches(add_suffix, batch_format="pandas").map_batches(
+        scrub.normalize_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "norm_text", "changed"])
+
+
 QUERIES = {
+    "sequence_pack": q_sequence_pack,
+    "unigram_logprob": q_unigram_logprob,
+    "kde_grid": q_kde_grid,
+    "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,
     "haversine_nearest": q_haversine_nearest,
     "pii_redact": q_pii_redact,

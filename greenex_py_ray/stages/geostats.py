@@ -141,3 +141,79 @@ class HaversineNearest:
                 .append_column("dist_km",
                                pa.array(np.round(d[rows, idx], 3),
                                         pa.float64())))
+
+
+#: KDE weight quantization grid (int64 nano-weights)
+KDE_Q = 1e9
+
+
+class KDEPartial:
+    """map_batches stage: per-batch partial Gaussian kernel density.
+
+    Each point spreads ``w = exp(-d2 / denom)`` (``denom = 2σ²``, a
+    precomputed literal so both engines divide by the identical double)
+    onto every grid cell whose CENTER lies within ``radius``; weights
+    quantize to int64 nano-weights so the downstream groupby sum is
+    order-independent.  The batch collapses to distinct touched cells
+    before the shuffle (classic partial-aggregate: shuffle payload is
+    O(touched cells), not O(points × kernel width²)).
+
+    Emits ``(ix, iy, n_contrib, density_q)`` partials; finish with
+    ``groupby(['ix','iy']).sum`` — see :func:`kde_grid`.
+    """
+
+    def __init__(self, cell_size: float, sigma: float, radius: float,
+                 nx: int, ny: int, x_col: str = "x", y_col: str = "y"):
+        self.cs = float(cell_size)
+        self.denom = 2.0 * float(sigma) * float(sigma)
+        self.r = float(radius)
+        self.nx, self.ny = int(nx), int(ny)
+        self.x_col, self.y_col = x_col, y_col
+        k = int(np.floor(self.r / self.cs)) + 1
+        self.offs = np.arange(-k, k + 1, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        n = len(x)
+        base_ix = np.floor(x / self.cs).astype(np.int64)
+        base_iy = np.floor(y / self.cs).astype(np.int64)
+        # (n, k, k) neighborhood of candidate cells per point
+        ix = base_ix[:, None, None] + self.offs[None, :, None]
+        iy = base_iy[:, None, None] + self.offs[None, None, :]
+        cx = ix * self.cs + self.cs / 2.0
+        cy = iy * self.cs + self.cs / 2.0
+        dx = cx - x[:, None, None]
+        dy = cy - y[:, None, None]
+        d2 = dx * dx + dy * dy
+        ok = ((d2 <= self.r * self.r) & (ix >= 0) & (ix < self.nx)
+              & (iy >= 0) & (iy < self.ny))
+        ixb = np.broadcast_to(ix, d2.shape)
+        iyb = np.broadcast_to(iy, d2.shape)
+        q = np.round(np.exp(-d2[ok] / self.denom) * KDE_Q).astype(np.int64)
+        key = ixb[ok] * self.ny + iyb[ok]
+        uk, inv = np.unique(key, return_inverse=True)
+        dens = np.zeros(len(uk), dtype=np.int64)
+        cnt = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(dens, inv, q)
+        np.add.at(cnt, inv, 1)
+        return pa.table({
+            "ix": pa.array(uk // self.ny), "iy": pa.array(uk % self.ny),
+            "n_contrib": pa.array(cnt), "density_q": pa.array(dens),
+        })
+
+
+def kde_grid(ds: "ray.data.Dataset", cell_size: float, sigma: float,
+             radius: float, nx: int, ny: int,
+             x_col: str = "x", y_col: str = "y") -> "ray.data.Dataset":
+    """Gaussian heatmap over an ``nx × ny`` grid: per-batch partial
+    densities → one O(touched-cells) groupby sum."""
+    from ray.data.aggregate import Sum
+
+    part = ds.map_batches(
+        KDEPartial(cell_size, sigma, radius, nx, ny, x_col, y_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = part.groupby(["ix", "iy"]).aggregate(
+        Sum("n_contrib", alias_name="n_contrib"),
+        Sum("density_q", alias_name="density_q"))
+    return out

@@ -54,6 +54,29 @@ def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("red_text", red))
 
 
+def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``norm_text`` (NFC unicode normalization + whitespace
+    collapse + trim) and ``changed`` — the canonicalization pass every
+    web-crawl corpus runs before hashing/dedup (decomposed accents and
+    ragged whitespace otherwise defeat exact dedup).
+
+    NFC goes through ``unicodedata`` (this Arrow build's
+    ``utf8_normalize(form='NFC')`` reorders but does NOT compose —
+    'e'+U+0301 stays decomposed); collapse/trim stay Arrow-RE2 so the
+    DuckDB twin ``trim(regexp_replace(nfc_normalize(t), '\\s+', ' ',
+    'g'))`` matches byte-for-byte (RE2 ``\\s`` is ASCII in both)."""
+    import unicodedata
+
+    col = pc.fill_null(batch.column(text_col), "")
+    nfc = pa.array([unicodedata.normalize("NFC", s)
+                    for s in col.to_pylist()], pa.string())
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(nfc, r"\s+", " "))
+    changed = pc.invert(pc.equal(norm, col))
+    return (batch.append_column("norm_text", norm)
+            .append_column("changed", changed))
+
+
 def repetition_batch(batch: pd.DataFrame,
                      text_col: str = "text") -> pd.DataFrame:
     """Append ``n_tokens``, ``n_distinct``, ``dup_frac``, ``top_frac``.
