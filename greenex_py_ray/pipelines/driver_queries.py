@@ -1664,6 +1664,103 @@ ORACLE_SQL["normalize_text"] = r"""
     SELECT doc_id, norm_text, (norm_text <> tx) AS changed FROM n
 """
 
+# Z-order / Morton spatial key (cells.zorder): the locality-preserving
+# partition key — contiguous zkey ranges are spatially compact, so
+# range-partitioned writes colocate neighboring tiles.  The SQL CTE
+# chain is the identical 4-step bit spread (16-bit inputs -> 32-bit
+# masks, exact in signed BIGINT).
+ORACLE_SQL["zorder_key"] = f"""
+    WITH d AS (SELECT doc_id,
+                 CAST(floor({_X} / {CELL_SIZE!r}) AS BIGINT) AS ix,
+                 CAST(floor({_Y} / {CELL_SIZE!r}) AS BIGINT) AS iy
+               FROM documents),
+    s0 AS (SELECT doc_id, ix, iy,
+             (ix | (ix << 8)) & 16711935 AS x, (iy | (iy << 8)) & 16711935 AS y
+           FROM d),
+    s1 AS (SELECT doc_id, ix, iy,
+             (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y
+           FROM s0),
+    s2 AS (SELECT doc_id, ix, iy,
+             (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y
+           FROM s1),
+    s3 AS (SELECT doc_id, ix, iy,
+             (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y
+           FROM s2)
+    SELECT doc_id, ix, iy, (x | (y << 1)) AS zkey,
+           ((x | (y << 1)) // 16) AS z_block
+    FROM s3
+"""
+
+# per-group embedding centroid (stages/similarity.group_centroids):
+# int64 micro-unit component sums -> order-independent exact merge.
+ORACLE_SQL["group_centroids"] = r"""
+    WITH e AS (SELECT CAST(label AS BIGINT) AS grp, embedding AS v
+               FROM embeddings),
+    x AS (SELECT grp, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+                 unnest(v) AS val
+          FROM e),
+    t AS (SELECT grp, dim,
+            CAST(round(CAST(val AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS q
+          FROM x),
+    a AS (SELECT grp, dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS sum_q
+          FROM t GROUP BY grp, dim)
+    SELECT grp, dim, n, sum_q FROM a
+"""
+
+# per-user trajectory rollup (stages/trajectory.trajectory_stats):
+# pings ordered by (ts, event_id), step lengths quantized to int64
+# micro-units BEFORE the per-user sum so the unordered SQL SUM matches
+# numpy's sequential sum exactly.
+ORACLE_SQL["trajectory"] = f"""
+    WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                      {dt.SQL_X.format(k="event_id")} AS x,
+                      {dt.SQL_Y.format(k="event_id")} AS y
+               FROM events),
+    l AS (SELECT *, lag(x) OVER w AS px, lag(y) OVER w AS py,
+                 row_number() OVER w AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM p WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts_us, event_id)),
+    s AS (SELECT user_id,
+            CASE WHEN px IS NULL THEN 0
+                 ELSE CAST(round(sqrt((x - px) * (x - px)
+                                      + (y - py) * (y - py))
+                                 * 1000000.0, 0) AS BIGINT) END AS step_q,
+            CASE WHEN rn = 1 THEN x END AS fx,
+            CASE WHEN rn = 1 THEN y END AS fy,
+            CASE WHEN rn = cnt THEN x END AS lx,
+            CASE WHEN rn = cnt THEN y END AS ly
+          FROM l)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pings,
+           CAST(sum(step_q) AS BIGINT) AS path_q,
+           CAST(round(sqrt((max(lx) - max(fx)) * (max(lx) - max(fx))
+                           + (max(ly) - max(fy)) * (max(ly) - max(fy)))
+                      * 1000000.0, 0) AS BIGINT) AS disp_q
+    FROM s GROUP BY user_id
+"""
+
+# global percent-rank transform (stages/quantiles.percent_rank):
+# (#rows < value) * 1e6 // (n-1) — integer floor division, exact in
+# both engines; no global sort (O(#distinct) histogram + broadcast).
+ORACLE_SQL["percent_rank_tokens"] = r"""
+    WITH tc AS (SELECT doc_id,
+                  CAST(array_length(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_tokens
+                FROM documents),
+    h AS (SELECT n_tokens AS v, count(*) AS c FROM tc GROUP BY n_tokens),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v) - c AS below FROM h),
+    tot AS (SELECT count(*) AS n FROM tc)
+    SELECT tc.doc_id, tc.n_tokens,
+           CAST((cum.below * 1000000) // greatest(tot.n - 1, 1) AS BIGINT)
+             AS pct_rank_q6
+    FROM tc JOIN cum ON tc.n_tokens = cum.v, tot
+"""
+# (the float `mean` column the stage also emits is excluded from the
+# gate: it is fully determined by the integer (sum_q, n) pair, and a
+# ratio landing exactly on a 6th-decimal half would trip the
+# half-even-vs-half-away rounding difference between the engines)
+
 
 # ---------------------------------------------------------------------------
 # Interleaved-document (spans world) pipelines — rows-only checks; their
@@ -3647,7 +3744,81 @@ def q_normalize_text(sf_dir: str):
     return out.select_columns(["doc_id", "norm_text", "changed"])
 
 
+def q_zorder_key(sf_dir: str):
+    """Z-order partition key (cells.zorder): Morton interleave of the
+    500 m grid indices + the >>4 block id a range-partitioned writer
+    would bucket by — SQL-exact via the same 4-step bit spread."""
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x, y = dt.derive_xy(k)
+        ix, iy = cells.cell_indices(x, y, CELL_SIZE)
+        z = cells.zorder(ix, iy).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "ix": pa.array(ix), "iy": pa.array(iy),
+            "zkey": pa.array(z), "z_block": pa.array(z >> 4),
+        })
+
+    return ds.map_batches(add_z, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_group_centroids(sf_dir: str):
+    """Per-label embedding centroids (stages/similarity.group_centroids):
+    per-batch int64 micro-unit partial sums, one O(#groups x dim)
+    shuffle."""
+    from ..stages.similarity import group_centroids
+
+    ds = dt.read_table(sf_dir, "embeddings",
+                       columns=["vec_id", "label", "embedding"])
+    return group_centroids(ds, EMB_DIM).select_columns(
+        ["grp", "dim", "n", "sum_q"])
+
+
+def q_trajectory(sf_dir: str):
+    """Per-user trajectory rollup (stages/trajectory.trajectory_stats):
+    hash-bucketed users, one lexsort + diff/reduceat kernel per bucket;
+    step lengths quantized before the sum."""
+    from ..stages.trajectory import trajectory_stats
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["event_id", "ts", "user_id"])
+
+    def add_xy(batch: pa.Table) -> pa.Table:
+        k = batch.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x, y = dt.derive_xy(k)
+        return (batch.append_column("x", pa.array(x))
+                .append_column("y", pa.array(y)))
+
+    pings = ds.map_batches(add_xy, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return trajectory_stats(pings).select_columns(
+        ["user_id", "n_pings", "path_q", "disp_q"])
+
+
+def q_percent_rank_tokens(sf_dir: str):
+    """Global percent-rank of doc token counts
+    (stages/quantiles.percent_rank): O(#distinct) histogram broadcast +
+    stateless searchsorted lookup — no global sort, no row shuffle."""
+    from ..stages.quantiles import percent_rank
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = ds.map_batches(text.token_count_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens"])
+    out = percent_rank(toks, "n_tokens", out_col="pct_rank")
+    return out.select_columns(["doc_id", "n_tokens", "pct_rank_q6"])
+
+
 QUERIES = {
+    "trajectory": q_trajectory,
+    "percent_rank_tokens": q_percent_rank_tokens,
+    "zorder_key": q_zorder_key,
+    "group_centroids": q_group_centroids,
     "sequence_pack": q_sequence_pack,
     "unigram_logprob": q_unigram_logprob,
     "kde_grid": q_kde_grid,

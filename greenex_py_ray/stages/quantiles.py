@@ -70,3 +70,70 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
         out_v.append(int(v[np.searchsorted(cum, max(target, 1))]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+class _RankLookup:
+    """map_batches actor: percent-rank lookup from the broadcast
+    cumulative histogram (built once per actor in ``__init__``)."""
+
+    def __init__(self, hist_ref, col: str, out_col: str):
+        import ray
+
+        h = (ray.get(hist_ref)
+             if isinstance(hist_ref, ray.ObjectRef) else hist_ref)
+        self.v, cum, self.n = h
+        # count of rows strictly below each distinct value
+        self.below = np.concatenate(([0], cum[:-1]))
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(self.v, x)
+        denom = max(self.n - 1, 1)
+        below = self.below[idx]
+        pr = np.round(below / float(denom), 6)
+        # integer floor-div micro-rank: hash-exact across engines (the
+        # float can land on a 6th-decimal half and trip rounding-mode
+        # differences)
+        pr_q6 = (below * 1_000_000) // denom
+        return (batch.append_column(self.out_col,
+                                    pa.array(pr, pa.float64()))
+                .append_column(self.out_col + "_q6",
+                               pa.array(pr_q6.astype(np.int64))))
+
+
+def percent_rank(ds: "ray.data.Dataset", col: str,
+                 out_col: str = "pct_rank") -> "ray.data.Dataset":
+    """SQL ``percent_rank()`` over the whole dataset without a global
+    sort: ``(#rows < value) / (n - 1)``, ties share a rank.
+
+    Two passes: the O(#distinct) value-count histogram (same bounded
+    pull as :func:`exact_quantiles`) cumsums on the driver and
+    broadcasts via ``ray.put``; a stateless lookup stage then maps each
+    row through one ``searchsorted``.  No row ever shuffles."""
+    import ray
+
+    tbls, total = [], 0
+    for b in value_counts(ds, col).sort("v").iter_batches(
+            batch_format="pyarrow"):
+        total += len(b)
+        if total > 5_000_000:
+            raise ValueError(
+                f"{col}: more than 5M distinct values — not a sensible "
+                "integer-histogram rank column")
+        tbls.append(b)
+    hist = (pa.concat_tables(tbls) if tbls
+            else pa.table({"v": pa.array([], pa.int64()),
+                           "c": pa.array([], pa.int64())}))
+    v = hist.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = hist.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    ref = ray.put((v, cum, n))
+    return ds.map_batches(
+        _RankLookup,
+        fn_constructor_kwargs=dict(hist_ref=ref, col=col, out_col=out_col),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.25,
+    )

@@ -370,3 +370,50 @@ def cosine_pairs_exact(
                                    key_col=key_col, vec_col=vec_col),
         batch_format="pyarrow", concurrency=as_pool(concurrency), num_cpus=0.25,
     )
+
+
+#: centroid quantization grid (int64 micro-units per component)
+CENTROID_Q = 1e6
+
+
+def group_centroids(
+    ds: "ray.data.Dataset", dim: int, group_col: str = "label",
+    key_col: str = "vec_id", vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Per-group embedding centroid (the k-means M-step / cluster
+    profiling primitive).  Per-batch partials collapse each batch to
+    one row per (group, dim) with int64 micro-unit component sums —
+    order-independent, so the groupby merge is exact — then one
+    O(#groups × dim) shuffle.  Emits (grp, dim, n, sum_q, mean)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        M = _to_matrix(batch.column(vec_col), dim)
+        q = np.round(M * CENTROID_Q).astype(np.int64)
+        ug, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(ug), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        n = np.bincount(inv, minlength=len(ug)).astype(np.int64)
+        return pa.table({
+            "grp": pa.array(np.repeat(ug, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(ug))),
+            "n": pa.array(np.repeat(n, dim)),
+            "sum_q": pa.array(sums.ravel()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    agg = part.groupby(["grp", "dim"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_q").to_numpy(zero_copy_only=False)
+        mean = np.round((s.astype(np.float64) / CENTROID_Q) / n, 6)
+        return batch.append_column("mean", pa.array(mean))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -117,3 +117,71 @@ def test_normalize_batch_nfc_and_whitespace():
     out = normalize_batch(t).to_pydict()
     assert out["norm_text"] == ["caf\u00e9 latte", "\u00e0b", "plain", ""]
     assert out["changed"] == [True, True, False, False]
+
+
+def test_group_centroids_matches_bruteforce(ray_session):
+    from greenex_py_ray.stages.similarity import CENTROID_Q, group_centroids
+
+    rng = np.random.default_rng(21)
+    n, dim = 200, 8
+    V = rng.normal(size=(n, dim)).astype(np.float32)
+    lab = rng.integers(0, 5, n).astype(np.int32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "label": pa.array(lab),
+        "embedding": pa.array(list(V), pa.list_(pa.float32())),
+    })
+    out = (group_centroids(ray.data.from_arrow(tbl).repartition(4), dim)
+           .to_pandas().sort_values(["grp", "dim"]).reset_index(drop=True))
+    q = np.round(V.astype(np.float64) * CENTROID_Q).astype(np.int64)
+    for g in range(5):
+        m = lab == g
+        sub = out[out["grp"] == g]
+        assert (sub["n"].to_numpy() == m.sum()).all()
+        assert (sub["sum_q"].to_numpy() == q[m].sum(axis=0)).all()
+        exp_mean = np.round((q[m].sum(axis=0) / CENTROID_Q) / m.sum(), 6)
+        assert np.allclose(sub["mean"].to_numpy(), exp_mean)
+
+
+def test_trajectory_stats_matches_bruteforce(ray_session):
+    from greenex_py_ray.stages.trajectory import TRAJ_Q, trajectory_stats
+
+    rng = np.random.default_rng(31)
+    n = 600
+    uid = rng.integers(0, 12, n).astype(np.int64)
+    ts = rng.integers(0, 10**9, n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    x = rng.uniform(0, 1000, n)
+    y = rng.uniform(0, 1000, n)
+    tbl = pa.table({"user_id": pa.array(uid), "ts": pa.array(ts),
+                    "event_id": pa.array(eid),
+                    "x": pa.array(x), "y": pa.array(y)})
+    out = (trajectory_stats(ray.data.from_arrow(tbl).repartition(5),
+                            num_buckets=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for u in np.unique(uid):
+        m = uid == u
+        order = np.lexsort((eid[m], ts[m]))
+        xs, ys = x[m][order], y[m][order]
+        steps = np.round(np.sqrt(np.diff(xs) ** 2 + np.diff(ys) ** 2)
+                         * TRAJ_Q).astype(np.int64)
+        row = out[out["user_id"] == u].iloc[0]
+        assert row["n_pings"] == m.sum()
+        assert row["path_q"] == steps.sum()
+        assert row["disp_q"] == round(
+            np.sqrt((xs[-1] - xs[0]) ** 2 + (ys[-1] - ys[0]) ** 2) * TRAJ_Q)
+
+
+def test_percent_rank_matches_definition(ray_session):
+    from greenex_py_ray.stages.quantiles import percent_rank
+
+    vals = np.array([5, 1, 5, 2, 9, 1, 1, 7], dtype=np.int64)
+    tbl = pa.table({"k": pa.array(np.arange(8, dtype=np.int64)),
+                    "n": pa.array(vals)})
+    out = (percent_rank(ray.data.from_arrow(tbl).repartition(3), "n")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    below = np.array([(vals < v).sum() for v in vals])
+    exp = below * 1_000_000 // 7
+    assert (out["pct_rank_q6"].to_numpy() == exp).all()
+    assert np.allclose(out["pct_rank"].to_numpy(),
+                       np.round(below / 7.0, 6))
