@@ -1756,6 +1756,56 @@ ORACLE_SQL["percent_rank_tokens"] = r"""
              AS pct_rank_q6
     FROM tc JOIN cum ON tc.n_tokens = cum.v, tot
 """
+
+# broadcast dim join (stages/enrich.broadcast_join): orders enrich with
+# the customer's nation, then a partial-agg rollup per nation; prices
+# quantize to int64 cents (2-decimal TPC-H prices are exact there).
+ORACLE_SQL["orders_by_nation"] = """
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT))
+                AS BIGINT) AS sum_price_q
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+"""
+
+
+def _slope_oracle_sql() -> str:
+    """Central-difference gradient at each doc's center pixel — the
+    four neighbor values re-derived from the closed-form field (the
+    stored float64 tiles are bit-identical to it, proven by the zonal
+    gates); same 1e9 quantization as stages/terrain.PointGradient."""
+    def fld(pxe: str, pye: str) -> str:
+        return _NDVI_SQL.replace("px", pxe).replace("py", pye)
+
+    ve = fld('((col + 1) * 10.0 + 5.0)', '("row" * 10.0 + 5.0)')
+    vw = fld('((col - 1) * 10.0 + 5.0)', '("row" * 10.0 + 5.0)')
+    vs = fld('(col * 10.0 + 5.0)', '(("row" + 1) * 10.0 + 5.0)')
+    vn = fld('(col * 10.0 + 5.0)', '(("row" - 1) * 10.0 + 5.0)')
+    gx = f"(({ve} - {vw}) / 20.0)"
+    gy = f"(({vs} - {vn}) / 20.0)"
+    return f"""
+    WITH d AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+    c AS (SELECT doc_id, CAST(floor(x / 10.0) AS BIGINT) AS col,
+                 CAST(floor(y / 10.0) AS BIGINT) AS "row"
+          FROM d),
+    g AS (SELECT doc_id, {gx} AS gx, {gy} AS gy,
+            (col - 1 >= 0 AND col + 1 <= {_NPIX}
+             AND "row" - 1 >= 0 AND "row" + 1 <= {_NPIX}) AS ok
+          FROM c)
+    SELECT doc_id,
+           CASE WHEN ok THEN CAST(round(gx * 1000000000.0, 0) AS BIGINT)
+                END AS gx_q,
+           CASE WHEN ok THEN CAST(round(gy * 1000000000.0, 0) AS BIGINT)
+                END AS gy_q,
+           CASE WHEN ok THEN CAST(round(sqrt(gx * gx + gy * gy)
+                                        * 1000000000.0, 0) AS BIGINT)
+                END AS slope_q
+    FROM g
+    """
+
+
+ORACLE_SQL["slope_gradient"] = _slope_oracle_sql()
 # (the float `mean` column the stage also emits is excluded from the
 # gate: it is fully determined by the integer (sum_q, n) pair, and a
 # ratio landing exactly on a 6th-decimal half would trip the
@@ -3814,7 +3864,55 @@ def q_percent_rank_tokens(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens", "pct_rank_q6"])
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast dim join (stages/enrich.broadcast_join): orders
+    stream enriched with the customer's nation by sorted-key binary
+    search (no shuffle), then a cents-quantized partial rollup per
+    nation."""
+    from ..stages.enrich import broadcast_join
+
+    dim = pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    orders = dt.read_table(sf_dir, "orders",
+                           columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, "o_custkey", "c_custkey",
+                            ("c_nationkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nat = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        q = np.round(p * 100.0).astype(np.int64)
+        un, inv = np.unique(nat, return_inverse=True)
+        s = np.zeros(len(un), dtype=np.int64)
+        np.add.at(s, inv, q)
+        n = np.bincount(inv, minlength=len(un)).astype(np.int64)
+        return pa.table({"nation": pa.array(un), "pn": pa.array(n),
+                         "pq": pa.array(s)})
+
+    agg = joined.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).groupby(
+        "nation").aggregate(Sum("pn", alias_name="n_orders"),
+                            Sum("pq", alias_name="sum_price_q"))
+    return agg
+
+
+def q_slope_gradient(sf_dir: str):
+    """Raster derivative (stages/terrain.point_gradient): 3x3
+    central-difference gradient at each doc's center pixel through the
+    actor-pool tile LRU; NULLs at the stored extent's edge."""
+    from ..stages.terrain import point_gradient
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    out = point_gradient(ds.select_columns(["doc_id", "x", "y"]),
+                         _world_tiles_root(), band="ndvi",
+                         res=synth.RASTER_RES, concurrency=(1, 4))
+    return out.select_columns(["doc_id", "gx_q", "gy_q", "slope_q"])
+
+
 QUERIES = {
+    "slope_gradient": q_slope_gradient,
+    "orders_by_nation": q_orders_by_nation,
     "trajectory": q_trajectory,
     "percent_rank_tokens": q_percent_rank_tokens,
     "zorder_key": q_zorder_key,

@@ -1,0 +1,103 @@
+"""Raster derivative: per-point finite-difference gradient (slope).
+
+The standard DEM/field derivative (GDAL ``gdaldem slope``-style central
+differences) as a point-sample operator: for each PoI, read the 3×3
+pixel window around its center pixel from the tile store and compute
+``dz/dx = (E - W) / (2·res)``, ``dz/dy = (S - N) / (2·res)`` and the
+gradient magnitude.  The reference samples rasters only through zonal
+means (``availability.py:90-140``); a derivative operator is what
+viewshed/drainage/terrain pipelines need from the same tile store.
+
+Scale shape: one actor pool holding a :class:`state.tiles.TileStore`
+LRU (tiles load once per actor, windows stitch across tile borders);
+points stream through in batches.  For cross-engine determinism the
+gradient components quantize to int64 nano-units and the magnitude is
+``round(sqrt(dzdx² + dzdy²) · 1e9)`` — sqrt is correctly rounded in
+both engines and the inputs are bit-identical float64.
+
+Points whose 3×3 window leaves the stored extent emit NULLs (the
+reference's warn-and-proceed edge behavior, availability.py:282-286).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.tiles import TileStore
+
+#: gradient quantization (nano-units per meter)
+GRAD_Q = 1e9
+
+
+class PointGradient:
+    """map_batches actor: central-difference gradient at each point's
+    center pixel.  Appends ``gx_q``, ``gy_q``, ``slope_q`` (int64
+    nano-units; NULL when any of the 4 neighbor pixels is missing)."""
+
+    def __init__(self, tile_root: str, band: str = "ndvi",
+                 res: float = 10.0, cache_tiles: int = 256,
+                 x_col: str = "x", y_col: str = "y"):
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.res = float(res)
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        col = np.floor(x / self.res).astype(np.int64)
+        row = np.floor(y / self.res).astype(np.int64)
+        n = len(x)
+        gx = np.full(n, np.nan)
+        gy = np.full(n, np.nan)
+        # group points by tile so each tile window stitches once per
+        # batch (points in one batch cluster spatially after a cell
+        # shuffle; worst case it degrades to per-point windows)
+        from ..sources import synth
+
+        px = synth.TILE_PX
+        tkey = (col // px) * (1 << 20) + (row // px)
+        order = np.argsort(tkey, kind="stable")
+        i = 0
+        while i < n:
+            j = i
+            while j < n and tkey[order[j]] == tkey[order[i]]:
+                j += 1
+            sel = order[i:j]
+            r0 = int(row[sel].min()) - 1
+            c0 = int(col[sel].min()) - 1
+            h = int(row[sel].max()) - r0 + 2
+            w = int(col[sel].max()) - c0 + 2
+            # negative r0/c0 are fine: window() fills out-of-extent
+            # pixels with NaN, which propagates to NULL outputs
+            win = self.store.window(self.band, r0, c0, h, w, fill=np.nan)
+            rr = row[sel] - r0
+            cc = col[sel] - c0
+            e = win[rr, cc + 1]
+            wv = win[rr, cc - 1]
+            s = win[rr + 1, cc]
+            nv = win[rr - 1, cc]
+            gx[sel] = (e - wv) / (2.0 * self.res)
+            gy[sel] = (s - nv) / (2.0 * self.res)
+            i = j
+        ok = ~(np.isnan(gx) | np.isnan(gy))
+        gx_q = np.round(np.where(ok, gx, 0.0) * GRAD_Q).astype(np.int64)
+        gy_q = np.round(np.where(ok, gy, 0.0) * GRAD_Q).astype(np.int64)
+        mag = np.sqrt(gx * gx + gy * gy)
+        slope_q = np.round(np.where(ok, mag, 0.0) * GRAD_Q).astype(np.int64)
+        mask = ~ok
+        return (batch.append_column("gx_q", pa.array(gx_q, mask=mask))
+                .append_column("gy_q", pa.array(gy_q, mask=mask))
+                .append_column("slope_q", pa.array(slope_q, mask=mask)))
+
+
+def point_gradient(ds: "ray.data.Dataset", tile_root: str,
+                   band: str = "ndvi", res: float = 10.0,
+                   concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Per-point raster gradient (see module docstring)."""
+    return ds.map_batches(
+        PointGradient,
+        fn_constructor_kwargs=dict(tile_root=tile_root, band=band, res=res),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
+    )

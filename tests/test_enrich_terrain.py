@@ -1,0 +1,88 @@
+"""Broadcast dim join (stages/enrich) and raster point gradient
+(stages/terrain) — brute-force oracles."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _dim():
+    return pa.table({
+        "k": pa.array(np.array([2, 5, 9, 11], dtype=np.int64)),
+        "name": pa.array(["two", "five", "nine", "eleven"]),
+        "grp": pa.array(np.array([0, 1, 0, 1], dtype=np.int64)),
+    })
+
+
+def test_broadcast_join_inner(ray_session):
+    from greenex_py_ray.stages.enrich import broadcast_join
+
+    facts = pa.table({
+        "fk": pa.array(np.array([5, 2, 7, 9, 2, 100], dtype=np.int64)),
+        "v": pa.array(np.arange(6, dtype=np.int64)),
+    })
+    out = (broadcast_join(ray.data.from_arrow(facts).repartition(2),
+                          _dim(), "fk", "k", ("name", "grp"))
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    # rows 2 (fk=7) and 5 (fk=100) drop
+    assert list(out["v"]) == [0, 1, 3, 4]
+    assert list(out["name"]) == ["five", "two", "nine", "two"]
+    assert list(out["grp"]) == [1, 0, 0, 0]
+
+
+def test_broadcast_join_left_nulls(ray_session):
+    from greenex_py_ray.stages.enrich import broadcast_join
+
+    facts = pa.table({
+        "fk": pa.array(np.array([7, 5], dtype=np.int64)),
+        "v": pa.array(np.arange(2, dtype=np.int64)),
+    })
+    out = (broadcast_join(ray.data.from_arrow(facts), _dim(), "fk", "k",
+                          ("name",), how="left")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert out["name"][0] is None or out["name"].isna()[0]
+    assert out["name"][1] == "five"
+
+
+def test_point_gradient_matches_field(ray_session, tmp_path):
+    from greenex_py_ray.sources import synth
+    from greenex_py_ray.stages.terrain import GRAD_Q, point_gradient
+
+    paths = synth.ensure_world(str(tmp_path / "w"), n_docs=50, seed=42)
+    rng = np.random.default_rng(4)
+    # interior points (3x3 window inside the stored extent) + one edge
+    x = rng.uniform(100, 1900, 60)
+    y = rng.uniform(100, 1900, 60)
+    x[0], y[0] = 3.0, 500.0  # col 0 -> west neighbor missing -> NULL
+    pts = pa.table({"pid": pa.array(np.arange(60, dtype=np.int64)),
+                    "x": pa.array(x), "y": pa.array(y)})
+    out = (point_gradient(ray.data.from_arrow(pts).repartition(3),
+                          paths["tiles"], band="ndvi",
+                          res=synth.RASTER_RES, concurrency=1)
+           .to_pandas().sort_values("pid").reset_index(drop=True))
+
+    def field(px, py):
+        return synth.field_ndvi(np.asarray(px, float),
+                                np.asarray(py, float))
+
+    res = synth.RASTER_RES
+    col = np.floor(x / res).astype(np.int64)
+    row = np.floor(y / res).astype(np.int64)
+    for i in range(60):
+        if i == 0:
+            assert out["slope_q"].isna()[0]
+            continue
+        pxc = col[i] * res + res / 2.0
+        pyc = row[i] * res + res / 2.0
+        e = field(pxc + res, pyc)
+        w = field(pxc - res, pyc)
+        s = field(pxc, pyc + res)
+        nv = field(pxc, pyc - res)
+        gx = (e - w) / (2.0 * res)
+        gy = (s - nv) / (2.0 * res)
+        assert out["gx_q"][i] == round(float(gx) * GRAD_Q)
+        assert out["gy_q"][i] == round(float(gy) * GRAD_Q)
+        assert out["slope_q"][i] == round(
+            float(np.sqrt(gx * gx + gy * gy)) * GRAD_Q)
