@@ -1806,6 +1806,42 @@ def _slope_oracle_sql() -> str:
 
 
 ORACLE_SQL["slope_gradient"] = _slope_oracle_sql()
+
+# distributed anti-join (stages/setops.exists_join over Ray's native
+# hash join, right side pre-collapsed to distinct keys): orders with
+# no high-quantity lineitem.
+ORACLE_SQL["orders_no_bulk_item"] = """
+    SELECT o.o_orderkey,
+           CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS price_q
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity > 45.0)
+"""
+
+# per-key exact distinct count (stages/setops.distinct_count)
+ORACLE_SQL["distinct_event_types"] = """
+    SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT)
+             AS n_distinct
+    FROM events GROUP BY user_id
+"""
+
+# per-vector L2 norm with exact-integer interior
+# (stages/similarity.vector_norms): squared components quantize to
+# int64 pico-units before the sum.
+ORACLE_SQL["embedding_norms"] = r"""
+    WITH x AS (SELECT vec_id, unnest(embedding) AS val FROM embeddings),
+    q AS (SELECT vec_id,
+            CAST(round((CAST(val AS DOUBLE) * CAST(val AS DOUBLE))
+                       * 1000000000000.0, 0) AS BIGINT) AS sq
+          FROM x),
+    s AS (SELECT vec_id, CAST(sum(sq) AS BIGINT) AS sumsq_q
+          FROM q GROUP BY vec_id)
+    SELECT vec_id, sumsq_q,
+           CAST(round(sqrt(CAST(sumsq_q AS DOUBLE) / 1000000000000.0)
+                      * 1000000.0, 0) AS BIGINT) AS norm_q6
+    FROM s
+"""
 # (the float `mean` column the stage also emits is excluded from the
 # gate: it is fully determined by the integer (sum_q, n) pair, and a
 # ratio landing exactly on a 6th-decimal half would trip the
@@ -3910,7 +3946,62 @@ def q_slope_gradient(sf_dir: str):
     return out.select_columns(["doc_id", "gx_q", "gy_q", "slope_q"])
 
 
+def q_orders_no_bulk_item(sf_dir: str):
+    """Distributed anti-join (stages/setops.exists_join → Ray native
+    left_anti hash join, right side pre-collapsed to distinct keys):
+    orders with no lineitem of quantity > 45."""
+    from ..stages.setops import exists_join
+
+    orders = dt.read_table(sf_dir, "orders",
+                           columns=["o_orderkey", "o_totalprice"])
+    items = dt.read_table(sf_dir, "lineitem",
+                          columns=["l_orderkey", "l_quantity"])
+
+    def bulk_only(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(q > 45.0))
+
+    bulky = items.map_batches(bulk_only, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = exists_join(orders, bulky, on="o_orderkey",
+                      right_on="l_orderkey", anti=True)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "price_q": pa.array(np.round(p * 100.0).astype(np.int64)),
+        })
+
+    return out.map_batches(emit, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_distinct_event_types(sf_dir: str):
+    """Per-user exact distinct-count (stages/setops.distinct_count):
+    pair-dedup partials -> O(#distinct pairs) shuffle -> tiny key
+    rollup."""
+    from ..stages.setops import distinct_count
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["user_id", "event_type"])
+    return distinct_count(ds, "user_id", "event_type")
+
+
+def q_embedding_norms(sf_dir: str):
+    """Per-vector L2 norms (stages/similarity.vector_norms): stateless
+    vectorized map, exact-integer interior."""
+    from ..stages.similarity import vector_norms
+
+    ds = dt.read_table(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"])
+    return vector_norms(ds, EMB_DIM)
+
+
 QUERIES = {
+    "orders_no_bulk_item": q_orders_no_bulk_item,
+    "distinct_event_types": q_distinct_event_types,
+    "embedding_norms": q_embedding_norms,
     "slope_gradient": q_slope_gradient,
     "orders_by_nation": q_orders_by_nation,
     "trajectory": q_trajectory,

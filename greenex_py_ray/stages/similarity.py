@@ -417,3 +417,31 @@ def group_centroids(
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+#: squared-component quantization for exact-integer norm sums
+NORM_SQ_Q = 1e12
+
+
+def vector_norms(
+    ds: "ray.data.Dataset", dim: int,
+    key_col: str = "vec_id", vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Per-vector L2 norm with an exact-integer interior: each squared
+    component quantizes to int64 pico-units BEFORE the sum, so the
+    accumulation order can never move the result across engines; the
+    norm is one sqrt of the exact integer sum.  Emits (key, sumsq_q,
+    norm_q6).  Stateless map — no shuffle."""
+
+    def body(batch: pa.Table) -> pa.Table:
+        M = _to_matrix(batch.column(vec_col), dim)
+        q = np.round((M * M) * NORM_SQ_Q).astype(np.int64)
+        s = q.sum(axis=1)
+        norm_q6 = np.round(np.sqrt(s / NORM_SQ_Q) * 1e6).astype(np.int64)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "sumsq_q": pa.array(s),
+            "norm_q6": pa.array(norm_q6),
+        })
+
+    return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)

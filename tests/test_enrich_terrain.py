@@ -86,3 +86,48 @@ def test_point_gradient_matches_field(ray_session, tmp_path):
         assert out["gy_q"][i] == round(float(gy) * GRAD_Q)
         assert out["slope_q"][i] == round(
             float(np.sqrt(gx * gx + gy * gy)) * GRAD_Q)
+
+
+def test_exists_join_semi_anti(ray_session):
+    from greenex_py_ray.stages.setops import exists_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.array([1, 2, 3, 4, 5], dtype=np.int64)),
+        "v": pa.array(np.arange(5, dtype=np.int64))}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(np.array([2, 2, 4, 9], dtype=np.int64))}))
+    semi = exists_join(left, right, on="k", right_on="rk",
+                       num_partitions=2).to_pandas()
+    anti = exists_join(left, right, on="k", right_on="rk", anti=True,
+                       num_partitions=2).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3, 5]
+    # no row duplication from the duplicated right key
+    assert len(semi) == 2 and len(anti) == 3
+
+
+def test_distinct_count(ray_session):
+    from greenex_py_ray.stages.setops import distinct_count
+
+    import pandas as pd
+    df = pd.DataFrame({
+        "u": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+        "t": ["a", "b", "a", "a", "a", "c"],
+    })
+    out = (distinct_count(ray.data.from_pandas(df).repartition(3), "u", "t")
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert list(out["n_distinct"]) == [2, 1, 1]
+
+
+def test_vector_norms(ray_session):
+    from greenex_py_ray.stages.similarity import vector_norms
+
+    V = np.array([[3.0, 4.0], [0.0, 0.0], [1.0, 1.0]], dtype=np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+        "embedding": pa.array(list(V), pa.list_(pa.float32())),
+    })
+    out = (vector_norms(ray.data.from_arrow(tbl), 2).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert list(out["norm_q6"]) == [5_000_000, 0,
+                                    round(np.sqrt(2.0) * 1e6)]
