@@ -1842,6 +1842,23 @@ ORACLE_SQL["embedding_norms"] = r"""
                       * 1000000.0, 0) AS BIGINT) AS norm_q6
     FROM s
 """
+
+# corpus profiling rollup (stages/text.corpus_profile)
+ORACLE_SQL["corpus_profile"] = """
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source, lang
+"""
+
+# the semi twin of orders_no_bulk_item (same machinery, EXISTS)
+ORACLE_SQL["orders_with_bulk_item"] = """
+    SELECT o.o_orderkey,
+           CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS price_q
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > 45.0)
+"""
 # (the float `mean` column the stage also emits is excluded from the
 # gate: it is fully determined by the integer (sum_q, n) pair, and a
 # ratio landing exactly on a 6th-decimal half would trip the
@@ -3977,6 +3994,36 @@ def q_orders_no_bulk_item(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_orders_with_bulk_item(sf_dir: str):
+    """Distributed semi-join (stages/setops.exists_join, left_semi):
+    orders with at least one lineitem of quantity > 45."""
+    from ..stages.setops import exists_join
+
+    orders = dt.read_table(sf_dir, "orders",
+                           columns=["o_orderkey", "o_totalprice"])
+    items = dt.read_table(sf_dir, "lineitem",
+                          columns=["l_orderkey", "l_quantity"])
+
+    def bulk_only(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(q > 45.0))
+
+    bulky = items.map_batches(bulk_only, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = exists_join(orders, bulky, on="o_orderkey",
+                      right_on="l_orderkey")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "price_q": pa.array(np.round(p * 100.0).astype(np.int64)),
+        })
+
+    return out.map_batches(emit, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_distinct_event_types(sf_dir: str):
     """Per-user exact distinct-count (stages/setops.distinct_count):
     pair-dedup partials -> O(#distinct pairs) shuffle -> tiny key
@@ -3998,7 +4045,18 @@ def q_embedding_norms(sf_dir: str):
     return vector_norms(ds, EMB_DIM)
 
 
+def q_corpus_profile(sf_dir: str):
+    """Corpus profiling rollup (stages/text.corpus_profile): per
+    (source, lang) doc counts and char totals, partial-combined per
+    batch."""
+    ds = dt.read_table(sf_dir, "documents",
+                       columns=["doc_id", "source", "lang", "n_chars"])
+    return text.corpus_profile(ds)
+
+
 QUERIES = {
+    "corpus_profile": q_corpus_profile,
+    "orders_with_bulk_item": q_orders_with_bulk_item,
     "orders_no_bulk_item": q_orders_no_bulk_item,
     "distinct_event_types": q_distinct_event_types,
     "embedding_norms": q_embedding_norms,

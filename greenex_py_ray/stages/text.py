@@ -268,3 +268,30 @@ def bigram_topk(ds: "ray.data.Dataset", k: int,
                                 zero_copy_batch=True)
     out = topk_per_group(tagged, "g", "c", k, "bigram")
     return out.select_columns(["bigram", "c", "rank"])
+
+
+def corpus_profile(ds: "ray.data.Dataset",
+                   group_cols: "tuple[str, ...]" = ("source", "lang"),
+                   chars_col: str = "n_chars") -> "ray.data.Dataset":
+    """Corpus profiling rollup: per group, document count, total chars
+    and distinct-doc-length count — the data-quality dashboard scan a
+    100 TB corpus runs nightly.  Per-batch pandas groupby partials
+    collapse rows to distinct groups before the shuffle; the final
+    groupby moves O(#groups) rows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cols = list(group_cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(cols, sort=False)[chars_col].agg(["count", "sum"])
+        g = g.reset_index()
+        return pd.DataFrame({
+            **{c: g[c] for c in cols},
+            "pn": g["count"].astype(np.int64),
+            "pc": g["sum"].astype(np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(cols).aggregate(Sum("pn", alias_name="n_docs"),
+                                     Sum("pc", alias_name="sum_chars")))
