@@ -2949,6 +2949,22 @@ def world_oracle_sql() -> dict[str, str]:
         "isochrone_ndvi": iso_sql,
         "isochrone_landcover": isolc_sql,
         "isochrone_greenspace": isogs_sql,
+        # media-span asset manifest (stages/multimodal.media_ref_rollup)
+        "media_ref_rollup": f"""
+          WITH s AS (SELECT doc_id, unnest(spans) AS sp
+                     FROM read_parquet('{glob}')),
+          m AS (SELECT doc_id,
+                  regexp_extract(sp.media_ref,
+                                 'tile://([a-z]+)/(\\d+)_(\\d+)', 1) AS band,
+                  CAST(regexp_extract(sp.media_ref,
+                    'tile://([a-z]+)/(\\d+)_(\\d+)', 2) AS BIGINT) AS tx,
+                  CAST(regexp_extract(sp.media_ref,
+                    'tile://([a-z]+)/(\\d+)_(\\d+)', 3) AS BIGINT) AS ty
+                FROM s WHERE sp.kind = 'media')
+          SELECT band, tx, ty, CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM m GROUP BY band, tx, ty
+        """,
     }
 
 
@@ -4045,6 +4061,19 @@ def q_embedding_norms(sf_dir: str):
     return vector_norms(ds, EMB_DIM)
 
 
+def q_media_ref_rollup(sf_dir: str):
+    """Media-asset manifest over the interleaved spans schema
+    (stages/multimodal.media_ref_rollup): explode media spans, parse
+    tile refs, bucketed rollup of span + distinct-doc counts."""
+    from ..sources import documents as doc_src
+    from ..stages.multimodal import media_ref_rollup
+
+    w = _world_paths()
+    docs = doc_src.read_documents(w["documents"])
+    return media_ref_rollup(docs).select_columns(
+        ["band", "tx", "ty", "n_spans", "n_docs"])
+
+
 def q_corpus_profile(sf_dir: str):
     """Corpus profiling rollup (stages/text.corpus_profile): per
     (source, lang) doc counts and char totals, partial-combined per
@@ -4057,6 +4086,7 @@ def q_corpus_profile(sf_dir: str):
 QUERIES = {
     "corpus_profile": q_corpus_profile,
     "orders_with_bulk_item": q_orders_with_bulk_item,
+    "media_ref_rollup": q_media_ref_rollup,
     "orders_no_bulk_item": q_orders_no_bulk_item,
     "distinct_event_types": q_distinct_event_types,
     "embedding_norms": q_embedding_norms,

@@ -273,3 +273,64 @@ class AudioFeatures:
             pa.array(feats.reshape(-1)), feats.shape[1]
         )
         return batch.drop_columns(["payload"]).append_column("audio_features", col)
+
+
+#: media_ref layout of the tile scheme (RE2 — same pattern in the SQL
+#: oracle)
+MEDIA_REF_RE = r"tile://([a-z]+)/(\d+)_(\d+)"
+
+
+def media_ref_rollup(ds: "ray.data.Dataset",
+                     num_buckets: int = 16) -> "ray.data.Dataset":
+    """Per-media-asset reference rollup over the interleaved spans
+    schema: explode media spans (vectorized flatten), parse the tile
+    coordinates out of each ``tile://band/tx_ty`` ref, and emit one
+    row per asset with its span count and distinct referencing-doc
+    count.  Tiles hash-bucket so the single shuffle is integer-keyed
+    with ``num_buckets`` groups; the per-bucket kernel dedups
+    (doc, asset) pairs globally (a bucket sees every row of its
+    assets).  The asset manifest a media-dedup / retrieval stage
+    plans from at 100 TB."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def parse(batch: pa.Table) -> pa.Table:
+        refs = extract_media_refs_batch(batch)
+        m = pc.extract_regex(
+            refs.column("media_ref"),
+            r"tile://(?P<band>[a-z]+)/(?P<tx>\d+)_(?P<ty>\d+)")
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        valid = pc.is_valid(m)
+        keep = np.flatnonzero(np.asarray(valid.to_numpy(
+            zero_copy_only=False), dtype=bool))
+        m = m.take(pa.array(keep))
+        tx = pc.cast(m.field("tx"), pa.int64())
+        ty = pc.cast(m.field("ty"), pa.int64())
+        bucket = (tx.to_numpy(zero_copy_only=False) * 1024
+                  + ty.to_numpy(zero_copy_only=False)) % num_buckets
+        # per-batch (doc, asset) dedup shrinks the shuffle payload
+        df = pd.DataFrame({
+            "doc_id": refs.column("doc_id").take(
+                pa.array(keep)).to_pandas(),
+            "band": m.field("band").to_pandas(),
+            "tx": tx.to_numpy(zero_copy_only=False),
+            "ty": ty.to_numpy(zero_copy_only=False),
+            "bucket": bucket.astype(np.int64),
+            "n": 1,
+        })
+        g = (df.groupby(["bucket", "band", "tx", "ty", "doc_id"],
+                        sort=False)["n"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def kernel(grp: "pd.DataFrame") -> "pd.DataFrame":
+        a = grp.groupby(["band", "tx", "ty"], sort=False).agg(
+            n_spans=("n", "sum"), n_docs=("doc_id", "nunique"))
+        a = a.reset_index()
+        a["n_spans"] = a["n_spans"].astype(np.int64)
+        a["n_docs"] = a["n_docs"].astype(np.int64)
+        return a
+
+    return (ds.map_batches(parse, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(kernel, batch_format="pandas"))

@@ -131,3 +131,32 @@ def test_vector_norms(ray_session):
            .sort_values("vec_id").reset_index(drop=True))
     assert list(out["norm_q6"]) == [5_000_000, 0,
                                     round(np.sqrt(2.0) * 1e6)]
+
+
+def test_media_ref_rollup(ray_session, world):
+    from greenex_py_ray.sources import documents as doc_src
+    from greenex_py_ray.stages.multimodal import media_ref_rollup
+
+    docs = doc_src.read_documents(world["documents"])
+    out = media_ref_rollup(docs).to_pandas()
+    # brute force over the same parquet
+    import duckdb
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH s AS (SELECT doc_id, unnest(spans) AS sp
+                   FROM read_parquet('{world["documents"]}/*.parquet')),
+        m AS (SELECT doc_id,
+                regexp_extract(sp.media_ref, 'tile://([a-z]+)/(\\d+)_(\\d+)', 2)
+                  AS tx,
+                regexp_extract(sp.media_ref, 'tile://([a-z]+)/(\\d+)_(\\d+)', 3)
+                  AS ty
+              FROM s WHERE sp.kind = 'media')
+        SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+               count(*) AS n_spans, count(DISTINCT doc_id) AS n_docs
+        FROM m GROUP BY tx, ty
+    """).df()
+    got = {(r.tx, r.ty): (r.n_spans, r.n_docs)
+           for r in out.itertuples()}
+    want = {(r.tx, r.ty): (r.n_spans, r.n_docs)
+            for r in exp.itertuples()}
+    assert got == want and len(got) > 0
