@@ -47,9 +47,21 @@ class BroadcastLookup:
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = batch.column(self.key_col).to_numpy(
             zero_copy_only=False).astype(np.int64)
+        if not len(self.keys):
+            # empty dim: inner drops everything, left appends all-null
+            if self.how == "inner":
+                batch = batch.take(pa.array(np.empty(0, np.int64)))
+                for c in self.add_cols:
+                    batch = batch.append_column(
+                        c, self.cols[c].take(pa.array([], pa.int64())))
+                return batch
+            for c in self.add_cols:
+                batch = batch.append_column(
+                    c, pa.nulls(len(k), self.cols[c].type))
+            return batch
         idx = np.searchsorted(self.keys, k)
         idx_c = np.minimum(idx, len(self.keys) - 1)
-        hit = (len(self.keys) > 0) & (self.keys[idx_c] == k)
+        hit = self.keys[idx_c] == k
         if self.how == "inner":
             sel = np.flatnonzero(hit)
             batch = batch.take(pa.array(sel))

@@ -160,3 +160,18 @@ def test_media_ref_rollup(ray_session, world):
     want = {(r.tx, r.ty): (r.n_spans, r.n_docs)
             for r in exp.itertuples()}
     assert got == want and len(got) > 0
+
+
+def test_broadcast_join_empty_dim(ray_session):
+    from greenex_py_ray.stages.enrich import broadcast_join
+
+    facts = pa.table({"fk": pa.array(np.array([1, 2], dtype=np.int64)),
+                      "v": pa.array(np.arange(2, dtype=np.int64))})
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "name": pa.array([], pa.string())})
+    inner = broadcast_join(ray.data.from_arrow(facts), empty, "fk", "k",
+                           ("name",)).to_pandas()
+    left = broadcast_join(ray.data.from_arrow(facts), empty, "fk", "k",
+                          ("name",), how="left").to_pandas()
+    assert len(inner) == 0
+    assert len(left) == 2 and left["name"].isna().all()
