@@ -1325,6 +1325,50 @@ ORACLE_SQL["sessionize"] = f"""
     FROM s GROUP BY user_id, session_id
 """
 
+#: conversion-funnel step sequence (stages/windows.funnel)
+FUNNEL_STEPS = ("signup", "click", "purchase")
+# per-user funnel: t1 = min ts of step1; t_k = min ts of step_k
+# STRICTLY after t_{k-1} — integer microsecond comparisons throughout
+ORACLE_SQL["funnel"] = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+               FROM events),
+    u AS (SELECT DISTINCT user_id FROM e),
+    s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+           WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts_us) AS t2
+           FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts_us > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts_us) AS t3
+           FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts_us > s2.t2
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS steps_completed,
+           s3.t3 AS complete_us
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+"""
+
+#: trailing row-frame width (stages/windows.rolling_window)
+ROLL_WINDOW = 5
+# values quantized to int64 micro-units BEFORE the frame sum so the
+# window aggregate is exact-integer in both engines
+ORACLE_SQL["rolling_window"] = f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                      CAST(round(value * 1000000.0, 0) AS BIGINT) AS vq
+               FROM events)
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_frame,
+           sum(vq) OVER w AS sum_q
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING
+                        AND CURRENT ROW)
+"""
+
 # top-k word-bigram collocations (stages/text.bigram_topk) — same
 # tokenization as langid/tfidf; counts aggregate over distinct bigrams
 ORACLE_SQL["bigram_topk"] = r"""
@@ -3583,6 +3627,32 @@ def q_sessionize(sf_dir: str):
          "sum_value"])
 
 
+def q_funnel(sf_dir: str):
+    """Per-user conversion funnel (stages/windows.funnel): earliest
+    signup → click → purchase chain with strictly-increasing
+    timestamps — hash-bucketed users, per-step masked segmented
+    reduceat (no per-user loop), int64-microsecond comparisons."""
+    from ..stages.windows import funnel
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["ts", "user_id", "event_type"])
+    return funnel(ds, list(FUNNEL_STEPS)).select_columns(
+        ["user_id", "steps_completed", "complete_us"])
+
+
+def q_rolling_window(sf_dir: str):
+    """Trailing 5-row frame sum per user (stages/windows.rolling_window):
+    one output row per event with the frame count and the int64
+    micro-unit frame sum — lexsort + cumsum-difference kernel inside
+    hash buckets, exactly the SQL ROWS BETWEEN 4 PRECEDING frame."""
+    from ..stages.windows import rolling_window
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["event_id", "ts", "user_id", "value"])
+    return rolling_window(ds, ROLL_WINDOW).select_columns(
+        ["user_id", "event_id", "n_frame", "sum_q"])
+
+
 def q_bigram_topk(sf_dir: str):
     """Top-k word-bigram collocations (stages/text.bigram_topk):
     per-batch partial counts collapse rows to distinct bigrams before
@@ -4120,6 +4190,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "bigram_topk": q_bigram_topk,
     "sessionize": q_sessionize,
+    "funnel": q_funnel,
+    "rolling_window": q_rolling_window,
     "bm25_topk": q_bm25_topk,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,
