@@ -1646,6 +1646,29 @@ ORACLE_SQL["sequence_pack"] = f"""
     FROM o
 """
 
+#: sliding-chunk plan (stages/packing.chunk_plan) window / stride
+CHUNK_W = 32
+CHUNK_S = 24
+# one row per training chunk; k = 1 + ceil((n-W)/S) via integer
+# division, identical arithmetic in both engines
+ORACLE_SQL["chunk_plan"] = f"""
+    WITH tc AS (SELECT doc_id,
+                  CAST(array_length(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS n
+                FROM documents),
+    c AS (SELECT doc_id, n,
+            CASE WHEN n <= {CHUNK_W} THEN 1
+                 ELSE 1 + (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}
+            END AS k
+          FROM tc WHERE n > 0),
+    g AS (SELECT doc_id, n,
+                 unnest(generate_series(0, k - 1)) AS chunk_id
+          FROM c)
+    SELECT doc_id, chunk_id, chunk_id * {CHUNK_S} AS start_tok,
+           least({CHUNK_W}, n - chunk_id * {CHUNK_S}) AS n_tok
+    FROM g
+"""
+
 # unigram LM scoring (stages/lm.unigram_logprob): corpus-fit token
 # logprobs quantized to int64 micro-nats — per-doc sums are
 # order-independent, so the unordered SQL GROUP BY matches exactly.
@@ -3891,6 +3914,20 @@ def q_sequence_pack(sf_dir: str):
         ["doc_id", "n_tokens", "offset", "start_seq", "end_seq"])
 
 
+def q_chunk_plan(sf_dir: str):
+    """Sliding-window chunk plan (stages/packing.chunk_plan): one row
+    per 32-token chunk at stride 24 — a single zero-copy map_batches
+    repeat/arange expansion, no shuffle; the layout step between
+    token counting and sequence packing in a training-data pipeline."""
+    from ..stages.packing import chunk_plan
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = ds.map_batches(text.token_count_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens"])
+    return chunk_plan(toks, CHUNK_W, CHUNK_S)
+
+
 def q_unigram_logprob(sf_dir: str):
     """Corpus-fit unigram LM scoring (stages/lm.unigram_logprob):
     vocab count pass (O(vocab) shuffle) → broadcast → per-doc summed
@@ -4167,6 +4204,7 @@ QUERIES = {
     "zorder_key": q_zorder_key,
     "group_centroids": q_group_centroids,
     "sequence_pack": q_sequence_pack,
+    "chunk_plan": q_chunk_plan,
     "unigram_logprob": q_unigram_logprob,
     "kde_grid": q_kde_grid,
     "normalize_text": q_normalize_text,

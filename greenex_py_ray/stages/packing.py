@@ -108,6 +108,53 @@ class _PackGroup:
         return out
 
 
+def chunk_plan(ds: "ray.data.Dataset", window: int, stride: int,
+               key_col: str = "doc_id",
+               count_col: str = "n_tokens") -> "ray.data.Dataset":
+    """Sliding-window chunk plan: one output row per training chunk of
+    ``window`` tokens advancing by ``stride`` (< window ⇒ overlap),
+    the per-document layout step of a context-window training set.
+
+    Per doc with ``n = count_col`` tokens: ``k = 1`` chunk when
+    ``n <= window`` else ``1 + ceil((n - window) / stride)`` (the last
+    chunk is the first one whose window reaches the end; every token
+    is covered, chunk ``i`` spans ``[i*stride, i*stride + n_tok)``
+    with ``n_tok = min(window, n - i*stride)``).  Docs with 0 tokens
+    emit nothing.
+
+    Scale shape: embarrassingly parallel — a single zero-copy
+    ``map_batches`` expansion (repeat + arange), NO shuffle; the output
+    is at most ``window/stride``× the input row count and streams
+    straight to the consumer."""
+    if not (0 < stride <= window):
+        raise ValueError("need 0 < stride <= window")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = batch.column(count_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = np.where(n <= 0, 0,
+                     np.where(n <= window, 1,
+                              1 + (n - window + stride - 1) // stride))
+        tot = int(k.sum())
+        keys = np.repeat(key, k)
+        n_rep = np.repeat(n, k)
+        starts_excl = np.repeat(np.concatenate(([0], np.cumsum(k)[:-1])), k)
+        chunk_id = np.arange(tot, dtype=np.int64) - starts_excl
+        start_tok = chunk_id * stride
+        n_tok = np.minimum(window, n_rep - start_tok)
+        return pa.table({
+            key_col: pa.array(keys),
+            "chunk_id": pa.array(chunk_id),
+            "start_tok": pa.array(start_tok),
+            "n_tok": pa.array(n_tok),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def sequence_pack(ds: "ray.data.Dataset", seq_len: int,
                   key_col: str = "doc_id", count_col: str = "n_tokens",
                   bucket_span: int = 8192) -> "ray.data.Dataset":

@@ -49,6 +49,32 @@ def test_sequence_pack_sparse_keys(ray_session):
     assert (out["offset"].to_numpy() == off).all()
 
 
+def test_chunk_plan_layout(ray_session):
+    from greenex_py_ray.stages.packing import chunk_plan
+
+    # n: 0 → no rows; 1..W → 1 chunk; W+1 → 2; boundary W+S → 2;
+    # W+S+1 → 3
+    W, S = 8, 6
+    n = np.array([0, 1, 8, 9, 14, 15, 30], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(n), dtype=np.int64)),
+        "n_tokens": pa.array(n)})).repartition(2)
+    out = (chunk_plan(ds, W, S).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    got = out.groupby("doc_id")["chunk_id"].count().to_dict()
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 5}
+    # every token covered, chunk i spans [i*S, i*S + n_tok)
+    for doc, g in out.groupby("doc_id"):
+        starts = g["start_tok"].to_numpy()
+        lens = g["n_tok"].to_numpy()
+        assert (starts == np.arange(len(g)) * S).all()
+        assert (lens >= 1).all() and (lens <= W).all()
+        assert starts[-1] + lens[-1] == n[doc]
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_plan(ds, 8, 9)
+
+
 def test_unigram_logprob_matches_bruteforce(ray_session):
     from greenex_py_ray.stages.lm import LOGP_Q, unigram_logprob
 
