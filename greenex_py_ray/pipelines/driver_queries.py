@@ -1715,6 +1715,35 @@ ORACLE_SQL["kde_grid"] = f"""
     FROM t GROUP BY ix, iy
 """
 
+HEX_SIZE = 750.0
+
+# Hexagonal binning (stages/geostats.hexbin): pointy-top axial hex ids
+# via the public fractional-axial + cube-rounding formula (Red Blob
+# Games).  The SQL CTE chain repeats the identical IEEE double ops in
+# the identical order (sqrt/floor/abs only), so hex ids are
+# bit-identical across engines.
+ORACLE_SQL["hexbin"] = f"""
+    WITH pts AS (SELECT {_X} AS x, {_Y} AS y FROM documents),
+    fr AS (SELECT (sqrt(3.0) / 3.0 * x - y / 3.0) / {HEX_SIZE!r} AS q,
+                  (y * (2.0 / 3.0)) / {HEX_SIZE!r} AS r
+           FROM pts),
+    fs AS (SELECT q, r, -q - r AS s FROM fr),
+    rd AS (SELECT q, r, s, floor(q + 0.5) AS rq, floor(r + 0.5) AS rr,
+                  floor(s + 0.5) AS rs
+           FROM fs),
+    df AS (SELECT rq, rr, rs, abs(rq - q) AS dq, abs(rr - r) AS dr,
+                  abs(rs - s) AS dv
+           FROM rd),
+    hx AS (SELECT
+             CAST(CASE WHEN dq > dv AND dq > dr THEN -rr - rs
+                       ELSE rq END AS BIGINT) AS hq,
+             CAST(CASE WHEN NOT (dq > dv AND dq > dr) AND dr > dv
+                       THEN -rq - rs ELSE rr END AS BIGINT) AS hr
+           FROM df)
+    SELECT hq, hr, CAST(count(*) AS BIGINT) AS n
+    FROM hx GROUP BY hq, hr
+"""
+
 # NFC normalization + whitespace collapse (stages/scrub.normalize_batch)
 # — a deterministic decomposed-accent suffix (letter + U+0300 combining
 # grave) is appended in the same string ops on both sides so NFC
@@ -3948,6 +3977,16 @@ def q_kde_grid(sf_dir: str):
     return kde_grid(ds, KDE_CELL, KDE_SIGMA, KDE_RADIUS, KDE_N, KDE_N)
 
 
+def q_hexbin(sf_dir: str):
+    """Hex binning (stages/geostats.hexbin): pointy-top axial hex ids
+    with per-batch partial counts, so the groupby ships O(touched
+    hexes) rows, not O(points)."""
+    from ..stages.geostats import hexbin
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return hexbin(ds, HEX_SIZE)
+
+
 def q_normalize_text(sf_dir: str):
     """NFC + whitespace canonicalization (stages/scrub.normalize_batch)
     with a deterministic decomposed-accent suffix so composition fires
@@ -4207,6 +4246,7 @@ QUERIES = {
     "chunk_plan": q_chunk_plan,
     "unigram_logprob": q_unigram_logprob,
     "kde_grid": q_kde_grid,
+    "hexbin": q_hexbin,
     "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,
     "haversine_nearest": q_haversine_nearest,

@@ -217,3 +217,63 @@ def kde_grid(ds: "ray.data.Dataset", cell_size: float, sigma: float,
         Sum("n_contrib", alias_name="n_contrib"),
         Sum("density_q", alias_name="density_q"))
     return out
+
+
+def hex_axial(x: np.ndarray, y: np.ndarray,
+              size: float) -> tuple[np.ndarray, np.ndarray]:
+    """Pointy-top axial hex coordinates (Red Blob Games' public
+    pixel→hex formula: fractional axial transform + cube rounding).
+    Every arithmetic step mirrors the SQL oracle's expression tree
+    token for token — only IEEE +,-,*,/,sqrt,floor,abs — so the bin
+    ids are bit-identical across engines."""
+    c = np.sqrt(3.0) / 3.0
+    q = (c * x - y / 3.0) / size
+    r = (y * (2.0 / 3.0)) / size
+    s = -q - r
+    rq = np.floor(q + 0.5)
+    rr = np.floor(r + 0.5)
+    rs = np.floor(s + 0.5)
+    dq = np.abs(rq - q)
+    dr = np.abs(rr - r)
+    ds_ = np.abs(rs - s)
+    fix_q = (dq > ds_) & (dq > dr)
+    fix_r = (~fix_q) & (dr > ds_)
+    hq = np.where(fix_q, -rr - rs, rq).astype(np.int64)
+    hr = np.where(fix_r, -rq - rs, rr).astype(np.int64)
+    return hq, hr
+
+
+def hexbin(ds: "ray.data.Dataset", size: float, x_col: str = "x",
+           y_col: str = "y") -> "ray.data.Dataset":
+    """Hexagonal binning: one output row per touched hex with the
+    point count — the hex partition key a density map / spatial
+    shuffle uses where squares alias along diagonals.
+
+    Scale shape: per-batch partial counts collapse each batch to its
+    distinct hexes (encoded as one int64) before the groupby, so the
+    shuffle payload is O(#touched hexes), not O(#points)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        hq, hr = hex_axial(x, y, size)
+        enc = (hq << np.int64(32)) + (hr & np.int64(0xFFFFFFFF))
+        uk, cnt = np.unique(enc, return_counts=True)
+        return pa.table({"hex": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def decode(batch: pa.Table) -> pa.Table:
+        enc = batch.column("hex").to_numpy(zero_copy_only=False)
+        hq = enc >> np.int64(32)
+        lo = enc & np.int64(0xFFFFFFFF)
+        hr = np.where(lo >= np.int64(1) << np.int64(31),
+                      lo - (np.int64(1) << np.int64(32)), lo)
+        return pa.table({"hq": pa.array(hq), "hr": pa.array(hr),
+                         "n": batch.column("n")})
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    agg = part.groupby("hex").aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(decode, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -168,3 +168,43 @@ def test_decontaminate_matches_bruteforce(ray_session):
     parent, grams = ngram_strings(pd.Series(["a b", "c d e"]), 2)
     assert list(parent) == [0, 1, 1]
     assert list(grams) == ["a b", "c d", "d e"]
+
+
+def test_hexbin_matches_bruteforce(ray_session):
+    from greenex_py_ray.stages.geostats import hex_axial, hexbin
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    x = rng.uniform(0, 20000, n)
+    y = rng.uniform(0, 20000, n)
+    size = 750.0
+    pts = pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    out = (hexbin(ray.data.from_arrow(pts).repartition(8), size)
+           .to_pandas().sort_values(["hq", "hr"]).reset_index(drop=True))
+
+    hq, hr = hex_axial(x, y, size)
+    exp = (pd.DataFrame({"hq": hq, "hr": hr})
+           .groupby(["hq", "hr"]).size().rename("n").reset_index()
+           .sort_values(["hq", "hr"]).reset_index(drop=True))
+    assert out["n"].sum() == n
+    pd.testing.assert_frame_equal(
+        out[["hq", "hr", "n"]].astype({"n": "int64"}), exp)
+
+
+def test_hex_axial_rounding_invariant():
+    """Cube-rounded coordinates satisfy hq + hr + hs == 0 and every
+    point maps to the hex whose centre is nearest in axial space."""
+    from greenex_py_ray.stages.geostats import hex_axial
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-5000, 5000, 2000)
+    y = rng.uniform(-5000, 5000, 2000)
+    size = 400.0
+    hq, hr = hex_axial(x, y, size)
+    # centre of hex (q, r) in pixel space (pointy-top axial basis)
+    cx = size * (np.sqrt(3.0) * hq + np.sqrt(3.0) / 2.0 * hr)
+    cy = size * (1.5 * hr)
+    d = np.hypot(x - cx, y - cy)
+    # every point lies within the hex circumradius of its bin centre
+    assert (d <= size * 1.0000001).all()
