@@ -1716,6 +1716,42 @@ ORACLE_SQL["kde_grid"] = f"""
 """
 
 HEX_SIZE = 750.0
+SNAP_R = 1500.0
+
+# Map matching (stages/mapmatch.snap_to_segments): road segments derived
+# from supplier keys (endpoint A = derive_xy(k), endpoint B = A + a
+# bounded arithmetic offset).  The SQL candidate set is the full cross
+# join — a superset of the grid-index candidates on the Ray side — and
+# the d2 <= R² filter plus the (d2, edge_key) argmin equalize both; the
+# projection expression tree (dot/len2 clamp, ex²+ey²) is replayed
+# token-for-token so distances are bit-identical.
+_SX = dt.SQL_X.format(k="s_suppkey")
+_SY = dt.SQL_Y.format(k="s_suppkey")
+ORACLE_SQL["snap_to_road"] = f"""
+    WITH pts AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+    seg0 AS (SELECT s_suppkey AS ek, {_SX} AS ax, {_SY} AS ay,
+               {_SX} + ((s_suppkey * 48271) % 2001 - 1000.0) AS bxx,
+               {_SY} + ((s_suppkey * 16807) % 2001 - 1000.0) AS byy
+             FROM supplier),
+    seg AS (SELECT ek, ax, ay, bxx - ax AS dxv, byy - ay AS dyv,
+              (bxx - ax) * (bxx - ax) + (byy - ay) * (byy - ay) AS len2
+            FROM seg0),
+    pr AS (SELECT p.doc_id, s.ek, p.x, p.y, s.ax, s.ay, s.dxv, s.dyv,
+             least(greatest(CASE WHEN s.len2 = 0.0 THEN 0.0
+                                 ELSE ((p.x - s.ax) * s.dxv
+                                       + (p.y - s.ay) * s.dyv) / s.len2
+                            END, 0.0), 1.0) AS tc
+           FROM pts p CROSS JOIN seg s),
+    dd AS (SELECT doc_id, ek, tc,
+             (x - (ax + tc * dxv)) * (x - (ax + tc * dxv))
+             + (y - (ay + tc * dyv)) * (y - (ay + tc * dyv)) AS d2
+           FROM pr),
+    r AS (SELECT doc_id, ek, tc, d2,
+            row_number() OVER (PARTITION BY doc_id ORDER BY d2, ek) AS rn
+          FROM dd WHERE d2 <= {SNAP_R!r} * {SNAP_R!r})
+    SELECT doc_id, ek AS edge_key, tc AS snap_t, sqrt(d2) AS snap_dist
+    FROM r WHERE rn = 1
+"""
 
 # Hexagonal binning (stages/geostats.hexbin): pointy-top axial hex ids
 # via the public fractional-axial + cube-rounding formula (Red Blob
@@ -3977,6 +4013,31 @@ def q_kde_grid(sf_dir: str):
     return kde_grid(ds, KDE_CELL, KDE_SIGMA, KDE_RADIUS, KDE_N, KDE_N)
 
 
+def _road_segments_from_supplier(sf_dir: str) -> pa.Table:
+    """Synthetic road-segment table from supplier keys (small side —
+    broadcast): A = derive_xy(k), B = A + bounded arithmetic offsets,
+    identical ops to the SQL oracle's seg0 CTE."""
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ax, ay = dt.derive_xy(k)
+    bx = ax + ((k * 48271) % 2001 - 1000.0)
+    by = ay + ((k * 16807) % 2001 - 1000.0)
+    return pa.table({"edge_key": pa.array(k), "ax": pa.array(ax),
+                     "ay": pa.array(ay), "bx": pa.array(bx),
+                     "by": pa.array(by)})
+
+
+def q_snap_to_road(sf_dir: str):
+    """Map matching (stages/mapmatch.snap_to_segments): broadcast
+    segment table, per-actor uniform-grid index, vectorized
+    point→segment projection, nearest within SNAP_R."""
+    from ..stages.mapmatch import snap_to_segments
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE).select_columns(
+        ["doc_id", "x", "y"])
+    return snap_to_segments(ds, _road_segments_from_supplier(sf_dir), SNAP_R)
+
+
 def q_hexbin(sf_dir: str):
     """Hex binning (stages/geostats.hexbin): pointy-top axial hex ids
     with per-batch partial counts, so the groupby ships O(touched
@@ -4247,6 +4308,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "kde_grid": q_kde_grid,
     "hexbin": q_hexbin,
+    "snap_to_road": q_snap_to_road,
     "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,
     "haversine_nearest": q_haversine_nearest,
