@@ -1717,6 +1717,39 @@ ORACLE_SQL["kde_grid"] = f"""
 
 HEX_SIZE = 750.0
 SNAP_R = 1500.0
+LINE_W = 3
+LINE_MIN_DOCS = 4
+
+# C4-style frequent-line removal (stages/scrub.line_dedup): lines =
+# consecutive runs of LINE_W space-separated tokens; a line occurring
+# in >= LINE_MIN_DOCS distinct documents is boilerplate and dropped
+# everywhere.  The Ray side bans by 64-bit line hash (collision odds
+# ~1e-10 at gate scale); the oracle bans by the line string itself —
+# outputs agree unless the poly-hash collides.
+ORACLE_SQL["line_dedup"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             CAST(generate_subscripts(string_split(text, ' '), 1)
+                  AS BIGINT) AS o
+      FROM documents),
+    lines AS (
+      SELECT doc_id, CAST(floor((o - 1) / {LINE_W}) AS BIGINT) AS lid,
+             string_agg(tok, ' ' ORDER BY o) AS ltext
+      FROM toks GROUP BY doc_id, lid),
+    freq AS (SELECT ltext, count(DISTINCT doc_id) AS nd
+             FROM lines GROUP BY ltext),
+    flagged AS (SELECT l.doc_id, l.lid, l.ltext,
+                  (f.nd >= {LINE_MIN_DOCS}) AS banned
+                FROM lines l JOIN freq f USING (ltext)),
+    agg AS (SELECT doc_id,
+              coalesce(string_agg(CASE WHEN NOT banned THEN ltext END,
+                                  ' ' ORDER BY lid), '') AS clean_text,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CASE WHEN banned THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_removed
+            FROM flagged GROUP BY doc_id)
+    SELECT doc_id, clean_text, n_lines, n_removed FROM agg
+"""
 
 # Map matching (stages/mapmatch.snap_to_segments): road segments derived
 # from supplier keys (endpoint A = derive_xy(k), endpoint B = A + a
@@ -4038,6 +4071,16 @@ def q_snap_to_road(sf_dir: str):
     return snap_to_segments(ds, _road_segments_from_supplier(sf_dir), SNAP_R)
 
 
+def q_line_dedup(sf_dir: str):
+    """Frequent-line removal (stages/scrub.line_dedup): pass-1 distinct
+    (line, doc) partials → O(distinct lines) groupby → broadcast banned
+    set → pass-2 vectorized rewrite."""
+    from ..stages.scrub import line_dedup
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_dedup(ds, width=LINE_W, min_docs=LINE_MIN_DOCS)
+
+
 def q_hexbin(sf_dir: str):
     """Hex binning (stages/geostats.hexbin): pointy-top axial hex ids
     with per-batch partial counts, so the groupby ships O(touched
@@ -4309,6 +4352,7 @@ QUERIES = {
     "kde_grid": q_kde_grid,
     "hexbin": q_hexbin,
     "snap_to_road": q_snap_to_road,
+    "line_dedup": q_line_dedup,
     "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,
     "haversine_nearest": q_haversine_nearest,

@@ -106,3 +106,136 @@ def repetition_batch(batch: pd.DataFrame,
     batch["top_frac"] = np.where(
         n_tokens > 0, np.round(top / denom, 6), 0.0)
     return batch
+
+
+# ---------------------------------------------------------------------------
+# Frequent-line removal (C4-style boilerplate dedup)
+# ---------------------------------------------------------------------------
+
+def _line_token_structure(col, width: int):
+    """Split ``col`` into space-separated tokens and group consecutive
+    runs of ``width`` tokens into lines.  Returns ``(tok_values,
+    tok_parent, line_hash, line_parent, line_gid_of_token, n_docs)``
+    — all vectorized (Arrow split + buffer hashing + cumsum), no
+    per-row Python."""
+    from .text import _poly_hash_segments, hash_string_array
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tok = pc.split_pattern(pc.fill_null(col, ""), " ")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    loff = np.asarray(tok.offsets, dtype=np.int64)
+    counts = np.diff(loff)
+    n_docs = len(counts)
+    total = int(loff[-1] - loff[0])
+    vals = tok.values
+    h_tok = hash_string_array(vals)
+
+    parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(loff[:-1] - loff[0], counts)
+    new_line = (pos % width) == 0
+    line_gid = np.cumsum(new_line) - 1
+    starts = np.flatnonzero(new_line).astype(np.int64)
+    line_offsets = np.append(starts, total)
+    # line hash = polynomial combine of its token hashes, in order —
+    # the same Horner family as the byte-level hash, applied one level
+    # up (token hashes as the "bytes")
+    h_line = _poly_hash_segments(h_tok, line_offsets)
+    line_parent = parent[starts] if total else np.empty(0, np.int64)
+    return vals, parent, h_line, line_parent, line_gid, n_docs
+
+
+def line_freq_partial(batch: pa.Table, width: int = 3,
+                      text_col: str = "text") -> pa.Table:
+    """Pass 1 partial: (line_hash → distinct docs in this batch).  Rows
+    never split across batches, so per-batch distinct-doc counts sum to
+    the global distinct-doc count."""
+    _, _, h_line, line_parent, _, _ = _line_token_structure(
+        batch.column(text_col), width)
+    order = np.lexsort((line_parent, h_line))
+    hs, ps = h_line[order], line_parent[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+    uh, cnt = np.unique(hs[first], return_counts=True)
+    return pa.table({"lh": pa.array(uh.view(np.int64)),
+                     "n": pa.array(cnt.astype(np.int64))})
+
+
+class LineFilter:
+    """Pass 2 actor: drop every line whose hash is in the banned set
+    (broadcast as a sorted int64 array — boilerplate sets stay small
+    even at corpus scale; a bucket-join variant would co-locate on the
+    line hash if the set ever outgrew the object store).
+
+    Output: key + ``clean_text`` (kept lines re-joined), ``n_lines``,
+    ``n_removed``."""
+
+    def __init__(self, banned_ref, width: int = 3, key_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray as _ray
+
+        b = _ray.get(banned_ref) if isinstance(banned_ref, _ray.ObjectRef) else banned_ref
+        self.banned = np.sort(np.asarray(b, dtype=np.uint64))
+        self.width = width
+        self.key_col = key_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals, parent, h_line, line_parent, line_gid, n = \
+            _line_token_structure(batch.column(self.text_col), self.width)
+        if len(self.banned):
+            idx = np.searchsorted(self.banned, h_line)
+            np.clip(idx, 0, len(self.banned) - 1, out=idx)
+            line_banned = self.banned[idx] == h_line
+        else:
+            line_banned = np.zeros(len(h_line), dtype=bool)
+        tok_keep = ~line_banned[line_gid] if len(line_gid) else \
+            np.empty(0, dtype=bool)
+
+        kept_vals = vals.filter(pa.array(tok_keep))
+        kept_counts = np.bincount(parent[tok_keep], minlength=n)
+        offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_vals),
+            " ")
+        n_lines = np.bincount(line_parent, minlength=n)
+        n_removed = np.bincount(line_parent[line_banned], minlength=n)
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "clean_text": clean,
+            "n_lines": pa.array(n_lines.astype(np.int64)),
+            "n_removed": pa.array(n_removed.astype(np.int64)),
+        })
+
+
+def line_dedup(ds: "ray.data.Dataset", width: int = 3, min_docs: int = 4,
+               key_col: str = "doc_id", text_col: str = "text",
+               concurrency=(1, 8)) -> "ray.data.Dataset":
+    """C4-style frequent-line removal: lines (runs of ``width`` tokens)
+    that occur in ``>= min_docs`` distinct documents are boilerplate and
+    are dropped from every document.
+
+    Scale shape: pass 1 collapses each batch to distinct (line, doc)
+    partials, so the groupby ships O(distinct lines per batch); the
+    banned set (frequency >= threshold) is tiny by construction and is
+    broadcast once via ``ray.put`` for the pass-2 rewrite."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    freq = (ds.map_batches(
+                lambda b: line_freq_partial(b, width, text_col),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("lh").aggregate(Sum("n", alias_name="n")))
+    banned_tbl = (freq.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), min_docs)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas())
+    banned = banned_tbl["lh"].to_numpy(dtype=np.int64).view(np.uint64)
+    ref = _ray.put(banned)
+    return ds.map_batches(
+        LineFilter,
+        fn_constructor_kwargs=dict(banned_ref=ref, width=width,
+                                   key_col=key_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=0.5,
+    )

@@ -219,6 +219,25 @@ def fingerprint64(texts: list[str]) -> np.ndarray:
     return _poly_hash_segments(flat, offsets)
 
 
+def hash_string_array(arr: "pa.Array") -> np.ndarray:
+    """64-bit polynomial hash of every string in an Arrow string array,
+    straight off the Arrow buffers (zero-copy, no ``to_pylist``).
+    Handles sliced arrays and large_string offsets."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        odt, osz = np.int64, 8
+    else:
+        odt, osz = np.int32, 4
+    buf = arr.buffers()
+    offsets = np.frombuffer(buf[1], dtype=odt, count=len(arr) + 1,
+                            offset=arr.offset * osz).astype(np.int64)
+    data = (np.frombuffer(buf[2], dtype=np.uint8)
+            if buf[2] is not None else np.empty(0, np.uint8))
+    flat = data[offsets[0]:offsets[-1]]
+    return _poly_hash_segments(flat, offsets - offsets[0])
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fp = fingerprint64(batch.column(text_col).to_pylist())
     return batch.append_column("fingerprint", pa.array(fp.astype(np.int64)))

@@ -208,3 +208,53 @@ def test_hex_axial_rounding_invariant():
     d = np.hypot(x - cx, y - cy)
     # every point lies within the hex circumradius of its bin centre
     assert (d <= size * 1.0000001).all()
+
+
+def test_line_dedup_matches_bruteforce(ray_session):
+    from greenex_py_ray.stages.scrub import line_dedup
+
+    rng = np.random.default_rng(17)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    boiler = "xx yy zz"  # a line every doc shares
+    texts, n = [], 40
+    for i in range(n):
+        words = list(rng.choice(vocab, size=rng.integers(5, 20)))
+        # insert the boilerplate line at a 3-token boundary
+        words = words[: (len(words) // 3) * 3] + boiler.split() + words[:3]
+        texts.append(" ".join(words))
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    width, min_docs = 3, 4
+    out = (line_dedup(ray.data.from_arrow(tbl).repartition(5),
+                      width=width, min_docs=min_docs)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    # brute force: line → distinct doc count, then rewrite
+    from collections import defaultdict
+    docs_of = defaultdict(set)
+    def lines_of(t):
+        w = t.split(" ")
+        return [" ".join(w[i:i + width]) for i in range(0, len(w), width)]
+    for i, t in enumerate(texts):
+        for ln in lines_of(t):
+            docs_of[ln].add(i)
+    banned = {ln for ln, d in docs_of.items() if len(d) >= min_docs}
+    assert boiler in banned
+    for i, t in enumerate(texts):
+        lns = lines_of(t)
+        kept = [ln for ln in lns if ln not in banned]
+        assert out.loc[i, "clean_text"] == " ".join(kept)
+        assert out.loc[i, "n_lines"] == len(lns)
+        assert out.loc[i, "n_removed"] == len(lns) - len(kept)
+
+
+def test_line_dedup_all_removed(ray_session):
+    """Documents made entirely of boilerplate collapse to ''."""
+    from greenex_py_ray.stages.scrub import line_dedup
+
+    tbl = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                    "text": pa.array(["p q r"] * 6)})
+    out = (line_dedup(ray.data.from_arrow(tbl), width=3, min_docs=4)
+           .to_pandas())
+    assert (out["clean_text"] == "").all()
+    assert (out["n_removed"] == 1).all()
