@@ -1720,6 +1720,26 @@ SNAP_R = 1500.0
 LINE_W = 3
 LINE_MIN_DOCS = 4
 
+EDIT_MAX_CHARS = 40
+
+# Edit-distance near-dup verify (stages/dedup.edit_distance_verify_batch):
+# consecutive-id candidate pairs, exact Levenshtein over the first
+# EDIT_MAX_CHARS chars, batch-vectorized DP (the O(L²) loops run over
+# char positions; every cell update is one numpy op across all pairs).
+ORACLE_SQL["edit_distance"] = f"""
+    WITH t AS (SELECT doc_id, substr(text, 1, {EDIT_MAX_CHARS}) AS tx
+               FROM documents),
+    p AS (SELECT a.doc_id, a.tx AS ta, b.tx AS tb
+          FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+    l AS (SELECT doc_id, CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+                 greatest(length(ta), length(tb)) AS mx
+          FROM p)
+    SELECT doc_id, lev,
+           round(CASE WHEN mx = 0 THEN 1.0
+                      ELSE 1.0 - CAST(lev AS DOUBLE) / mx END, 6) AS sim
+    FROM l
+"""
+
 # C4-style frequent-line removal (stages/scrub.line_dedup): lines =
 # consecutive runs of LINE_W space-separated tokens; a line occurring
 # in >= LINE_MIN_DOCS distinct documents is boilerplate and dropped
@@ -4071,6 +4091,34 @@ def q_snap_to_road(sf_dir: str):
     return snap_to_segments(ds, _road_segments_from_supplier(sf_dir), SNAP_R)
 
 
+def q_edit_distance(sf_dir: str):
+    """Levenshtein verify over consecutive-id candidate pairs: pairs
+    built by a hash-bucket join (doc k ⋈ doc k+1), then the batched DP
+    kernel."""
+    from ..functions.joins import bucket_join_attach
+    from ..stages.dedup import edit_distance_verify_batch
+
+    docs = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def as_left(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text_a": b.column("text")})
+
+    def as_right(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy(zero_copy_only=False) - 1
+        return pa.table({"doc_id": pa.array(k),
+                         "text_b": b.column("text")})
+
+    left = docs.map_batches(as_left, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = docs.map_batches(as_right, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    pairs = bucket_join_attach(left, right, key="doc_id")
+    return pairs.map_batches(
+        lambda b: edit_distance_verify_batch(b, max_chars=EDIT_MAX_CHARS),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_line_dedup(sf_dir: str):
     """Frequent-line removal (stages/scrub.line_dedup): pass-1 distinct
     (line, doc) partials → O(distinct lines) groupby → broadcast banned
@@ -4353,6 +4401,7 @@ QUERIES = {
     "hexbin": q_hexbin,
     "snap_to_road": q_snap_to_road,
     "line_dedup": q_line_dedup,
+    "edit_distance": q_edit_distance,
     "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,
     "haversine_nearest": q_haversine_nearest,

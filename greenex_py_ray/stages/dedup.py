@@ -810,3 +810,62 @@ def near_dedup(ds: "ray.data.Dataset", key_col: str = "doc_id",
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) verify
+# ---------------------------------------------------------------------------
+
+def levenshtein_batch(texts_a, texts_b):
+    """Exact Levenshtein distance for a batch of string pairs,
+    vectorized ACROSS the batch: the O(L²) DP loops run over character
+    positions (bounded by the truncation length the caller applies),
+    and every DP cell update is one numpy op over all pairs at once —
+    the per-pair work is pure C.  Returns (lev:int32, la, lb)."""
+    n = len(texts_a)
+
+    def mat(ts):
+        enc = [(t or "").encode("utf-32-le") for t in ts]
+        lens = np.array([len(e) >> 2 for e in enc], dtype=np.int64)
+        width = int(lens.max()) if n else 0
+        m = np.zeros((n, width), dtype=np.uint32)
+        if width:
+            flat = np.frombuffer(b"".join(enc), dtype=np.uint32)
+            m[np.arange(width)[None, :] < lens[:, None]] = flat
+        return m, lens
+
+    a, la = mat(texts_a)
+    b, lb = mat(texts_b)
+    wa, wb = a.shape[1], b.shape[1]
+    prev = np.tile(np.arange(wb + 1, dtype=np.int32), (n, 1))
+    cur = np.empty_like(prev)
+    ans = np.where(la == 0, lb, 0).astype(np.int32)
+    for i in range(1, wa + 1):
+        cur[:, 0] = i
+        ai = a[:, i - 1]
+        for j in range(1, wb + 1):
+            cost = (ai != b[:, j - 1]).astype(np.int32)
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+        done = la == i
+        if done.any():
+            ans[done] = cur[done, lb[done]]
+        prev, cur = cur, prev
+    return ans, la, lb
+
+
+def edit_distance_verify_batch(batch: pa.Table, text_a: str = "text_a",
+                               text_b: str = "text_b",
+                               max_chars: int = 40) -> pa.Table:
+    """Verify candidate pairs by normalized edit similarity over the
+    first ``max_chars`` characters.  Appends ``lev`` (int64) and ``sim``
+    = round(1 - lev/max(len), 6)."""
+    ta = pc.utf8_slice_codeunits(batch.column(text_a), 0, max_chars).to_pylist()
+    tb = pc.utf8_slice_codeunits(batch.column(text_b), 0, max_chars).to_pylist()
+    lev, la, lb = levenshtein_batch(ta, tb)
+    mx = np.maximum(la, lb)
+    sim = np.round(np.where(mx == 0, 1.0,
+                            1.0 - lev / np.maximum(mx, 1)), 6)
+    return (batch.drop_columns([text_a, text_b])
+            .append_column("lev", pa.array(lev.astype(np.int64)))
+            .append_column("sim", pa.array(sim)))

@@ -395,3 +395,32 @@ def test_ivf_index_build_query(ray_session, tmp_path):
     cell_of = d2.argmin(1)
     for _, row in iv.iterrows():
         assert cell_of[int(row["vec_id"])] in probe[int(row["query_id"])]
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_batch_matches_reference():
+    from greenex_py_ray.stages.dedup import levenshtein_batch
+
+    rng = np.random.default_rng(23)
+    alphabet = list("abcde") + ["é", "ß", "你"]
+    pairs = []
+    for _ in range(120):
+        la, lb = rng.integers(0, 12, 2)
+        pairs.append(("".join(rng.choice(alphabet, la)),
+                      "".join(rng.choice(alphabet, lb))))
+    pairs += [("", ""), ("abc", ""), ("", "xyz"), ("same", "same")]
+    lev, la, lb = levenshtein_batch([p[0] for p in pairs],
+                                    [p[1] for p in pairs])
+    for i, (a, b) in enumerate(pairs):
+        assert lev[i] == _lev_ref(a, b), (a, b)
+        assert la[i] == len(a) and lb[i] == len(b)
