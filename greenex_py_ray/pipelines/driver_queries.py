@@ -1722,6 +1722,22 @@ LINE_MIN_DOCS = 4
 
 EDIT_MAX_CHARS = 40
 
+# Mixture sampling / data mixing (stages/sampling.mixture_sample):
+# target weight of source 'srcN' is (N+1)/210; T* = min_s(avail/wt) is
+# the largest corpus honouring the mixture without upsampling; each
+# source keeps rate = wt·T*/avail of its rows by a wrapping LCG key
+# hash (uniform from k=1 up).  Identical double ops both sides.
+ORACLE_SQL["mixture_sample"] = """
+    WITH n AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail,
+                 (CAST(substr(source, 4) AS BIGINT) + 1) / 210.0 AS wt
+               FROM documents GROUP BY source),
+    t AS (SELECT min(avail / wt) AS ts FROM n),
+    r AS (SELECT source, (wt * t.ts) / avail AS rate FROM n, t)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE ((d.doc_id * 1103515245 + 12345) % 1000003) / 1000003.0 < r.rate
+"""
+
 # Edit-distance near-dup verify (stages/dedup.edit_distance_verify_batch):
 # consecutive-id candidate pairs, exact Levenshtein over the first
 # EDIT_MAX_CHARS chars, batch-vectorized DP (the O(L²) loops run over
@@ -4091,6 +4107,17 @@ def q_snap_to_road(sf_dir: str):
     return snap_to_segments(ds, _road_segments_from_supplier(sf_dir), SNAP_R)
 
 
+def q_mixture_sample(sf_dir: str):
+    """Source-mixture downsampling (stages/sampling.mixture_sample):
+    weight of srcN = (N+1)/210 over the 20 synthetic sources."""
+    from ..stages.sampling import mixture_sample
+
+    ds = dt.read_table(sf_dir, "documents",
+                       columns=["doc_id", "source", "n_chars"])
+    out = mixture_sample(ds, lambda s: (int(s[3:]) + 1) / 210.0)
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_edit_distance(sf_dir: str):
     """Levenshtein verify over consecutive-id candidate pairs: pairs
     built by a hash-bucket join (doc k ⋈ doc k+1), then the batched DP
@@ -4402,6 +4429,7 @@ QUERIES = {
     "snap_to_road": q_snap_to_road,
     "line_dedup": q_line_dedup,
     "edit_distance": q_edit_distance,
+    "mixture_sample": q_mixture_sample,
     "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,
     "haversine_nearest": q_haversine_nearest,

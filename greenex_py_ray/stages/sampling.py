@@ -98,3 +98,46 @@ def stratified_sample(ds: "ray.data.Dataset", group_col: str, key_col: str,
     out = topk_per_group(ranked, group_col, "neg_rank", n_per_group,
                          key_col, emit_rank=False)
     return out.drop_columns(["neg_rank"])
+
+
+def mixture_sample(ds: "ray.data.Dataset", weight_of,
+                   group_col: str = "source", size_col: str = "n_chars",
+                   key_col: str = "doc_id",
+                   salt: int = 0) -> "ray.data.Dataset":
+    """Data-mixing sampler: downsample each source to hit a target
+    mixture without upsampling any of them.
+
+    Given target weights ``w_s`` (``weight_of(group) -> float``) and
+    available sizes ``n_s = sum(size_col)``, the largest corpus
+    honouring the mixture is ``T* = min_s(n_s / w_s)``; each source
+    keeps a deterministic ``w_s·T*/n_s`` fraction of its rows by Lehmer
+    key hash — membership is stable across runs and cluster sizes.
+
+    Scale shape: one O(#sources) groupby (tiny), rates resolved on the
+    driver and shipped in the filter closure; the filter itself is a
+    streaming vectorized map_batches."""
+    from ray.data.aggregate import Sum
+
+    avail_df = (ds.groupby(group_col)
+                .aggregate(Sum(size_col, alias_name="avail")).to_pandas())
+    groups = avail_df[group_col].to_numpy()
+    avail = avail_df["avail"].to_numpy(dtype=np.float64)
+    wt = np.array([weight_of(g) for g in groups], dtype=np.float64)
+    ts = float((avail / wt).min())
+    rates = dict(zip(groups, (wt * ts) / avail))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = batch.column(group_col).to_pandas().map(rates).to_numpy(
+            dtype=np.float64)
+        k = np.asarray(batch.column(key_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        if k.size and k.min() < 0:
+            raise ValueError("mixture_sample requires non-negative keys")
+        # NOT hash_rank: the Lehmer residue k*48271 % (2^31-1) doesn't
+        # wrap for small keys, so u would be far from uniform on dense
+        # low ids.  k*1103515245 wraps the 1e6 modulus from k=1 up.
+        u = ((k * 1103515245 + 12345 + salt) % 1000003) / 1000003.0
+        return batch.filter(pa.array(u < r))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

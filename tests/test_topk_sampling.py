@@ -286,3 +286,39 @@ def test_bm25_topk_matches_bruteforce(ray_session):
     got = list(zip(out["doc_id"].astype(int), out["score_r6"],
                    out["rank"].astype(int)))
     assert got == exp
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    from greenex_py_ray.stages.sampling import mixture_sample
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    src = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    sz = rng.integers(50, 150, n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "source": pa.array(src), "n_chars": pa.array(sz)})
+    w = {"a": 0.5, "b": 0.3, "c": 0.2}
+
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = mixture_sample(ds, lambda s: w[s]).to_pandas()
+    out2 = mixture_sample(ray.data.from_arrow(tbl).repartition(7),
+                          lambda s: w[s]).to_pandas()
+    # deterministic under repartitioning
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+    # brute-force the same rate math
+    avail = {g: float(sz[src == g].sum()) for g in w}
+    ts = min(avail[g] / w[g] for g in w)
+    rates = {g: (w[g] * ts) / avail[g] for g in w}
+    k = np.arange(n, dtype=np.int64)
+    u = ((k * 1103515245 + 12345) % 1000003) / 1000003.0
+    keep = u < np.vectorize(rates.get)(src)
+    assert sorted(out["doc_id"]) == list(np.flatnonzero(keep))
+    # the binding source keeps (nearly) everything; realized mixture of
+    # kept chars approximates the target within sampling noise
+    binding = min(w, key=lambda g: avail[g] / w[g])
+    kept_sz = {g: float(sz[keep & (src == g)].sum()) for g in w}
+    assert kept_sz[binding] == avail[binding]
+    tot = sum(kept_sz.values())
+    for g in w:
+        assert abs(kept_sz[g] / tot - w[g]) < 0.05
