@@ -1722,6 +1722,68 @@ LINE_MIN_DOCS = 4
 
 EDIT_MAX_CHARS = 40
 
+# Per-group OLS trend (stages/regression.group_ols): value ~ event_id
+# per event_type.  All sufficient statistics are INTEGER sums (value
+# quantized ×100 → exact), so partial-combine order can't perturb a
+# bit; slope/intercept are single double expressions over those ints.
+ORACLE_SQL["ols_trend"] = """
+    WITH q AS (SELECT event_type, event_id AS x,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS yq
+               FROM events),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+            CAST(sum(x * yq) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM q GROUP BY event_type),
+    f AS (SELECT event_type, n,
+            CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+            CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+            CAST(n AS DOUBLE) AS nd
+          FROM s)
+    SELECT event_type, n,
+           CASE WHEN den = 0.0 THEN NULL
+                ELSE num / den / 100.0 END AS slope,
+           CASE WHEN den = 0.0 THEN NULL
+                ELSE (syd / 100.0 - (num / den / 100.0) * sxd) / nd
+           END AS intercept
+    FROM f
+"""
+
+# Per-doc Shannon token entropy (stages/text.token_entropy_batch):
+# each token TYPE contributes integer micro-nats round(c·ln(c/n)·1e6);
+# the doc entropy is the negated integer sum — no float-accumulation
+# order ambiguity, purely per-doc (no shuffle at all).
+ORACLE_SQL["token_entropy"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents),
+    tnz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+          FROM tnz GROUP BY doc_id, tok),
+    n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY doc_id),
+    term AS (SELECT c.doc_id,
+               CAST(round(c.c * ln(CAST(c.c AS DOUBLE) / n.n)
+                          * 1000000.0, 0) AS BIGINT) AS t
+             FROM c JOIN n USING (doc_id)),
+    s AS (SELECT doc_id, CAST(-sum(t) AS BIGINT) AS ent_q
+          FROM term GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(n.n, 0) AS n_tokens,
+           coalesce(s.ent_q, 0) AS ent_q
+    FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN s USING (doc_id)
+"""
+
+# Schema-on-read JSON prop extraction (stages/text.extract_json_int):
+# both engines run the same RE2 pattern over the props JSON string.
+ORACLE_SQL["json_prop"] = r"""
+    SELECT event_id,
+           CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                AS BIGINT) AS k
+    FROM events
+"""
+
 # Mixture sampling / data mixing (stages/sampling.mixture_sample):
 # target weight of source 'srcN' is (N+1)/210; T* = min_s(avail/wt) is
 # the largest corpus honouring the mixture without upsampling; each
@@ -4107,6 +4169,36 @@ def q_snap_to_road(sf_dir: str):
     return snap_to_segments(ds, _road_segments_from_supplier(sf_dir), SNAP_R)
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc token entropy in integer micro-nats (stages/text
+    .token_entropy_batch) — pure map_batches, no shuffle."""
+    from ..stages.text import token_entropy_batch
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_entropy_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_json_prop(sf_dir: str):
+    """Typed JSON prop pull from the events props column
+    (stages/text.extract_json_int)."""
+    from ..stages.text import extract_json_int
+
+    ds = dt.read_table(sf_dir, "events", columns=["event_id", "props"])
+    out = ds.map_batches(lambda b: extract_json_int(b, "k"),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["event_id", "k"])
+
+
+def q_ols_trend(sf_dir: str):
+    """Per-event-type OLS value trend (stages/regression.group_ols)."""
+    from ..stages.regression import group_ols
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["event_id", "event_type", "value"])
+    return group_ols(ds, "event_type", "event_id", "value", y_scale=100.0)
+
+
 def q_mixture_sample(sf_dir: str):
     """Source-mixture downsampling (stages/sampling.mixture_sample):
     weight of srcN = (N+1)/210 over the 20 synthetic sources."""
@@ -4430,6 +4522,9 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "edit_distance": q_edit_distance,
     "mixture_sample": q_mixture_sample,
+    "ols_trend": q_ols_trend,
+    "token_entropy": q_token_entropy,
+    "json_prop": q_json_prop,
     "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,
     "haversine_nearest": q_haversine_nearest,

@@ -314,3 +314,65 @@ def corpus_profile(ds: "ray.data.Dataset",
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(cols).aggregate(Sum("pn", alias_name="n_docs"),
                                      Sum("pc", alias_name="sum_chars")))
+
+
+def token_entropy_batch(batch: pa.Table, text_col: str = "text",
+                        key_col: str = "doc_id") -> pa.Table:
+    """Per-document Shannon token entropy (quality signal: low entropy
+    = repetitive/boilerplate text, high = keyboard mash).
+
+    Order-free determinism: each token type contributes the integer
+    ``round(c·ln(c/n)·1e6)`` micro-nats, and the per-doc entropy is the
+    negated INTEGER sum — no float accumulation ambiguity.  Purely
+    per-doc (no shuffle): split → hash → sorted run-lengths, all
+    vectorized."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tok = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(col, "")), r"\s+")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    loff = np.asarray(tok.offsets, dtype=np.int64)
+    counts = np.diff(loff)
+    n_docs = len(counts)
+    vals = tok.values
+    h = hash_string_array(vals)
+    parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    # drop empty tokens (an empty/whitespace-only doc splits to [''])
+    nz = pc.not_equal(vals, "").to_numpy(zero_copy_only=False) \
+        if len(vals) else np.empty(0, bool)
+    h, parent = h[nz], parent[nz]
+
+    order = np.lexsort((h, parent))
+    hs, ps = h[order], parent[order]
+    bound = np.ones(len(hs), dtype=bool)
+    bound[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+    starts = np.flatnonzero(bound)
+    c = np.diff(np.append(starts, len(hs))).astype(np.int64)
+    gp = ps[starts] if len(hs) else np.empty(0, np.int64)
+    n_tok = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    term = np.round(c * np.log(c / n_tok[gp]) * 1e6, 0)
+    ent_q = -np.bincount(gp, weights=term, minlength=n_docs)
+    return pa.table({
+        key_col: batch.column(key_col),
+        "n_tokens": pa.array(n_tok),
+        "ent_q": pa.array(ent_q.astype(np.int64)),
+    })
+
+
+#: RE2 pattern shared with the DuckDB oracle for the typed JSON prop
+#: pull (a real pipeline would use a JSON kernel; the Arrow build here
+#: has none, and RE2 match semantics are identical in both engines —
+#: Arrow's extract_regex just requires the capture group to be NAMED).
+JSON_INT_RE = r'"{name}":\s*(?P<v>-?\d+)'
+
+
+def extract_json_int(batch: pa.Table, prop: str, json_col: str = "props",
+                     out_col: str | None = None) -> pa.Table:
+    """Schema-on-read: pull an integer property out of a JSON string
+    column (NULL when absent), vectorized RE2."""
+    pat = JSON_INT_RE.format(name=prop)
+    m = pc.extract_regex(batch.column(json_col), pat)
+    out = pc.cast(pc.struct_field(m, "v"), pa.int64())
+    return batch.append_column(out_col or prop, out)
