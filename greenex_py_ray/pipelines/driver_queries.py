@@ -1752,6 +1752,33 @@ ORACLE_SQL["ols_trend"] = """
     FROM f
 """
 
+PYR_CELL = 500.0
+PYR_LEVELS = 3
+
+# Multi-zoom tile pyramid (stages/geostats.tile_pyramid): counts per
+# cell at 3 zooms from ONE batch pass + ONE groupby (each zoom's
+# partials collapse 4:1 inside the batch before the shuffle).
+ORACLE_SQL["tile_pyramid"] = f"""
+    WITH pts AS (SELECT {_X} AS x, {_Y} AS y FROM documents),
+    c2 AS (SELECT CAST(floor(x / {PYR_CELL!r}) AS BIGINT) AS cx,
+                  CAST(floor(y / {PYR_CELL!r}) AS BIGINT) AS cy
+           FROM pts),
+    l2 AS (SELECT CAST(2 AS BIGINT) AS zoom, cx, cy,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM c2 GROUP BY cx, cy),
+    l1 AS (SELECT CAST(1 AS BIGINT) AS zoom,
+                  CAST(floor(cx / 2.0) AS BIGINT) AS cx,
+                  CAST(floor(cy / 2.0) AS BIGINT) AS cy,
+                  CAST(sum(n) AS BIGINT) AS n
+           FROM l2 GROUP BY 2, 3),
+    l0 AS (SELECT CAST(0 AS BIGINT) AS zoom,
+                  CAST(floor(cx / 2.0) AS BIGINT) AS cx,
+                  CAST(floor(cy / 2.0) AS BIGINT) AS cy,
+                  CAST(sum(n) AS BIGINT) AS n
+           FROM l1 GROUP BY 2, 3)
+    SELECT * FROM l2 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l0
+"""
+
 # Per-doc Shannon token entropy (stages/text.token_entropy_batch):
 # each token TYPE contributes integer micro-nats round(c·ln(c/n)·1e6);
 # the doc entropy is the negated integer sum — no float-accumulation
@@ -4169,6 +4196,14 @@ def q_snap_to_road(sf_dir: str):
     return snap_to_segments(ds, _road_segments_from_supplier(sf_dir), SNAP_R)
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Three-zoom tile-count pyramid (stages/geostats.tile_pyramid)."""
+    from ..stages.geostats import tile_pyramid
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return tile_pyramid(ds, PYR_CELL, PYR_LEVELS)
+
+
 def q_token_entropy(sf_dir: str):
     """Per-doc token entropy in integer micro-nats (stages/text
     .token_entropy_batch) — pure map_batches, no shuffle."""
@@ -4524,6 +4559,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "ols_trend": q_ols_trend,
     "token_entropy": q_token_entropy,
+    "tile_pyramid": q_tile_pyramid,
     "json_prop": q_json_prop,
     "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,

@@ -277,3 +277,48 @@ def hexbin(ds: "ray.data.Dataset", size: float, x_col: str = "x",
     agg = part.groupby("hex").aggregate(Sum("n", alias_name="n"))
     return agg.map_batches(decode, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def tile_pyramid(ds: "ray.data.Dataset", base_cell: float, levels: int = 3,
+                 x_col: str = "x", y_col: str = "y") -> "ray.data.Dataset":
+    """Multi-zoom tile-count pyramid: point counts per cell at
+    ``levels`` zooms, each zoom doubling the cell size (the
+    pre-aggregation a map renderer / density service reads instead of
+    rescanning points).
+
+    Zoom ``levels-1`` is the finest (cell = ``base_cell``); each parent
+    cell id is the child's ``>> 1``.  One batch pass emits partial
+    counts for EVERY zoom (child batch collapses 4:1 per level up), so
+    a single groupby ships O(touched cells × 4/3) rows total — one
+    shuffle for the whole pyramid, not one per level."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cx = np.floor(x / base_cell).astype(np.int64)
+        cy = np.floor(y / base_cell).astype(np.int64)
+        zs, xs, ys, ns = [], [], [], []
+        for z in range(levels - 1, -1, -1):
+            # sign-safe pack/unpack (negative cells west/south of the
+            # origin survive the round trip — same scheme as hexbin)
+            enc = (cx << np.int64(32)) + (cy & np.int64(0xFFFFFFFF))
+            uk, cnt = np.unique(enc, return_counts=True)
+            lo = uk & np.int64(0xFFFFFFFF)
+            zs.append(np.full(len(uk), z, dtype=np.int64))
+            xs.append(uk >> np.int64(32))
+            ys.append(np.where(lo >= np.int64(1) << np.int64(31),
+                               lo - (np.int64(1) << np.int64(32)), lo))
+            ns.append(cnt.astype(np.int64))
+            # arithmetic >> floors toward -inf — exactly floor(c/2),
+            # matching the SQL parent derivation for negative cells too
+            cx, cy = cx >> 1, cy >> 1
+        return pa.table({"zoom": pa.array(np.concatenate(zs)),
+                         "cx": pa.array(np.concatenate(xs)),
+                         "cy": pa.array(np.concatenate(ys)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return part.groupby(["zoom", "cx", "cy"]).aggregate(
+        Sum("n", alias_name="n"))

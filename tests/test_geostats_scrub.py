@@ -258,3 +258,33 @@ def test_line_dedup_all_removed(ray_session):
            .to_pandas())
     assert (out["clean_text"] == "").all()
     assert (out["n_removed"] == 1).all()
+
+
+def test_tile_pyramid_invariants(ray_session):
+    from greenex_py_ray.stages.geostats import tile_pyramid
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    # include points west/south of the origin to exercise negative cells
+    x = rng.uniform(-3000, 9000, n)
+    y = rng.uniform(-3000, 9000, n)
+    pts = pa.table({"x": pa.array(x), "y": pa.array(y)})
+    out = (tile_pyramid(ray.data.from_arrow(pts).repartition(6), 500.0, 3)
+           .to_pandas())
+
+    # every zoom conserves the total count
+    assert (out.groupby("zoom")["n"].sum() == n).all()
+    # finest zoom matches a direct bincount
+    fine = out[out["zoom"] == 2].set_index(["cx", "cy"])["n"]
+    import collections
+    exp = collections.Counter(
+        zip(np.floor(x / 500.0).astype(int), np.floor(y / 500.0).astype(int)))
+    assert dict(fine) == dict(exp)
+    # each parent equals the sum of its children (floor-div toward -inf)
+    for z in (1, 0):
+        child = out[out["zoom"] == z + 1].copy()
+        child["px"] = np.floor(child["cx"] / 2).astype(int)
+        child["py"] = np.floor(child["cy"] / 2).astype(int)
+        rolled = child.groupby(["px", "py"])["n"].sum()
+        parent = out[out["zoom"] == z].set_index(["cx", "cy"])["n"]
+        assert dict(rolled) == dict(parent)
