@@ -1755,6 +1755,73 @@ ORACLE_SQL["ols_trend"] = """
 PYR_CELL = 500.0
 PYR_LEVELS = 3
 
+# Composed quality filter chain (stages/scrub.filter_chain_batch):
+# five drop rules over three per-doc kernels (quality, repetition,
+# entropy), emitted as a reason bitmask.  Each rule replays its
+# kernel's exact expression tree; the entropy rule is a pure INTEGER
+# comparison (ent_q < 2.8e6·n), so no float threshold wobble.
+ORACLE_SQL["filter_chain"] = r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS nt,
+             CAST(length(list_filter(
+                    string_split_regex(trim(text), '\s+'),
+                    t -> lower(t) IN """ + _SW_SQL["en"] + r""")) AS BIGINT)
+               AS ns
+      FROM documents),
+    rtoks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z'']+') AS ws
+              FROM documents),
+    rex AS (SELECT doc_id, unnest(ws) AS w FROM rtoks),
+    rc AS (SELECT doc_id, w, count(*) AS c FROM rex GROUP BY doc_id, w),
+    ragg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rnt,
+                    CAST(count(*) AS BIGINT) AS rnd,
+                    CAST(max(c) AS BIGINT) AS rtop
+             FROM rc GROUP BY doc_id),
+    etoks AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+    et AS (SELECT doc_id, tok FROM etoks WHERE tok <> ''),
+    ec AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM et GROUP BY doc_id, tok),
+    en AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+           FROM ec GROUP BY doc_id),
+    eterm AS (SELECT ec.doc_id,
+                CAST(round(ec.c * ln(CAST(ec.c AS DOUBLE) / en.n)
+                           * 1000000.0, 0) AS BIGINT) AS t
+              FROM ec JOIN en USING (doc_id)),
+    es AS (SELECT doc_id, CAST(-sum(t) AS BIGINT) AS eq
+           FROM eterm GROUP BY doc_id),
+    j AS (SELECT b.doc_id, b.nt, b.ns,
+            coalesce(r.rnt, 0) AS rnt, coalesce(r.rnd, 0) AS rnd,
+            coalesce(r.rtop, 0) AS rtop,
+            coalesce(e.eq, 0) AS eq, coalesce(en.n, 0) AS enn
+          FROM base b LEFT JOIN ragg r USING (doc_id)
+          LEFT JOIN es e USING (doc_id) LEFT JOIN en USING (doc_id)),
+    m AS (SELECT doc_id,
+            (CASE WHEN nt < 15 THEN 1 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN nt > 0
+                          THEN CAST(ns AS DOUBLE)
+                               / CAST(greatest(nt, 1) AS DOUBLE)
+                          ELSE 0.0 END) < 0.02 THEN 2 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN rnt > 0
+                          THEN round(1.0 - CAST(rnd AS DOUBLE)
+                                     / CAST(rnt AS DOUBLE), 6)
+                          ELSE 0.0 END) > 0.6 THEN 4 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN rnt > 0
+                          THEN round(CAST(rtop AS DOUBLE)
+                                     / CAST(rnt AS DOUBLE), 6)
+                          ELSE 0.0 END) > 0.14 THEN 8 ELSE 0 END)
+            + (CASE WHEN eq < 2800000 * enn THEN 16 ELSE 0 END)
+              AS reasons
+          FROM j)
+    SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
+           (reasons = 0) AS keep
+    FROM m
+"""
+
 # Multi-zoom tile pyramid (stages/geostats.tile_pyramid): counts per
 # cell at 3 zooms from ONE batch pass + ONE groupby (each zoom's
 # partials collapse 4:1 inside the batch before the shuffle).
@@ -4196,6 +4263,16 @@ def q_snap_to_road(sf_dir: str):
     return snap_to_segments(ds, _road_segments_from_supplier(sf_dir), SNAP_R)
 
 
+def q_filter_chain(sf_dir: str):
+    """Composed 5-rule corpus filter (stages/scrub.filter_chain_batch):
+    reason bitmask + keep flag, one shuffle-free pass."""
+    from ..stages.scrub import filter_chain_batch
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(filter_chain_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_tile_pyramid(sf_dir: str):
     """Three-zoom tile-count pyramid (stages/geostats.tile_pyramid)."""
     from ..stages.geostats import tile_pyramid
@@ -4560,6 +4637,7 @@ QUERIES = {
     "ols_trend": q_ols_trend,
     "token_entropy": q_token_entropy,
     "tile_pyramid": q_tile_pyramid,
+    "filter_chain": q_filter_chain,
     "json_prop": q_json_prop,
     "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,

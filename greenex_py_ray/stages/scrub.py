@@ -239,3 +239,60 @@ def line_dedup(ds: "ray.data.Dataset", width: int = 3, min_docs: int = 4,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed quality filter chain
+# ---------------------------------------------------------------------------
+
+#: (bit, human label) of each drop rule — the reason bitmask a corpus
+#: curation run stores next to every rejected document.
+FILTER_RULES = (
+    (1, "too_short"),          # whitespace tokens < min_tokens
+    (2, "no_stopwords"),       # en stopword ratio below floor
+    (4, "repetitive"),         # Gopher dup-token fraction too high
+    (8, "one_token_dominates"),  # most-common-token share too high
+    (16, "low_entropy"),       # per-token entropy below floor (µnats)
+)
+
+
+def filter_chain_batch(batch: pa.Table, min_tokens: int = 15,
+                       min_stopword_ratio: float = 0.02,
+                       max_dup_frac: float = 0.6,
+                       max_top_frac: float = 0.14,
+                       min_ent_micro_nats: int = 2_800_000,
+                       text_col: str = "text",
+                       key_col: str = "doc_id") -> pa.Table:
+    """One-pass multi-signal corpus filter: composes the quality,
+    repetition and token-entropy kernels over the same batch and emits
+    a ``reasons`` bitmask (see :data:`FILTER_RULES`) + ``keep`` flag.
+
+    Purely per-doc (all three kernels are shuffle-free); the entropy
+    rule is an exact INTEGER comparison (``ent_q < floor·n_tokens``),
+    so no float threshold wobble across engines."""
+    from .text import quality_score_batch, token_entropy_batch
+
+    q = quality_score_batch(batch, text_col)
+    nt = q.column("q_n_tokens").to_numpy(zero_copy_only=False)
+    sw = q.column("q_stopword_ratio").to_numpy(zero_copy_only=False)
+
+    rep = repetition_batch(
+        batch.select([key_col, text_col]).to_pandas(), text_col)
+    dup = rep["dup_frac"].to_numpy()
+    top = rep["top_frac"].to_numpy()
+
+    ent = token_entropy_batch(batch, text_col, key_col)
+    eq = ent.column("ent_q").to_numpy(zero_copy_only=False)
+    en = ent.column("n_tokens").to_numpy(zero_copy_only=False)
+
+    reasons = np.zeros(len(batch), dtype=np.int64)
+    reasons += np.where(nt < min_tokens, 1, 0)
+    reasons += np.where(sw < min_stopword_ratio, 2, 0)
+    reasons += np.where(dup > max_dup_frac, 4, 0)
+    reasons += np.where(top > max_top_frac, 8, 0)
+    reasons += np.where(eq < min_ent_micro_nats * en, 16, 0)
+    return pa.table({
+        key_col: batch.column(key_col),
+        "reasons": pa.array(reasons),
+        "keep": pa.array(reasons == 0),
+    })

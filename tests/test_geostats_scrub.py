@@ -288,3 +288,26 @@ def test_tile_pyramid_invariants(ray_session):
         rolled = child.groupby(["px", "py"])["n"].sum()
         parent = out[out["zoom"] == z].set_index(["cx", "cy"])["n"]
         assert dict(rolled) == dict(parent)
+
+
+def test_filter_chain_rules_fire(ray_session):
+    from greenex_py_ray.stages.scrub import filter_chain_batch
+
+    docs = {
+        # long, varied, stopword-rich → keep
+        0: "the quick brown fox jumps over a lazy dog while it runs "
+           "through the forest and every creature watches in awe today",
+        1: "tiny doc",                                   # too_short (1)
+        2: " ".join(["spam"] * 40),  # repetitive+dominated+low entropy
+        3: "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon",  # no stopwords (2)
+    }
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()))})
+    out = filter_chain_batch(tbl).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"])
+    assert out.loc[1, "reasons"] & 1
+    assert out.loc[2, "reasons"] & 4 and out.loc[2, "reasons"] & 8 \
+        and out.loc[2, "reasons"] & 16
+    assert out.loc[3, "reasons"] & 2 and not (out.loc[3, "reasons"] & 1)
+    assert not bool(out.loc[2, "keep"])
