@@ -3322,6 +3322,34 @@ def world_oracle_sql() -> dict[str, str]:
                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           FROM m GROUP BY band, tx, ty
         """,
+        # span-sequence fingerprint (stages/multimodal
+        # .span_fingerprint_batch): the north rule's per-row invariant
+        # — kind␟text␟media_ref␞ per span, concatenated in span order,
+        # 64-bit Horner over the bytes (ASCII world ⇒ ascii(c) == byte).
+        "span_fingerprint": f"""
+          WITH s AS (SELECT doc_id, unnest(spans) AS sp,
+                       CAST(generate_subscripts(spans, 1) AS BIGINT) AS i
+                     FROM read_parquet('{glob}')),
+          enc AS (SELECT doc_id,
+                    string_agg(coalesce(sp.kind, '') || chr(31)
+                               || coalesce(sp.text, '') || chr(31)
+                               || coalesce(sp.media_ref, '') || chr(30),
+                               '' ORDER BY i) AS es,
+                    CAST(count(*) AS BIGINT) AS n_spans
+                  FROM s GROUP BY doc_id),
+          fp AS (SELECT doc_id, n_spans, list_reduce(
+                   list_prepend(1469598103934665603::HUGEINT,
+                     list_transform(regexp_extract_all(es, '.'),
+                                    c -> ascii(c)::HUGEINT)),
+                   (a, b) -> (a * 1000003 + b)
+                             % 18446744073709551616::HUGEINT) AS h
+                 FROM enc)
+          SELECT doc_id, n_spans,
+                 CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                      THEN h - 18446744073709551616::HUGEINT
+                      ELSE h END AS BIGINT) AS span_fp
+          FROM fp
+        """,
     }
 
 
@@ -4603,6 +4631,19 @@ def q_media_ref_rollup(sf_dir: str):
         ["band", "tx", "ty", "n_spans", "n_docs"])
 
 
+def q_span_fingerprint(sf_dir: str):
+    """Per-doc span-sequence fingerprint over the interleaved table
+    (stages/multimodal.span_fingerprint_batch) — the north rule's
+    span-sequence-equality invariant as a value gate."""
+    from ..sources import documents as doc_src
+    from ..stages.multimodal import span_fingerprint_batch
+
+    w = _world_paths()
+    docs = doc_src.read_documents(w["documents"])
+    return docs.map_batches(span_fingerprint_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_corpus_profile(sf_dir: str):
     """Corpus profiling rollup (stages/text.corpus_profile): per
     (source, lang) doc counts and char totals, partial-combined per
@@ -4616,6 +4657,7 @@ QUERIES = {
     "corpus_profile": q_corpus_profile,
     "orders_with_bulk_item": q_orders_with_bulk_item,
     "media_ref_rollup": q_media_ref_rollup,
+    "span_fingerprint": q_span_fingerprint,
     "orders_no_bulk_item": q_orders_no_bulk_item,
     "distinct_event_types": q_distinct_event_types,
     "embedding_norms": q_embedding_norms,

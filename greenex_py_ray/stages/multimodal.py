@@ -21,6 +21,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -334,3 +335,44 @@ def media_ref_rollup(ds: "ray.data.Dataset",
     return (ds.map_batches(parse, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("bucket").map_groups(kernel, batch_format="pandas"))
+
+
+def span_fingerprint_batch(batch: pa.Table,
+                           key_col: str = "doc_id") -> pa.Table:
+    """Order-sensitive fingerprint of each document's FULL span
+    sequence — the per-row invariant the north rule pins against the
+    reference ("span-sequence equality: kind, text, media_ref, order").
+
+    Every span is serialized ``kind␟text␟media_ref␞`` (unit/record
+    separators, unambiguous for any field values not containing them)
+    and the concatenation is hashed with the engine-wide 64-bit Horner
+    family — two pipelines that preserve span sequences produce equal
+    fingerprints, any reorder/drop/mutation flips them.  All Arrow
+    kernels (struct field extract → element-wise join → list join →
+    buffer hash); no per-row Python."""
+    from .text import hash_string_array
+
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    per_span = pc.binary_join_element_wise(
+        pc.fill_null(flat.field("kind"), ""),
+        pc.fill_null(flat.field("text"), ""),
+        pc.fill_null(flat.field("media_ref"), ""),
+        "\x1f")
+    per_span = pc.binary_join_element_wise(per_span, "", "\x1e")
+    counts = pc.list_value_length(spans).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    doc_str = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                 per_span.combine_chunks()
+                                 if isinstance(per_span, pa.ChunkedArray)
+                                 else per_span), "")
+    fp = hash_string_array(doc_str)
+    return pa.table({
+        key_col: batch.column(key_col),
+        "n_spans": pa.array(counts),
+        "span_fp": pa.array(fp.view(np.int64)),
+    })

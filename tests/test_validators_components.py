@@ -143,3 +143,36 @@ def test_connected_components_distributed_long_chain():
     ).to_pandas()
     assert set(out["component"]) == {0}
     assert len(out) == n
+
+
+def test_span_fingerprint_detects_sequence_changes(ray_session):
+    from greenex_py_ray.stages.multimodal import span_fingerprint_batch
+    from greenex_py_ray.stages.text import fingerprint64
+
+    def mk(spans):
+        return pa.array([spans], pa.list_(pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())])))
+
+    base = [{"kind": "geom", "text": "POINT(1 2)", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "hello", "media_ref": "", "offset": 1},
+            {"kind": "media", "text": "", "media_ref": "tile://ndvi/1_2",
+             "offset": 2}]
+    variants = {
+        "base": base,
+        "reordered": [base[1], base[0], base[2]],
+        "mutated": [dict(base[0]), dict(base[1], text="hellp"), base[2]],
+        "dropped": base[:2],
+    }
+    fps = {}
+    for name, spans in variants.items():
+        tbl = pa.table({"doc_id": pa.array([name]), "spans": mk(spans)})
+        out = span_fingerprint_batch(tbl).to_pandas()
+        assert out["n_spans"][0] == len(spans)
+        fps[name] = out["span_fp"][0]
+    assert len(set(fps.values())) == 4  # every change flips the hash
+
+    # matches the engine-wide Horner family applied to the serialized form
+    ser = "".join(f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1e"
+                  for s in base)
+    assert fps["base"] == fingerprint64([ser]).view(np.int64)[0]
