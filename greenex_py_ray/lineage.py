@@ -26,6 +26,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -125,3 +126,63 @@ def resumable_write(ds: "ray.data.Dataset", out_dir: str, key: str,
         write_group, batch_format="pyarrow"
     ).materialize()
     return read_manifest(out_dir)
+
+
+def partition_checksum(ds: "ray.data.Dataset", cell_col: str = "cell",
+                       key_col: str = "doc_id",
+                       text_col: str = "text") -> "ray.data.Dataset":
+    """Per-partition content checksum — the audit/reconciliation table
+    a resumable run compares across attempts (and across engines): one
+    row per spatial cell with the doc count, the id range, and an
+    ORDER-FREE 64-bit checksum (XOR of every doc's content
+    fingerprint).  XOR is commutative/associative, so the checksum is
+    identical no matter how blocks were partitioned, retried or
+    reordered — any lost, duplicated or mutated row flips it.
+
+    Scale shape: each batch collapses to O(touched cells) partial rows
+    (xor/count/min/max combine in-kernel), one small groupby finishes."""
+    from .stages.text import hash_string_array
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column(cell_col).to_numpy(zero_copy_only=False)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hash_string_array(pc.fill_null(col, "")).view(np.int64)
+        order = np.argsort(cell, kind="stable")
+        cs, hs, ks = cell[order], h[order], k[order]
+        bnd = np.ones(len(cs), dtype=bool)
+        bnd[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(bnd)
+        ends = np.append(starts[1:], len(cs))
+        xor = np.bitwise_xor.reduceat(hs, starts) if len(cs) else \
+            np.empty(0, np.int64)
+        return pa.table({
+            cell_col: pa.array(cs[starts]),
+            "n_docs": pa.array((ends - starts).astype(np.int64)),
+            "checksum": pa.array(xor),
+            "min_doc": pa.array(np.minimum.reduceat(ks, starts)),
+            "max_doc": pa.array(np.maximum.reduceat(ks, starts)),
+        })
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            cell_col: tbl.column(cell_col).slice(0, 1),
+            "n_docs": pa.array([int(
+                np.sum(tbl.column("n_docs").to_numpy(zero_copy_only=False)))],
+                pa.int64()),
+            "checksum": pa.array([int(np.bitwise_xor.reduce(
+                tbl.column("checksum").to_numpy(zero_copy_only=False)))],
+                pa.int64()),
+            "min_doc": pa.array([int(np.min(
+                tbl.column("min_doc").to_numpy(zero_copy_only=False)))],
+                pa.int64()),
+            "max_doc": pa.array([int(np.max(
+                tbl.column("max_doc").to_numpy(zero_copy_only=False)))],
+                pa.int64()),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return part.groupby(cell_col).map_groups(combine, batch_format="pyarrow")

@@ -1755,6 +1755,32 @@ ORACLE_SQL["ols_trend"] = """
 PYR_CELL = 500.0
 PYR_LEVELS = 3
 
+# Per-partition lineage checksum (lineage.partition_checksum): one row
+# per spatial cell with doc count, id range, and the ORDER-FREE 64-bit
+# XOR of every doc's content fingerprint — identical under any
+# repartitioning/retry order; any lost/duplicated/mutated row flips it.
+ORACLE_SQL["partition_checksum"] = f"""
+    WITH h AS (
+      SELECT doc_id, {dt.SQL_CELL.format(k="doc_id", cs=CELL_SIZE)} AS cell,
+             list_reduce(
+               list_prepend(1469598103934665603::HUGEINT,
+                 list_transform(regexp_extract_all(text, '.'),
+                                c -> ascii(c)::HUGEINT)),
+               (a, b) -> (a * 1000003 + b)
+                         % 18446744073709551616::HUGEINT) AS hu
+      FROM documents),
+    s AS (SELECT doc_id, cell,
+            CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                 THEN hu - 18446744073709551616::HUGEINT
+                 ELSE hu END AS BIGINT) AS hs
+          FROM h)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(hs) AS BIGINT) AS checksum,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM s GROUP BY cell
+"""
+
 # Composed quality filter chain (stages/scrub.filter_chain_batch):
 # five drop rules over three per-doc kernels (quality, repetition,
 # entropy), emitted as a reason bitmask.  Each rule replays its
@@ -4291,6 +4317,16 @@ def q_snap_to_road(sf_dir: str):
     return snap_to_segments(ds, _road_segments_from_supplier(sf_dir), SNAP_R)
 
 
+def q_partition_checksum(sf_dir: str):
+    """Per-cell lineage checksum table (lineage.partition_checksum)."""
+    from ..lineage import partition_checksum
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE, columns=["doc_id", "text"])
+    out = partition_checksum(ds)
+    return out.select_columns(
+        ["cell", "n_docs", "checksum", "min_doc", "max_doc"])
+
+
 def q_filter_chain(sf_dir: str):
     """Composed 5-rule corpus filter (stages/scrub.filter_chain_batch):
     reason bitmask + keep flag, one shuffle-free pass."""
@@ -4680,6 +4716,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "tile_pyramid": q_tile_pyramid,
     "filter_chain": q_filter_chain,
+    "partition_checksum": q_partition_checksum,
     "json_prop": q_json_prop,
     "normalize_text": q_normalize_text,
     "idw_interpolation": q_idw_interpolation,

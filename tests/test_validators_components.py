@@ -176,3 +176,37 @@ def test_span_fingerprint_detects_sequence_changes(ray_session):
     ser = "".join(f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1e"
                   for s in base)
     assert fps["base"] == fingerprint64([ser]).view(np.int64)[0]
+
+
+def test_partition_checksum_order_free_and_sensitive(ray_session):
+    from greenex_py_ray.lineage import partition_checksum
+
+    rng = np.random.default_rng(7)
+    n = 600
+    cell = rng.integers(0, 12, n).astype(np.int64)
+    k = np.arange(n, dtype=np.int64)
+    texts = [f"doc body {i} {'x' * (i % 17)}" for i in range(n)]
+    tbl = pa.table({"doc_id": pa.array(k), "cell": pa.array(cell),
+                    "text": pa.array(texts)})
+
+    a = (partition_checksum(rd.from_arrow(tbl).repartition(3))
+         .to_pandas().sort_values("cell").reset_index(drop=True))
+    # shuffled row order + different partitioning → identical table
+    perm = rng.permutation(n)
+    b = (partition_checksum(
+            rd.from_arrow(tbl.take(pa.array(perm))).repartition(9))
+         .to_pandas().sort_values("cell").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_docs"].sum() == n
+
+    # mutating one row's text flips exactly its cell's checksum
+    texts2 = list(texts)
+    texts2[5] = texts2[5] + "!"
+    tbl2 = pa.table({"doc_id": pa.array(k), "cell": pa.array(cell),
+                     "text": pa.array(texts2)})
+    c = (partition_checksum(rd.from_arrow(tbl2))
+         .to_pandas().sort_values("cell").reset_index(drop=True))
+    diff = (a["checksum"] != c["checksum"]).to_numpy()
+    assert diff.sum() == 1
+    assert a.loc[diff, "cell"].iloc[0] == cell[5]
