@@ -186,5 +186,11 @@ def heavy_pool(concurrency=None) -> dict:
         return dict(concurrency=(n, n), num_cpus=1)
     # half the cluster: the dominant kernel still needs its FEED stages
     # (read/decode tasks at 1 CPU each) to run wide, or the pool starves
-    n = max(1, cluster_cpus() // 2)
+    import os
+
+    env = os.environ.get("GREENEX_HEAVY_WIDTH")
+    if env:  # A/B knob for pool-width experiments (see BASELINE.md)
+        n = max(1, int(env))
+    else:
+        n = max(1, cluster_cpus() // 2)
     return dict(concurrency=(n, n), num_cpus=1)
