@@ -4689,7 +4689,168 @@ def q_corpus_profile(sf_dir: str):
     return text.corpus_profile(ds)
 
 
+# ---------------------------------------------------------------------------
+# graph analytics + geostatistics batch (round 4): integer PageRank,
+# standalone connected components, Moran's I, per-group min-max scaling
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+MORAN_CELL = 2_000.0
+MM_Q_SCALE = 100.0
+
+
+def q_pagerank(sf_dir: str):
+    """Integer-exact PageRank (stages/graphalgo.pagerank) over the
+    part→supplier supply graph (src = 2·l_partkey, dst = 2·l_suppkey+1
+    — parity-disjoint node namespaces), 3 damped iterations in int64
+    fixed point."""
+    from ..stages.graphalgo import pagerank
+
+    li = dt.read_table(sf_dir, "lineitem",
+                       columns=["l_partkey", "l_suppkey"])
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": p * 2, "dst": s * 2 + 1})
+
+    edges = li.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank(edges, iters=PR_ITERS, scale=PR_SCALE)
+
+
+def _pagerank_sql(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """Unrolled k-iteration integer PageRank: identical floor divisions
+    over identical int64s as stages/graphalgo.pagerank."""
+    ctes = [
+        "e AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM lineitem)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e"
+        " GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(sum(r{i - 1}.r // od.deg) AS BIGINT) AS c"
+            f" FROM e JOIN od ON od.src = e.src"
+            f" JOIN r{i - 1} ON r{i - 1}.node = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{i} AS (SELECT n.node,"
+            f" (15 * {scale} + 85 * coalesce(c.c, 0)) // 100 AS r"
+            f" FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f'\n    SELECT node, r AS "rank" FROM r{iters}')
+
+
+ORACLE_SQL["pagerank"] = _pagerank_sql()
+
+
+def q_components(sf_dir: str):
+    """Standalone connected components (stages/dedup
+    .connected_components, the engine under near_dedup / dissolve) over
+    the deterministic doubling graph k — 2k restricted to existing doc
+    ids; component = min doc id of each chain."""
+    from ..stages.dedup import connected_components
+    from ..stages.setops import exists_join
+
+    docs = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def half(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"key_a": k, "doc_id": k * 2})
+
+    cand = docs.map_batches(half, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    pairs = exists_join(cand, docs, on="doc_id").map_batches(
+        lambda b: pa.table({"key_a": b.column("key_a"),
+                            "key_b": b.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return connected_components(pairs)
+
+
+ORACLE_SQL["components"] = """
+    WITH RECURSIVE e0 AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id * 2
+    ),
+    eset AS (SELECT u AS a, v AS b FROM e0
+             UNION ALL SELECT v, u FROM e0),
+    walk(node, comp) AS (
+      SELECT a, a FROM eset
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN eset e ON e.a = w.node
+    )
+    SELECT node AS key, min(comp) AS component FROM walk GROUP BY node
+"""
+
+
+def q_moran(sf_dir: str):
+    """Global Moran's I of the doc-density grid (stages/geostats
+    .morans_i): rook weights, exact int64 sufficient statistics, one
+    closed-form double."""
+    from ..stages.geostats import morans_i
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return morans_i(ds, MORAN_CELL)
+
+
+ORACLE_SQL["moran"] = f"""
+    WITH d AS (SELECT CAST(floor({_X} / {MORAN_CELL!r}) AS BIGINT) AS ix,
+                      CAST(floor({_Y} / {MORAN_CELL!r}) AS BIGINT) AS iy
+               FROM documents),
+    c AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY ix, iy),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+                 CAST(sum(n) AS BIGINT) AS s FROM c),
+    z AS (SELECT ix, iy, g.nc * c.n - g.s AS z FROM c, g),
+    nb AS (SELECT a.z AS zi, b.z AS zj FROM z a JOIN z b
+           ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS w,
+                 CAST(coalesce(sum(zi * zj), 0) AS BIGINT) AS cr FROM nb),
+    ss AS (SELECT CAST(sum(z * z) AS BIGINT) AS v FROM z)
+    SELECT g.nc AS n_cells, t.w AS w_pairs,
+           CAST(g.nc AS DOUBLE) * CAST(t.cr AS DOUBLE)
+             / (CAST(t.w AS DOUBLE) * CAST(ss.v AS DOUBLE)) AS moran_i
+    FROM g, t, ss
+"""
+
+
+def q_minmax_scale(sf_dir: str):
+    """Per-event-type min-max feature scaling (stages/enrich
+    .group_minmax_scale): int64-quantized value, broadcast group stats,
+    one double division."""
+    from ..stages.enrich import group_minmax_scale
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["event_id", "event_type", "value"])
+    out = group_minmax_scale(ds, "event_type", "value",
+                             q_scale=MM_Q_SCALE)
+    return out.select_columns(["event_id", "event_type", "scaled"])
+
+
+ORACLE_SQL["minmax_scale"] = f"""
+    WITH q AS (SELECT event_id, event_type,
+                 CAST(round(value * {MM_Q_SCALE!r}, 0) AS BIGINT) AS vq
+               FROM events),
+    g AS (SELECT event_type, min(vq) AS mn, max(vq) AS mx
+          FROM q GROUP BY event_type)
+    SELECT q.event_id, q.event_type,
+           CASE WHEN g.mx = g.mn THEN NULL
+                ELSE CAST(q.vq - g.mn AS DOUBLE)
+                     / CAST(g.mx - g.mn AS DOUBLE)
+           END AS scaled
+    FROM q JOIN g USING (event_type)
+"""
+
+
 QUERIES = {
+    "pagerank": q_pagerank,
+    "components": q_components,
+    "moran": q_moran,
+    "minmax_scale": q_minmax_scale,
     "corpus_profile": q_corpus_profile,
     "orders_with_bulk_item": q_orders_with_bulk_item,
     "media_ref_rollup": q_media_ref_rollup,

@@ -94,3 +94,87 @@ def broadcast_join(ds: "ray.data.Dataset", dim: pa.Table, key_col: str,
                                    how=how),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=0.25,
     )
+
+
+class _MinMaxApply:
+    """map_batches actor for :func:`group_minmax_scale` pass 2: the
+    per-group (min,max) stats table is broadcast once; each batch
+    resolves its group with one searchsorted over the sorted keys."""
+
+    def __init__(self, stats_ref, group_col: str, value_col: str,
+                 q_scale: float):
+        t = _resolve(stats_ref)
+        keys = np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        self.mn = t.column("mn").to_numpy(zero_copy_only=False)[order]
+        self.mx = t.column("mx").to_numpy(zero_copy_only=False)[order]
+        self.group_col = group_col
+        self.value_col = value_col
+        self.q_scale = q_scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch.column(self.group_col).to_pylist(),
+                       dtype=object)
+        v = batch.column(self.value_col).to_numpy(zero_copy_only=False)
+        vq = np.round(v * self.q_scale, 0).astype(np.int64)
+        idx = np.searchsorted(self.keys, g)
+        idx = np.minimum(idx, len(self.keys) - 1)
+        mn, mx = self.mn[idx], self.mx[idx]
+        den = (mx - mn).astype(np.float64)
+        num = (vq - mn).astype(np.float64)
+        flat = mx == mn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled = num / den
+        out = batch.drop_columns([self.value_col])
+        return out.append_column(
+            "scaled", pa.array(np.where(flat, np.nan, scaled), mask=flat))
+
+
+def group_minmax_scale(ds: "ray.data.Dataset", group_col: str,
+                       value_col: str, q_scale: float = 100.0,
+                       concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Per-group min-max feature scaling — the normalization pass a
+    training-data pipeline runs per source/segment before mixing.
+
+    Exactness contract: the value is quantized to int64 ``q_scale``
+    units FIRST (matching the ols_trend discipline), per-group min/max
+    are exact int64s from per-batch partials + one tiny groupby, and
+    ``scaled = (vq − min) / (max − min)`` is a single double division
+    the SQL oracle replays verbatim.  Groups with max == min yield
+    NULL.  Two streaming passes over the fact table, stats broadcast
+    once via ``ray.put`` — no fact-side shuffle.
+    """
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vq = np.round(v * q_scale, 0).astype(np.int64)
+        codes, uniq = _pd.Series(
+            batch.column(group_col).to_pandas()).factorize()
+        k = len(uniq)
+        mn = np.full(k, np.iinfo(np.int64).max)
+        mx = np.full(k, np.iinfo(np.int64).min)
+        np.minimum.at(mn, codes, vq)
+        np.maximum.at(mx, codes, vq)
+        return pa.table({group_col: pa.array(uniq),
+                         "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(group_col)
+             .aggregate(Min("mn", alias_name="mn"),
+                        Max("mx", alias_name="mx")))
+    # O(#groups) stats table — driver hop then one broadcast
+    blocks = [t for t in (ray.get(r) for r in stats.to_arrow_refs())
+              if t.num_rows]
+    stats_tbl = pa.concat_tables(blocks)
+    ref = ray.put(stats_tbl)
+    return ds.map_batches(
+        _MinMaxApply,
+        fn_constructor_kwargs=dict(stats_ref=ref, group_col=group_col,
+                                   value_col=value_col, q_scale=q_scale),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.25,
+    )

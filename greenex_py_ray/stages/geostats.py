@@ -322,3 +322,111 @@ def tile_pyramid(ds: "ray.data.Dataset", base_cell: float, levels: int = 3,
                           zero_copy_batch=True)
     return part.groupby(["zoom", "cx", "cy"]).aggregate(
         Sum("n", alias_name="n"))
+
+
+def morans_i(ds: "ray.data.Dataset", cell_size: float,
+             x_col: str = "x", y_col: str = "y") -> "ray.data.Dataset":
+    """Global Moran's I spatial autocorrelation of the point-density
+    surface: bin points to a square grid, value = count per occupied
+    cell, weights = rook adjacency (w=1 for occupied cells sharing an
+    edge).  The canonical "is this clustered or random" diagnostic a
+    geospatial QA pass runs before trusting a density model.
+
+    Exactness: with integer cell counts x_i, let n = #cells and
+    S = Σx_i; the *n-scaled* centered value z_i = n·x_i − S is an exact
+    int64, and
+
+        I = n·Σ_ij w_ij z_i z_j / (W · Σ_i z_i²)
+
+    equals the textbook (n/W)·Σw(x−x̄)(x−x̄)/Σ(x−x̄)² because the n²
+    factors cancel.  Every sum is an exact int64; the single closed-form
+    double division is replayed token-for-token by the SQL oracle.
+
+    Scale shape: per-batch partial counts → groupby(ix,iy) over
+    O(touched cells); neighbor sums via a 4-way key-shifted emission +
+    one more O(cells) groupby + a bucket hash-join back — never a
+    driver-side O(cells²) pass.  Returns ONE row:
+    (n_cells, w_pairs, moran_i).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.joins import bucket_join_attach
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cx = np.floor(x / cell_size).astype(np.int64)
+        cy = np.floor(y / cell_size).astype(np.int64)
+        enc = (cx << np.int64(32)) + (cy & np.int64(0xFFFFFFFF))
+        uk, cnt = np.unique(enc, return_counts=True)
+        return pa.table({"ck": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    cellcnt = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("ck").aggregate(Sum("n", alias_name="n"))
+               .materialize())  # O(occupied cells) — small vs points
+
+    g = cellcnt.aggregate(Count(), Sum("n", alias_name="s"))
+    ncells = int(g["count()"])
+    s_total = int(g["s"])
+
+    def with_z(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"ck": batch.column("ck"),
+                         "z": ncells * n - s_total})
+
+    z = cellcnt.map_batches(with_z, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    ss = int(z.map_batches(
+        lambda b: pa.table({"zz": b.column("z").to_numpy(
+            zero_copy_only=False) ** 2}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).aggregate(Sum("zz", alias_name="zz"))["zz"])
+
+    def emit_neighbors(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ck").to_numpy(zero_copy_only=False)
+        zz = batch.column("z").to_numpy(zero_copy_only=False)
+        # decode, shift by the 4 rook offsets, re-encode
+        cx = ck >> np.int64(32)
+        lo = ck & np.int64(0xFFFFFFFF)
+        cy = np.where(lo >= np.int64(1) << np.int64(31),
+                      lo - (np.int64(1) << np.int64(32)), lo)
+        outs, vals = [], []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            outs.append(((cx + dx) << np.int64(32))
+                        + ((cy + dy) & np.int64(0xFFFFFFFF)))
+            vals.append(zz)
+        return pa.table({"ck": pa.array(np.concatenate(outs)),
+                         "zn": pa.array(np.concatenate(vals)),
+                         "w": pa.array(np.ones(4 * len(ck), np.int64))})
+
+    nbr = (z.map_batches(emit_neighbors, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("ck").aggregate(Sum("zn", alias_name="zn"),
+                                    Sum("w", alias_name="w")))
+    # inner join: emissions landing on unoccupied cells drop out, which
+    # is exactly the w_ij = 0 case
+    joined = bucket_join_attach(z, nbr, key="ck")
+
+    def cross_part(batch: pa.Table) -> pa.Table:
+        zv = batch.column("z").to_numpy(zero_copy_only=False)
+        zn = batch.column("zn").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        return pa.table({"cross": pa.array([int((zv * zn).sum())]),
+                         "w": pa.array([int(w.sum())])})
+
+    tot = joined.map_batches(cross_part, batch_format="pyarrow",
+                             zero_copy_batch=True).aggregate(
+        Sum("cross", alias_name="cross"), Sum("w", alias_name="w"))
+    cross = int(tot["cross"])
+    w_pairs = int(tot["w"])
+    moran = (np.float64(ncells) * np.float64(cross)) / (
+        np.float64(w_pairs) * np.float64(ss))
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "n_cells": pa.array([ncells], pa.int64()),
+        "w_pairs": pa.array([w_pairs], pa.int64()),
+        "moran_i": pa.array([float(moran)], pa.float64()),
+    }))
