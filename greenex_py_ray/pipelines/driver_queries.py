@@ -4818,6 +4818,78 @@ ORACLE_SQL["moran"] = f"""
 """
 
 
+DBSCAN_CELL = 1_000.0
+DBSCAN_MINPTS = 30
+
+# cubic density warp: u ↦ u³/W² concentrates the uniform synth points
+# toward the origin hard enough that BOTH gate sfs produce a real
+# core/border/noise mix (minpts swept: sf0.01 → 20/144 core cells,
+# sf0.1 → 247/340); expressions are left-assoc identical in numpy/SQL
+_WX = f"({_X} * {_X} / {dt.WORLD!r} * {_X} / {dt.WORLD!r})"
+_WY = f"({_Y} * {_Y} / {dt.WORLD!r} * {_Y} / {dt.WORLD!r})"
+
+
+def q_dbscan(sf_dir: str):
+    """Grid DBSCAN (stages/clustering.grid_dbscan) over the
+    density-warped doc points: core/border/noise cells + deterministic
+    min-key cluster labels."""
+    from ..stages.clustering import grid_dbscan
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+
+    def warp(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({"x": x * x / dt.WORLD * x / dt.WORLD,
+                         "y": y * y / dt.WORLD * y / dt.WORLD})
+
+    pts = ds.map_batches(warp, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return grid_dbscan(pts, DBSCAN_CELL, DBSCAN_MINPTS)
+
+
+ORACLE_SQL["dbscan"] = f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(floor({_WX} / {DBSCAN_CELL!r}) AS BIGINT) AS ix,
+             CAST(floor({_WY} / {DBSCAN_CELL!r}) AS BIGINT) AS iy
+      FROM documents),
+    c AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY ix, iy),
+    ck AS (SELECT ix, iy, n, ix * 4294967296 + iy AS k FROM c),
+    nj AS (SELECT a.k, CAST(sum(b.n) AS BIGINT) AS m
+           FROM ck a JOIN ck b
+             ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+           GROUP BY a.k),
+    core AS (SELECT ck.ix, ck.iy, ck.n, ck.k
+             FROM ck JOIN nj ON nj.k = ck.k
+             WHERE nj.m >= {DBSCAN_MINPTS}),
+    eset AS (SELECT a.k AS a, b.k AS b FROM core a JOIN core b
+             ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1),
+    walk(node, comp) AS (
+      SELECT a, a FROM eset
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN eset e ON e.a = w.node),
+    comp AS (SELECT node, min(comp) AS cluster FROM walk GROUP BY node),
+    corec AS (SELECT c.ix, c.iy, c.n, TRUE AS core, p.cluster
+              FROM core c JOIN comp p ON p.node = c.k),
+    border AS (SELECT x.ix, x.iy, x.n, FALSE AS core,
+                      min(p.cluster) AS cluster
+               FROM ck x JOIN core b
+                 ON abs(x.ix - b.ix) <= 1 AND abs(x.iy - b.iy) <= 1
+               JOIN comp p ON p.node = b.k
+               WHERE x.k NOT IN (SELECT k FROM core)
+               GROUP BY x.ix, x.iy, x.n),
+    noise AS (SELECT x.ix, x.iy, x.n, FALSE AS core,
+                     CAST(NULL AS BIGINT) AS cluster
+              FROM ck x
+              WHERE x.k NOT IN (SELECT k FROM core)
+                AND NOT EXISTS (SELECT 1 FROM core b
+                  WHERE abs(x.ix - b.ix) <= 1 AND abs(x.iy - b.iy) <= 1))
+    SELECT * FROM corec UNION ALL SELECT * FROM border
+    UNION ALL SELECT * FROM noise
+"""
+
+
 def q_minmax_scale(sf_dir: str):
     """Per-event-type min-max feature scaling (stages/enrich
     .group_minmax_scale): int64-quantized value, broadcast group stats,
@@ -4846,7 +4918,119 @@ ORACLE_SQL["minmax_scale"] = f"""
 """
 
 
+POSTINGS_MIN_DF = 5
+
+
+def q_skyline(sf_dir: str):
+    """Per-nation customer skyline (stages/topk.group_skyline):
+    maximize cents-quantized acctbal, minimize custkey."""
+    from ..stages.topk import group_skyline
+
+    ds = dt.read_table(sf_dir, "customer",
+                       columns=["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def quantize(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_nationkey": b.column("c_nationkey"),
+            "c_custkey": b.column("c_custkey"),
+            "bal_q": np.round(bal * 100.0, 0).astype(np.int64),
+        })
+
+    q = ds.map_batches(quantize, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    return group_skyline(q, "c_nationkey", "bal_q", "c_custkey")
+
+
+ORACLE_SQL["skyline"] = """
+    WITH q AS (SELECT c_nationkey, c_custkey,
+                 CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS bal_q
+               FROM customer)
+    SELECT c_nationkey, c_custkey, bal_q FROM q a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM q b
+      WHERE b.c_nationkey = a.c_nationkey
+        AND b.bal_q >= a.bal_q AND b.c_custkey <= a.c_custkey
+        AND (b.bal_q > a.bal_q OR b.c_custkey < a.c_custkey))
+"""
+
+
+def q_postings(sf_dir: str):
+    """Inverted-index postings (stages/text.build_postings): per-token
+    document frequency + ascending comma-joined doc-id list,
+    df ≥ POSTINGS_MIN_DF."""
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return text.build_postings(ds, min_df=POSTINGS_MIN_DF)
+
+
+ORACLE_SQL["postings"] = rf"""
+    WITH raw AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(coalesce(text, ''))),
+                                       '\s+')) AS tok
+      FROM documents),
+    toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
+    g AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS df,
+            string_agg(CAST(doc_id AS VARCHAR), ','
+                       ORDER BY doc_id) AS postings
+          FROM toks GROUP BY tok)
+    SELECT token, df, postings FROM g WHERE df >= {POSTINGS_MIN_DF}
+"""
+
+
+def q_compact_upsert(sf_dir: str):
+    """Latest-wins upsert compaction (stages/compaction.compact_latest):
+    base snapshot v1 merged with an uppercased v2 delta of every third
+    doc."""
+    from ..stages.compaction import compact_latest
+
+    docs = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def as_base(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "version": np.ones(b.num_rows, np.int64),
+                         "text": b.column("text")})
+
+    def as_update(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(k % 3 == 0)
+        t = pc.utf8_upper(pc.fill_null(
+            b.column("text").combine_chunks()
+            if isinstance(b.column("text"), pa.ChunkedArray)
+            else b.column("text"), "")).take(pa.array(sel))
+        return pa.table({"doc_id": pa.array(k[sel]),
+                         "version": np.full(len(sel), 2, np.int64),
+                         "text": t})
+
+    base = docs.map_batches(as_base, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    upd = docs.map_batches(as_update, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return compact_latest(base, upd, "doc_id", "version")
+
+
+ORACLE_SQL["compact_upsert"] = """
+    WITH base AS (SELECT doc_id, CAST(1 AS BIGINT) AS version, text
+                  FROM documents),
+    upd AS (SELECT doc_id, CAST(2 AS BIGINT) AS version,
+                   upper(coalesce(text, '')) AS text
+            FROM documents WHERE doc_id % 3 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (SELECT doc_id, version, text,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY version DESC) AS rn
+          FROM u)
+    SELECT doc_id, version, text FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "skyline": q_skyline,
+    "postings": q_postings,
+    "compact_upsert": q_compact_upsert,
+    "dbscan": q_dbscan,
     "pagerank": q_pagerank,
     "components": q_components,
     "moran": q_moran,

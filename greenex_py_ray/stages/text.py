@@ -376,3 +376,54 @@ def extract_json_int(batch: pa.Table, prop: str, json_col: str = "props",
     m = pc.extract_regex(batch.column(json_col), pat)
     out = pc.cast(pc.struct_field(m, "v"), pa.int64())
     return batch.append_column(out_col or prop, out)
+
+
+def build_postings(ds: "ray.data.Dataset", min_df: int = 1,
+                   text_col: str = "text", key_col: str = "doc_id",
+                   num_buckets: int = 64) -> "ray.data.Dataset":
+    """Inverted-index postings: one row per token with its document
+    frequency and the comma-joined ascending doc-id posting list — the
+    IR-side artifact a retrieval / decontamination pipeline builds over
+    a corpus (tokens lowercased, whitespace split, per-doc distinct).
+
+    Scale shape: per-batch DISTINCT (token, doc) partials collapse
+    repeats before the shuffle; assembly runs per HASH BUCKET (one
+    vectorized pandas call per bucket, not per token — same trick as
+    dedup.bucket_dedup), sorting (token, doc_id) so the joined string
+    is deterministic under any partitioning.  ``min_df`` prunes the
+    long hapax tail after the counts are exact.
+    """
+    import pandas as _pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, parent, nonempty = _ws_token_lists(col)
+        toks = pc.utf8_lower(flat).to_numpy(zero_copy_only=False)
+        docs = batch.column(key_col).to_numpy(
+            zero_copy_only=False)[parent]
+        toks, docs = toks[nonempty], docs[nonempty]
+        df = _pd.DataFrame({"token": toks, key_col: docs})
+        df = df.drop_duplicates()
+        h = _pd.util.hash_pandas_object(df["token"],
+                                        index=False).to_numpy()
+        df["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def assemble(df: "_pd.DataFrame") -> "_pd.DataFrame":
+        df = df.drop_duplicates(["token", key_col]).sort_values(
+            ["token", key_col], kind="stable")
+        ids = df[key_col].astype(str)
+        g = ids.groupby(df["token"].to_numpy())
+        out = _pd.DataFrame({
+            "token": g.size().index,
+            "df": g.size().to_numpy().astype(np.int64),
+            "postings": g.agg(",".join).to_numpy(),
+        })
+        return out[out["df"] >= min_df]
+
+    part = ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return part.groupby("__bucket").map_groups(assemble,
+                                               batch_format="pandas")

@@ -72,3 +72,60 @@ def topk_per_group(ds: "ray.data.Dataset", group_col: str, score_col: str,
                              zero_copy_batch=True)
     return reduced.groupby(group_col).map_groups(
         final, batch_format="pyarrow")
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Non-dominated mask for maximize-x / minimize-y: row B is
+    dominated iff some A has x≥, y≤ with one strict.  Vectorized:
+    sort x desc / y asc, then a row is dominated when the min y over
+    STRICTLY greater x is ≤ its y, or the min y within its equal-x
+    block is < its y (exact duplicates survive together)."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((y, -x))
+    xs, ys = x[order], y[order]
+    new_block = np.concatenate(([True], xs[1:] != xs[:-1]))
+    block_id = np.cumsum(new_block) - 1
+    block_min = ys[new_block]          # y asc within block → first is min
+    prev_best = np.concatenate(
+        ([np.iinfo(np.int64).max],
+         np.minimum.accumulate(block_min)[:-1]))
+    dom = (prev_best[block_id] <= ys) | (ys > block_min[block_id])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = ~dom
+    return keep
+
+
+def group_skyline(ds: "ray.data.Dataset", group_col: str, max_col: str,
+                  min_col: str) -> "ray.data.Dataset":
+    """Per-group skyline (Pareto frontier): rows not dominated on
+    (``max_col`` maximize, ``min_col`` minimize) by any same-group row
+    — the classic multi-criteria shortlist query.  Both criteria must
+    be int64 (quantize floats first) so dominance is exact.
+
+    Scale shape: the per-batch partial drops locally dominated rows
+    (the frontier of a batch is tiny — O(√batch) for random data), so
+    the groupby shuffle ships only local frontiers; the final per-group
+    kernel is the identical vectorized mask."""
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        x = batch.column(max_col).to_numpy(zero_copy_only=False)
+        y = batch.column(min_col).to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(g), dtype=bool)
+        gi = np.unique(g, return_inverse=True)[1]
+        order = np.argsort(gi, kind="stable")
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(gi[order])) + 1, [len(g)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idx = order[s:e]
+            keep[idx] = _skyline_mask(x[idx], y[idx])
+        return batch.filter(pa.array(keep))
+
+    reduced = ds.map_batches(_apply, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return reduced.groupby(group_col).map_groups(
+        _apply, batch_format="pyarrow")
