@@ -5026,7 +5026,249 @@ ORACLE_SQL["compact_upsert"] = """
 """
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-family revenue rollup: lineitem (fact) ⋈ orders (fact,
+    unique-key bucket hash join) ⋈ customer (broadcast dim) → exact
+    integer 10⁻⁴-unit revenue per nation.  The fact-fact join is the
+    100 TB shape: both sides hash-bucket on o_orderkey, only the
+    2-column quantized fact projection moves."""
+    from ..functions.joins import bucket_join_attach
+    from ..stages.enrich import broadcast_join
+
+    li = dt.read_table(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_extendedprice",
+                                "l_discount"])
+    orders = dt.read_table(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey"])
+
+    def as_fact(b: pa.Table) -> pa.Table:
+        p = np.round(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        d = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "rev_q": p * (100 - d)})
+
+    fact = li.map_batches(as_fact, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = bucket_join_attach(fact, orders, key="o_orderkey")
+    dim = pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    enriched = broadcast_join(joined, dim, "o_custkey", "c_custkey",
+                              ("c_nationkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nat = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        r = batch.column("rev_q").to_numpy(zero_copy_only=False)
+        un, inv = np.unique(nat, return_inverse=True)
+        s = np.zeros(len(un), dtype=np.int64)
+        np.add.at(s, inv, r)
+        n = np.bincount(inv, minlength=len(un)).astype(np.int64)
+        return pa.table({"nation": pa.array(un), "pn": pa.array(n),
+                         "pq": pa.array(s)})
+
+    agg = enriched.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).groupby(
+        "nation").aggregate(Sum("pn", alias_name="n_items"),
+                            Sum("pq", alias_name="revq"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        rq = batch.column("revq").to_numpy(zero_copy_only=False)
+        return pa.table({"nation": batch.column("nation"),
+                         "n_items": batch.column("n_items"),
+                         "revenue": rq.astype(np.float64) / 10000.0})
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+ORACLE_SQL["revenue_by_nation"] = """
+    WITH f AS (SELECT l_orderkey,
+                 CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))
+                   AS rev_q
+               FROM lineitem),
+    j AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nation, f.rev_q
+          FROM f JOIN orders o ON o.o_orderkey = f.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey),
+    g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_items,
+            CAST(sum(rev_q) AS BIGINT) AS revq
+          FROM j GROUP BY nation)
+    SELECT nation, n_items, CAST(revq AS DOUBLE) / 10000.0 AS revenue
+    FROM g
+"""
+
+
+def q_window_dedup(sf_dir: str):
+    """First event per (user, tumbling minute window) — the throttling
+    / event-hygiene dedup (stages/dedup.bucket_dedup with the window
+    key: duplicates co-locate by hash bucket, min event_id survives)."""
+    from ..stages.dedup import bucket_dedup
+
+    ev = dt.read_table(sf_dir, "events",
+                       columns=["event_id", "user_id", "ts"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "win": us // 60_000_000})
+
+    w = ev.map_batches(add_window, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    return bucket_dedup(w, subset=["user_id", "win"],
+                        sort_by="event_id")
+
+
+ORACLE_SQL["window_dedup"] = """
+    WITH w AS (SELECT event_id, user_id,
+                 epoch_us(ts) // 60000000 AS win
+               FROM events),
+    r AS (SELECT event_id, user_id, win,
+            row_number() OVER (PARTITION BY user_id, win
+                               ORDER BY event_id) AS rn
+          FROM w)
+    SELECT event_id, user_id, win FROM r WHERE rn = 1
+"""
+
+
+CT_PX = 64
+CT_RES = 10.0
+CT_GRID = 8
+CT_DATES = 3
+CT_PHASE = 1500.0
+CT_EDGE = CT_PX * CT_RES
+
+
+def q_max_composite(sf_dir: str):
+    """Multi-date greenest-pixel composite (stages/composite
+    .max_composite_stats): 3 co-registered synthetic NDVI observations
+    per tile (date d = the closed-form field phase-shifted by d·1500 m
+    in x), per-pixel max, exact int64 tile statistics."""
+    import ray.data as _rd
+
+    from ..sources.synth import field_ndvi
+    from ..stages.composite import max_composite_stats
+
+    n = CT_GRID * CT_GRID * CT_DATES
+    col = (np.arange(CT_PX) + 0.5) * CT_RES
+
+    def gen(batch: pa.Table) -> pa.Table:
+        k = batch.column("id").to_numpy(zero_copy_only=False)
+        d = k % CT_DATES
+        t = k // CT_DATES
+        txs, tys = t // CT_GRID, t % CT_GRID
+        vals = []
+        for tx, ty, dd in zip(txs, tys, d):
+            xs = tx * CT_EDGE + col + dd * CT_PHASE
+            ys = ty * CT_EDGE + col
+            gx, gy = np.meshgrid(xs, ys, indexing="xy")
+            vals.append(field_ndvi(gx, gy).ravel())
+        return pa.table({
+            "tx": pa.array(txs), "ty": pa.array(tys),
+            "date": pa.array(d),
+            "vals": pa.array(list(vals),
+                             pa.list_(pa.float64())),
+        })
+
+    tiles = _rd.range(n, override_num_blocks=16).map_batches(
+        gen, batch_format="pyarrow", zero_copy_batch=True)
+    return max_composite_stats(tiles, CT_DATES)
+
+
+def _composite_sql() -> str:
+    def f(shift: float) -> str:
+        if shift == 0.0:
+            return _NDVI_SQL
+        return _NDVI_SQL.replace("px", f"(px + {shift!r})")
+
+    dates = ", ".join(f(d * CT_PHASE) for d in range(CT_DATES))
+    return f"""
+    WITH t AS (SELECT a.i AS tx, b.i AS ty
+               FROM range(0, {CT_GRID}) a(i)
+               CROSS JOIN range(0, {CT_GRID}) b(i)),
+    p AS (SELECT tx, ty,
+            (tx * {CT_EDGE!r} + (i.i + 0.5) * {CT_RES!r}) AS px,
+            (ty * {CT_EDGE!r} + (j.j + 0.5) * {CT_RES!r}) AS py
+          FROM t CROSS JOIN range(0, {CT_PX}) i(i)
+          CROSS JOIN range(0, {CT_PX}) j(j)),
+    v AS (SELECT tx, ty, greatest({dates}) AS v FROM p),
+    q AS (SELECT tx, ty,
+            CAST(round(v * 1000000.0, 0) AS BIGINT) AS vq FROM v),
+    g AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_px,
+            CAST(sum(vq) AS BIGINT) AS sum_q FROM q GROUP BY tx, ty)
+    SELECT tx, ty, n_px, sum_q,
+           CAST(sum_q AS DOUBLE) / n_px / 1000000.0 AS mean_v
+    FROM g
+    """
+
+
+ORACLE_SQL["max_composite"] = _composite_sql()
+
+
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register table (stages/sketch.hll_registers, p=8)
+    over the lowercased corpus token stream — the mergeable
+    approximate-distinct sketch, integer-exact per register."""
+    from ..stages.sketch import hll_registers
+    from ..stages.text import _ws_token_lists
+
+    ds = dt.read_table(sf_dir, "documents", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, nonempty = _ws_token_lists(col)
+        low = pc.utf8_lower(flat).filter(pa.array(nonempty))
+        return pa.table({"tok": low})
+
+    stream = ds.map_batches(toks, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hll_registers(stream, "tok", p=8)
+
+
+ORACLE_SQL["hll_registers"] = r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+      SELECT list_reduce(
+        list_prepend(1469598103934665603::HUGEINT,
+          list_transform(regexp_extract_all(tok, '.'),
+                         c -> ascii(c)::HUGEINT)),
+        (a, b) -> (a * 1000003 + b)
+                  % 18446744073709551616::HUGEINT) AS th
+      FROM toks WHERE tok <> ''
+    ),
+    -- th·PHI mod 2^64 without INT128 overflow: PHI split into 32-bit
+    -- halves (2654435769·2^32 + 2135587861), each partial < 2^97
+    mx AS (SELECT (((th * 2654435769::HUGEINT)
+                    % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   + th * 2135587861::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS mh FROM h),
+    r AS (SELECT mh // 72057594037927936::HUGEINT AS reg,
+                 mh % 72057594037927936::HUGEINT AS hp FROM mx),
+    rb AS (SELECT reg,
+             coalesce((SELECT min(i.i) FROM range(1, 57) i(i)
+                       WHERE (hp >> CAST(56 - i.i AS INTEGER)) % 2 = 1),
+                      57) AS rho
+           FROM r)
+    SELECT CAST(reg AS BIGINT) AS register, max(rho) AS rho
+    FROM rb GROUP BY reg
+"""
+
+
 QUERIES = {
+    "hll_registers": q_hll_registers,
+    "max_composite": q_max_composite,
+    "revenue_by_nation": q_revenue_by_nation,
+    "window_dedup": q_window_dedup,
     "skyline": q_skyline,
     "postings": q_postings,
     "compact_upsert": q_compact_upsert,

@@ -124,3 +124,16 @@ def test_group_minmax_scale_bounds_and_nulls():
     assert rows[3]["scaled"] == 0.0 and rows[4]["scaled"] == 1.0
     # constant group → NULL
     assert rows[5]["scaled"] is None and rows[6]["scaled"] is None
+
+
+def test_pagerank_join_plan_matches_broadcast_plan():
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 50, 400)
+    dst = rng.integers(0, 50, 400)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    a = {r["node"]: r["rank"]
+         for r in pagerank(ds, iters=3).take_all()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(ds, iters=3,
+                           broadcast_threshold=0).take_all()}
+    assert a == b

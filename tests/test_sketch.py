@@ -1,0 +1,51 @@
+"""HyperLogLog sketch tests: register exactness, merge invariance,
+estimator accuracy."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from greenex_py_ray.stages.sketch import (
+    _bit_length_u64,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def test_bit_length_exact_at_float_boundaries():
+    v = np.array([0, 1, 2, 3, (1 << 56) - 1, 1 << 56,
+                  (1 << 63) + 5], dtype=np.uint64)
+    assert _bit_length_u64(v).tolist() == [0, 1, 2, 2, 56, 57, 64]
+
+
+def _reg_table(ds):
+    rows = hll_registers(ds, "v", p=8).take_all()
+    return {r["register"]: r["rho"] for r in rows}
+
+
+def test_hll_partition_invariance():
+    vals = [f"item-{i}" for i in range(5000)]
+    a = _reg_table(rd.from_items([{"v": v} for v in vals],
+                                 override_num_blocks=1))
+    b = _reg_table(rd.from_items([{"v": v} for v in vals],
+                                 override_num_blocks=23))
+    assert a == b
+    # duplicates never change a register
+    c = _reg_table(rd.from_items([{"v": v} for v in vals * 3],
+                                 override_num_blocks=7))
+    assert a == c
+
+
+def test_hll_estimate_accuracy():
+    n = 20_000
+    ds = rd.from_items([{"v": f"token-{i}"} for i in range(n)],
+                       override_num_blocks=8)
+    regs = hll_registers(ds, "v", p=8).take_all()
+    tbl = pa.table({
+        "register": pa.array([r["register"] for r in regs], pa.int64()),
+        "rho": pa.array([r["rho"] for r in regs], pa.int64()),
+    })
+    est = hll_estimate(tbl, p=8)
+    # standard error for m=256 is ~6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.2
