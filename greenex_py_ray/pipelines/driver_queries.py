@@ -5264,7 +5264,89 @@ ORACLE_SQL["hll_registers"] = r"""
 """
 
 
+def q_triangles(sf_dir: str):
+    """Global wedge + triangle count (stages/graphalgo.triangle_count)
+    over the deterministic chain graph {(k, k+1)} ∪ {(k, k+2): k even}
+    — one triangle per even k."""
+    from ..stages.graphalgo import triangle_count
+    from ..stages.setops import exists_join
+
+    docs = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def plus(step: int, even_only: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b.column("doc_id").to_numpy(zero_copy_only=False)
+            if even_only:
+                k = k[k % 2 == 0]
+            return pa.table({"u": pa.array(k), "doc_id": k + step})
+        return fn
+
+    e1 = exists_join(docs.map_batches(plus(1, False),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     docs, on="doc_id")
+    e2 = exists_join(docs.map_batches(plus(2, True),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     docs, on="doc_id")
+    edges = e1.union(e2).map_batches(
+        lambda b: pa.table({"u": b.column("u"),
+                            "v": b.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return triangle_count(edges)
+
+
+ORACLE_SQL["triangles"] = """
+    WITH ids AS (SELECT doc_id FROM documents),
+    e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+      UNION ALL
+      SELECT a.doc_id, b.doc_id
+      FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 2
+      WHERE a.doc_id % 2 = 0
+    ),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e
+                  UNION ALL SELECT v FROM e) GROUP BY node),
+    w AS (SELECT sum(d * (d - 1) // 2) AS n FROM deg),
+    t AS (SELECT count(*) AS n FROM e a
+          JOIN e b ON a.u = b.u AND a.v < b.v
+          JOIN e c ON c.u = a.v AND c.v = b.v)
+    SELECT CAST(w.n AS BIGINT) AS n_wedges,
+           CAST(t.n AS BIGINT) AS n_triangles
+    FROM w, t
+"""
+
+
+def q_embedding_gram(sf_dir: str):
+    """Exact integer Gram matrix of the embedding table
+    (stages/similarity.embedding_gram): d² partial rows per batch via
+    one int64 matmul, one O(d²) groupby."""
+    from ..stages.similarity import embedding_gram
+
+    ds = dt.read_table(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_gram(ds, dim=64)
+
+
+ORACLE_SQL["embedding_gram"] = """
+    WITH e AS (SELECT vec_id, r.i AS i,
+                 CAST(round(CAST(embedding[CAST(r.i + 1 AS INTEGER)]
+                                 AS DOUBLE) * 10000.0, 0) AS BIGINT) AS q
+               FROM embeddings CROSS JOIN range(0, 64) r(i)),
+    p AS (SELECT a.i AS i, b.i AS j, a.q * b.q AS g
+          FROM e a JOIN e b ON a.vec_id = b.vec_id),
+    s AS (SELECT i, j, CAST(sum(g) AS BIGINT) AS gram_q
+          FROM p GROUP BY i, j)
+    SELECT i, j, gram_q,
+           CAST(gram_q AS DOUBLE) / 100000000.0 AS gram
+    FROM s
+"""
+
+
 QUERIES = {
+    "triangles": q_triangles,
+    "embedding_gram": q_embedding_gram,
     "hll_registers": q_hll_registers,
     "max_composite": q_max_composite,
     "revenue_by_nation": q_revenue_by_nation,

@@ -201,3 +201,93 @@ def pagerank(edges: "ray.data.Dataset", iters: int = 3,
         return _pagerank_broadcast(edges, nodes, iters, scale,
                                    src_col, dst_col)
     return _pagerank_join(edges, nodes, iters, scale, src_col, dst_col)
+
+
+def triangle_count(edges: "ray.data.Dataset", u_col: str = "u",
+                   v_col: str = "v",
+                   num_buckets: int = 64) -> "ray.data.Dataset":
+    """Global triangle + wedge count over an undirected edge table with
+    ``u < v`` and no duplicates — the clustering-coefficient numerator
+    (graph QA: how cliquey is the link graph).
+
+    Node-iterator plan: wedges (v, w) with v < w are generated per
+    apex u by a HASH-BUCKETED self-merge (one vectorized pandas merge
+    per bucket, blowup bounded by Σ deg(u)²), then closed by an inner
+    bucket hash-join of the wedge key against the edge-key table — no
+    ``Dataset.join`` and no driver-side adjacency.  Each triangle
+    (a < b < c) is counted exactly once (apex = a, closing edge (b, c)).
+    Returns ONE row: (n_wedges = Σ_v C(deg v, 2), n_triangles) — the
+    global clustering coefficient is 3·triangles / wedges.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def key_of(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (a << np.int64(32)) + b  # valid for ids < 2^31
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        u = batch.column(u_col).to_numpy(zero_copy_only=False)
+        h = (u.astype(np.uint64) * np.uint64(1099511628211)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"u": u,
+                         "v": batch.column(v_col),
+                         "__bucket": h})
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        return pd.DataFrame(
+            {"wk": key_of(m["v_x"].to_numpy(), m["v_y"].to_numpy())})
+
+    wedge_ds = (edges.map_batches(bucketed, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .groupby("__bucket").map_groups(wedges,
+                                                batch_format="pandas"))
+
+    ekeys = edges.map_batches(
+        lambda b: pa.table({
+            "wk": key_of(b.column(u_col).to_numpy(zero_copy_only=False),
+                         b.column(v_col).to_numpy(zero_copy_only=False)),
+            "closed": np.ones(b.num_rows, np.int64)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    closed = bucket_join_attach(wedge_ds, ekeys, key="wk")
+
+    def ones(name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({name: pa.array([batch.num_rows],
+                                            pa.int64())})
+        return fn
+
+    # standard wedge count Σ_v C(deg(v), 2) over FULL degree (the
+    # apex-ordered merge above only generates greater-neighbor pairs —
+    # correct and non-redundant for triangle closure, but not the
+    # clustering-coefficient denominator)
+    def endpoints(batch: pa.Table) -> pa.Table:
+        u = batch.column(u_col)
+        v = batch.column(v_col)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, v])})
+
+    deg = edges.map_batches(endpoints, batch_format="pyarrow",
+                            zero_copy_batch=True).groupby("node").count()
+    n_w = deg.map_batches(
+        lambda b: pa.table({"n": pa.array([int(
+            (lambda d: (d * (d - 1) // 2).sum())(
+                b.column("count()").to_numpy(
+                    zero_copy_only=False).astype(np.int64)))],
+            pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        _Sum("n", alias_name="n"))["n"] or 0
+    n_t = closed.map_batches(ones("n"), batch_format="pyarrow",
+                             zero_copy_batch=True).aggregate(
+        _Sum("n", alias_name="n"))["n"] or 0
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "n_wedges": pa.array([int(n_w)], pa.int64()),
+        "n_triangles": pa.array([int(n_t)], pa.int64()),
+    }))

@@ -445,3 +445,43 @@ def vector_norms(
         })
 
     return ds.map_batches(body, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_gram(ds: "ray.data.Dataset", col: str = "embedding",
+                   dim: int = 64, q_scale: float = 1e4) -> "ray.data.Dataset":
+    """Exact integer Gram matrix G = Σ_vec q qᵀ of an embedding column
+    (the whitening / PCA-input statistic an embedding-quality pass
+    accumulates).  Values quantize to int64 ``q_scale`` units FIRST, so
+    the d×d sums are exact under any partitioning; each batch collapses
+    to d² partial rows via one integer matmul — the shuffle is O(d²)
+    per batch regardless of row count.  Returns (i, j, gram_q, gram)
+    with gram = gram_q / q_scale²."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        q = np.round(flat * q_scale, 0).astype(np.int64).reshape(-1, dim)
+        g = q.T @ q  # int64 matmul — exact
+        ii, jj = np.meshgrid(np.arange(dim, dtype=np.int64),
+                             np.arange(dim, dtype=np.int64),
+                             indexing="ij")
+        return pa.table({"i": ii.ravel(), "j": jj.ravel(),
+                         "g": g.ravel()})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["i", "j"]).aggregate(_Sum("g", alias_name="gram_q")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        gq = batch.column("gram_q").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "i": batch.column("i"), "j": batch.column("j"),
+            "gram_q": batch.column("gram_q"),
+            "gram": gq.astype(np.float64) / (q_scale * q_scale),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -137,3 +137,46 @@ def test_pagerank_join_plan_matches_broadcast_plan():
          for r in pagerank(ds, iters=3,
                            broadcast_threshold=0).take_all()}
     assert a == b
+
+
+def test_triangle_count_known_graph():
+    from greenex_py_ray.stages.graphalgo import triangle_count
+
+    # K4 on {0,1,2,3}: 4 triangles, 12 wedges
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([e[0] for e in edges], pa.int64()),
+        "v": pa.array([e[1] for e in edges], pa.int64()),
+    }))
+    row = triangle_count(ds).take_all()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 12
+
+
+def test_triangle_count_triangle_free():
+    from greenex_py_ray.stages.graphalgo import triangle_count
+
+    # path 0-1-2-3: 2 wedges, 0 triangles
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([0, 1, 2], pa.int64()),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    }))
+    row = triangle_count(ds).take_all()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 2
+
+
+def test_embedding_gram_matches_numpy():
+    from greenex_py_ray.stages.similarity import embedding_gram
+
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(40, 8)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "embedding": pa.array([list(r) for r in v],
+                              pa.list_(pa.float32())),
+    }))
+    out = embedding_gram(ds, dim=8, q_scale=1e4).take_all()
+    got = np.zeros((8, 8), dtype=np.int64)
+    for r in out:
+        got[r["i"], r["j"]] = r["gram_q"]
+    q = np.round(v.astype(np.float64) * 1e4).astype(np.int64)
+    assert np.array_equal(got, q.T @ q)
