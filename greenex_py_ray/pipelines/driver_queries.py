@@ -4020,6 +4020,86 @@ def q_rolling_window(sf_dir: str):
         ["user_id", "event_id", "n_frame", "sum_q"])
 
 
+def q_user_mode(sf_dir: str):
+    """Per-group mode (stages/topk.group_mode): each user's most
+    frequent event type, ties to the lexicographically smallest —
+    distinct-pair partial counts before the first shuffle, a bounded
+    top-1 partial before the second."""
+    from ..stages.topk import group_mode
+
+    ds = dt.read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return group_mode(ds, "user_id", "event_type").select_columns(
+        ["user_id", "mode_value", "cnt"])
+
+
+def q_cohort_retention(sf_dir: str):
+    """Daily cohort retention (stages/windows.cohort_retention):
+    distinct users active per (first-active-day cohort, day offset) —
+    hash-bucketed users, one lexsort + consecutive-dedup kernel,
+    O(cohorts × offsets) second shuffle."""
+    from ..stages.windows import cohort_retention
+
+    ds = dt.read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds).select_columns(
+        ["cohort_day", "day_offset", "n_users"])
+
+
+def q_resample_hourly(sf_dir: str):
+    """Gap-filled hourly resample (stages/windows.resample_fill): per
+    event type, count + exact micro-unit value sum for EVERY hour in
+    the type's [first, last] range, missing hours zero-filled (215
+    genuinely absent hours at sf0.01) — Arrow group_by partials, one
+    key shuffle, reduceat merge."""
+    from ..stages.windows import resample_fill
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["event_type", "ts", "value"])
+    return resample_fill(ds).select_columns(
+        ["event_type", "unit", "n_events", "sum_q"])
+
+
+ORACLE_SQL["user_mode"] = """
+    WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY cnt DESC, event_type ASC) AS rn FROM c)
+    SELECT user_id, event_type AS mode_value, CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rn = 1
+"""
+
+ORACLE_SQL["cohort_retention"] = """
+    WITH w AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+               FROM events),
+    c AS (SELECT user_id, min(d) AS cd FROM w GROUP BY user_id),
+    x AS (SELECT DISTINCT w.user_id, c.cd, w.d - c.cd AS off
+          FROM w JOIN c USING (user_id))
+    SELECT CAST(cd AS BIGINT) AS cohort_day,
+           CAST(off AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM x GROUP BY 1, 2
+"""
+
+# values quantized to int64 micro-units (same convention as
+# rolling_window) so the gap-filled sums are exact in both engines
+ORACLE_SQL["resample_hourly"] = """
+    WITH d AS (SELECT event_type, epoch_us(ts) // 3600000000 AS unit,
+                      count(*) AS c,
+                      sum(CAST(round(value * 1000000.0, 0) AS BIGINT))
+                        AS sq
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, min(unit) AS u0, max(unit) AS u1
+          FROM d GROUP BY 1),
+    g AS (SELECT event_type, unnest(generate_series(u0, u1)) AS unit
+          FROM r)
+    SELECT g.event_type, CAST(g.unit AS BIGINT) AS unit,
+           COALESCE(d.c, 0) AS n_events,
+           CAST(COALESCE(d.sq, 0) AS BIGINT) AS sum_q
+    FROM g LEFT JOIN d ON g.event_type = d.event_type
+                      AND g.unit = d.unit
+"""
+
+
 def q_bigram_topk(sf_dir: str):
     """Top-k word-bigram collocations (stages/text.bigram_topk):
     per-batch partial counts collapse rows to distinct bigrams before
@@ -5410,6 +5490,9 @@ QUERIES = {
     "sessionize": q_sessionize,
     "funnel": q_funnel,
     "rolling_window": q_rolling_window,
+    "user_mode": q_user_mode,
+    "cohort_retention": q_cohort_retention,
+    "resample_hourly": q_resample_hourly,
     "bm25_topk": q_bm25_topk,
     "cell_assignment": q_cell_assignment,
     "bbox": q_bbox,

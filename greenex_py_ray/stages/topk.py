@@ -129,3 +129,61 @@ def group_skyline(ds: "ray.data.Dataset", group_col: str, max_col: str,
                              zero_copy_batch=True)
     return reduced.groupby(group_col).map_groups(
         _apply, batch_format="pyarrow")
+
+
+def group_mode(ds: "ray.data.Dataset", group_col: str,
+               value_col: str) -> "ray.data.Dataset":
+    """Most frequent ``value_col`` per ``group_col`` (the per-group MODE
+    — "dominant event type per user", "majority label per cluster"),
+    ties broken by the lexicographically smallest value so the result
+    is deterministic and SQL-reproducible (``row_number() OVER
+    (PARTITION BY group ORDER BY cnt DESC, value ASC)``).
+
+    Scale shape: per-batch partial counts collapse rows to distinct
+    (group, value) pairs BEFORE the first shuffle, the exact-count
+    groupby moves only that distinct sliver, and a second partial top-1
+    pass bounds the final per-group reduce at one row per group per
+    batch.  String values are ranked via ``np.unique`` codes (ascending
+    codes ARE lexicographic order) — no Python compares in the pick."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             value_col: pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        t = batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([([], "count_all")])
+        return t.rename_columns([group_col, value_col, "cnt"]).set_column(
+            2, "cnt", t.column("count_all").cast(pa.int64()))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        c = batch.column("cnt").to_numpy(zero_copy_only=False)
+        v = np.asarray(batch.column(value_col).to_pylist(), dtype="U")
+        vcodes = np.unique(v, return_inverse=True)[1]
+        order = np.lexsort((vcodes, -c.astype(np.int64), g))
+        gs = g[order]
+        first = np.ones(len(gs), dtype=bool)
+        if len(gs) > 1:
+            first[1:] = gs[1:] != gs[:-1]
+        return batch.take(pa.array(order[first]))
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby([group_col, value_col])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+    best = (counts.map_batches(pick, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(group_col).map_groups(pick, batch_format="pyarrow"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        names = [("mode_value" if n == value_col else n)
+                 for n in batch.column_names]
+        return batch.rename_columns(names)
+
+    return best.map_batches(rename, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -172,3 +172,126 @@ def rolling_window(ds: "ray.data.Dataset", window: int,
                              num_buckets)
             .groupby("bucket")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def cohort_retention(ds: "ray.data.Dataset", user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     unit_us: int = 86_400_000_000,
+                     num_buckets: int = 64) -> "ray.data.Dataset":
+    """Cohort retention triangle: cohort = the entity's FIRST active
+    ``unit_us`` period (day by default); one output row per
+    (cohort, period-offset) with the count of distinct entities active
+    in that offset period — the standard product-analytics retention
+    matrix.
+
+    Scale shape: users are hash-bucketed so each user's full history is
+    in ONE group (a single ``num_buckets``-way shuffle); the per-bucket
+    kernel is one lexsort + consecutive-dedup (distinct user-periods)
+    + ``np.unique`` partial counts, so the second shuffle moves only
+    O(#cohorts × #offsets) rows per bucket."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "cohort_day": pd.Series([], dtype="int64"),
+                "day_offset": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64")})
+        u = g[user_col].to_numpy(np.int64)
+        p = g["ts_us"].to_numpy(np.int64) // unit_us
+        order = np.lexsort((p, u))
+        u, p = u[order], p[order]
+        ubrk = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            ubrk[1:] = u[1:] != u[:-1]
+        ustarts = np.flatnonzero(ubrk)
+        useg = np.cumsum(ubrk) - 1
+        cohort = p[ustarts][useg]          # per-row user's first period
+        off = p - cohort
+        keep = np.ones(len(u), dtype=bool)  # distinct (user, off):
+        if len(u) > 1:                      # sorted, so dedup runs
+            keep[1:] = (u[1:] != u[:-1]) | (off[1:] != off[:-1])
+        pairs = np.stack([cohort[keep], off[keep]], axis=1)
+        uq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame({"cohort_day": uq[:, 0],
+                             "day_offset": uq[:, 1],
+                             "n_users": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    part = (_bucketed_events(ds, user_col, ts_col, [], num_buckets)
+            .groupby("bucket").map_groups(kernel, batch_format="pandas"))
+    return (part.groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def resample_fill(ds: "ray.data.Dataset", key_col: str = "event_type",
+                  ts_col: str = "ts", value_col: str = "value",
+                  unit_us: int = 3_600_000_000) -> "ray.data.Dataset":
+    """Gap-filled time resample: per ``key_col``, the event count and
+    exact micro-unit value sum for EVERY ``unit_us`` period between the
+    key's first and last event — missing periods emitted with zeros
+    (the "regularize an event stream into a dense time series" op a
+    feature or monitoring pipeline needs).
+
+    Scale shape: per-batch Arrow group_by partials collapse the stream
+    to O(#keys × #periods-per-batch) rows before the single key
+    shuffle; the per-key final merges partials with sorted
+    ``add.reduceat`` (int64-exact) and materializes only that key's
+    [first, last] period range.  Assumes moderate key cardinality
+    (event-type-like, not user-like) and a bounded time range — both
+    documented properties of a resample target."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "unit": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64())})
+        ts = batch.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = ts.to_numpy(zero_copy_only=False) // unit_us
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vq = np.round(v * WIN_Q).astype(np.int64)
+        g = pa.table({key_col: batch.column(key_col),
+                      "unit": pa.array(t),
+                      "vq": pa.array(vq)}).group_by(
+            [key_col, "unit"]).aggregate([("vq", "sum"), ([], "count_all")])
+        return pa.table({key_col: g.column(key_col),
+                         "unit": g.column("unit"),
+                         "n": g.column("count_all").cast(pa.int64()),
+                         "sum_q": g.column("vq_sum").cast(pa.int64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="object"),
+                "unit": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_q": pd.Series([], dtype="int64")})
+        d = g["unit"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        s = g["sum_q"].to_numpy(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, c, s = d[order], c[order], s[order]
+        brk = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            brk[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(brk)
+        uq = d[starts]
+        cc = np.add.reduceat(c, starts)
+        ss = np.add.reduceat(s, starts)
+        full = np.arange(uq[0], uq[-1] + 1, dtype=np.int64)
+        n_out = np.zeros(len(full), dtype=np.int64)
+        s_out = np.zeros(len(full), dtype=np.int64)
+        idx = uq - uq[0]
+        n_out[idx] = cc
+        s_out[idx] = ss
+        return pd.DataFrame({key_col: g[key_col].iloc[0],
+                             "unit": full,
+                             "n_events": n_out,
+                             "sum_q": s_out})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(key_col).map_groups(final, batch_format="pandas"))

@@ -322,3 +322,43 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     tot = sum(kept_sz.values())
     for g in w:
         assert abs(kept_sz[g] / tot - w[g]) < 0.05
+
+
+def test_group_mode_counts_and_ties(ray_session):
+    from greenex_py_ray.stages.topk import group_mode
+
+    # group 1: 'b' wins by count; group 2: tie between 'a' and 'c'
+    # at 2 each → lexicographically smallest ('a') wins
+    g = np.array([1, 1, 1, 2, 2, 2, 2], dtype=np.int64)
+    v = ["b", "b", "a", "c", "a", "c", "a"]
+    ds = ray.data.from_arrow(pa.table({"user_id": g, "event_type": v}))
+    got = {r["user_id"]: (r["mode_value"], r["cnt"])
+           for r in group_mode(ds, "user_id", "event_type").take_all()}
+    assert got == {1: ("b", 2), 2: ("a", 2)}
+
+
+def test_group_mode_matches_bruteforce(ray_session):
+    import pandas as pd
+
+    from greenex_py_ray.stages.topk import group_mode
+
+    rng = np.random.default_rng(23)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "event_type": rng.choice(list("abcdef"), n),
+    })
+    # split across several blocks so partial counts really merge
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = group_mode(ds, "user_id", "event_type").to_pandas()
+    exp = (df.groupby(["user_id", "event_type"]).size()
+           .rename("cnt").reset_index()
+           .sort_values(["user_id", "cnt", "event_type"],
+                        ascending=[True, False, True])
+           .groupby("user_id").head(1))
+    got = got.sort_values("user_id").reset_index(drop=True)
+    exp = exp.sort_values("user_id").reset_index(drop=True)
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["mode_value"].to_numpy()
+            == exp["event_type"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == exp["cnt"].to_numpy()).all()

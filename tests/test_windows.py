@@ -97,3 +97,75 @@ def test_rolling_window_matches_pandas(ray_session):
     assert len(got) == len(exp)
     assert (got["n_frame"] == exp["n_frame"].sort_index()).all()
     assert (got["sum_q"] == exp["sum_q"].sort_index()).all()
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    from greenex_py_ray.stages.windows import cohort_retention
+
+    df = _events(500, users=12, seed=3)
+    got = cohort_retention(ray.data.from_pandas(df),
+                           unit_us=86_400_000_000,
+                           num_buckets=4).to_pandas()
+    d = df.assign(day=df["ts"].astype("int64") // 86_400_000_000)
+    d["cohort_day"] = d.groupby("user_id")["day"].transform("min")
+    d["day_offset"] = d["day"] - d["cohort_day"]
+    exp = (d.drop_duplicates(["user_id", "day_offset"])
+           .groupby(["cohort_day", "day_offset"]).size()
+           .rename("n_users").reset_index())
+    got = got.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    exp = exp.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["cohort_day"].to_numpy() == exp["cohort_day"].to_numpy()).all()
+    assert (got["day_offset"].to_numpy() == exp["day_offset"].to_numpy()).all()
+    assert (got["n_users"].to_numpy() == exp["n_users"].to_numpy()).all()
+    # every user contributes exactly one offset-0 row
+    z = got[got["day_offset"] == 0]
+    assert z["n_users"].sum() == df["user_id"].nunique()
+
+
+def test_resample_fill_gaps_and_sums(ray_session):
+    from greenex_py_ray.stages.windows import resample_fill
+
+    # two keys; key 'a' has a 3-unit hole, key 'b' a single unit
+    ts = pd.to_datetime(
+        [0, 1, 10, 42, 43], unit="s").astype("datetime64[us]")
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "a", "a", "b"],
+        "ts": ts,
+        "value": [1.5, 2.25, -0.5, 4.0, 7.125],
+    })
+    got = resample_fill(ray.data.from_pandas(df), unit_us=10_000_000
+                        ).to_pandas().sort_values(
+        ["event_type", "unit"]).reset_index(drop=True)
+    a = got[got["event_type"] == "a"]
+    assert list(a["unit"]) == [0, 1, 2, 3, 4]          # gap-filled
+    assert list(a["n_events"]) == [2, 1, 0, 0, 1]
+    assert list(a["sum_q"]) == [3_750_000, -500_000, 0, 0, 4_000_000]
+    b = got[got["event_type"] == "b"]
+    assert list(b["unit"]) == [4]
+    assert list(b["sum_q"]) == [7_125_000]
+
+
+def test_resample_fill_matches_bruteforce(ray_session):
+    from greenex_py_ray.stages.windows import resample_fill, WIN_Q
+
+    df = _events(400, users=6, seed=19)
+    unit = 3_600_000_000
+    got = resample_fill(ray.data.from_pandas(df), key_col="event_type",
+                        unit_us=unit).to_pandas()
+    d = df.assign(unit=df["ts"].astype("int64") // unit,
+                  vq=np.round(df["value"].to_numpy() * WIN_Q)
+                  .astype(np.int64))
+    for k, g in d.groupby("event_type"):
+        sub = got[got["event_type"] == k].set_index("unit").sort_index()
+        assert sub.index.min() == g["unit"].min()
+        assert sub.index.max() == g["unit"].max()
+        assert len(sub) == g["unit"].max() - g["unit"].min() + 1
+        agg = g.groupby("unit").agg(n=("vq", "size"), s=("vq", "sum"))
+        for u in sub.index:
+            if u in agg.index:
+                assert sub.loc[u, "n_events"] == agg.loc[u, "n"]
+                assert sub.loc[u, "sum_q"] == agg.loc[u, "s"]
+            else:
+                assert sub.loc[u, "n_events"] == 0
+                assert sub.loc[u, "sum_q"] == 0
