@@ -4867,6 +4867,40 @@ ORACLE_SQL["components"] = """
 """
 
 
+def q_gi_star(sf_dir: str):
+    """Getis–Ord Gi* hot-spot z-score per occupied density cell
+    (stages/geostats.getis_ord_gi_star): queen-window weights incl.
+    self, exact int64 sufficient statistics, one closed-form double
+    replayed token-for-token in SQL."""
+    from ..stages.geostats import getis_ord_gi_star
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return getis_ord_gi_star(ds, MORAN_CELL)
+
+
+ORACLE_SQL["gi_star"] = f"""
+    WITH d AS (SELECT CAST(floor({_X} / {MORAN_CELL!r}) AS BIGINT) AS ix,
+                      CAST(floor({_Y} / {MORAN_CELL!r}) AS BIGINT) AS iy
+               FROM documents),
+    c AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS x
+          FROM d GROUP BY ix, iy),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sxx FROM c),
+    nb AS (SELECT a.ix, a.iy, CAST(sum(b.x) AS BIGINT) AS nx,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM c a JOIN c b
+           ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+           GROUP BY a.ix, a.iy)
+    SELECT nb.ix, nb.iy, nb.w AS n_nbr,
+           CAST(g.n * nb.nx - g.sx * nb.w AS DOUBLE)
+             / sqrt(CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+                    * CAST(g.n * nb.w - nb.w * nb.w AS DOUBLE)
+                    / CAST(g.n - 1 AS DOUBLE)) AS gi_star
+    FROM nb, g
+"""
+
+
 def q_moran(sf_dir: str):
     """Global Moran's I of the doc-density grid (stages/geostats
     .morans_i): rook weights, exact int64 sufficient statistics, one
@@ -5438,6 +5472,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "components": q_components,
     "moran": q_moran,
+    "gi_star": q_gi_star,
     "minmax_scale": q_minmax_scale,
     "corpus_profile": q_corpus_profile,
     "orders_with_bulk_item": q_orders_with_bulk_item,

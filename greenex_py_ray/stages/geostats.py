@@ -430,3 +430,103 @@ def morans_i(ds: "ray.data.Dataset", cell_size: float,
         "w_pairs": pa.array([w_pairs], pa.int64()),
         "moran_i": pa.array([float(moran)], pa.float64()),
     }))
+
+
+def getis_ord_gi_star(ds: "ray.data.Dataset", cell_size: float,
+                      x_col: str = "x",
+                      y_col: str = "y") -> "ray.data.Dataset":
+    """Getis–Ord Gi* hot-spot statistic of the point-density surface:
+    bin points to a square grid (value = count per occupied cell),
+    weights = queen contiguity INCLUDING self (w_ij = 1 for the 3×3
+    window, the * variant), one z-score per occupied cell — the
+    standard "where are the statistically hot cells" companion to the
+    global Moran's I above.
+
+    Exactness (same discipline as :func:`morans_i`): with integer
+    counts x, n = #occupied cells, Sx = Σx, Sxx = Σx², per cell let
+    NX_i = Σ_j w_ij x_j and W_i = Σ_j w_ij (both exact int64).  The
+    textbook Gi* = (NX − x̄W) / (S·sqrt((nW − W²)/(n−1))) multiplied
+    through by n gives
+
+        Gi* = (n·NX − Sx·W) / sqrt((n·Sxx − Sx²) · (n·W − W²) / (n−1))
+
+    — every operand an exact int64, ONE closed-form double expression
+    replayed token-for-token by the SQL oracle.
+
+    Scale shape: per-batch partial counts → one O(occupied-cells)
+    groupby; the 3×3 neighbor sums are a 9-way key-shifted emission +
+    a second O(cells) groupby + a bucket hash-join back (emissions
+    landing on unoccupied cells drop out in the inner join — the
+    w_ij = 0 case).  No driver-side O(cells²) pass."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.joins import bucket_join_attach
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cx = np.floor(x / cell_size).astype(np.int64)
+        cy = np.floor(y / cell_size).astype(np.int64)
+        enc = (cx << np.int64(32)) + (cy & np.int64(0xFFFFFFFF))
+        uk, cnt = np.unique(enc, return_counts=True)
+        return pa.table({"ck": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    cellcnt = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("ck").aggregate(Sum("n", alias_name="n"))
+               .materialize())  # O(occupied cells) — small vs points
+
+    g = cellcnt.aggregate(Count(), Sum("n", alias_name="s"))
+    ncells = int(g["count()"])
+    s_total = int(g["s"])
+    if ncells < 2:
+        raise ValueError("Gi* needs at least 2 occupied cells")
+    sxx = int(cellcnt.map_batches(
+        lambda b: pa.table({"xx": b.column("n").to_numpy(
+            zero_copy_only=False).astype(np.int64) ** 2}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).aggregate(Sum("xx", alias_name="xx"))["xx"])
+
+    def emit_window(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ck").to_numpy(zero_copy_only=False)
+        xv = batch.column("n").to_numpy(zero_copy_only=False)
+        cx = ck >> np.int64(32)
+        lo = ck & np.int64(0xFFFFFFFF)
+        cy = np.where(lo >= np.int64(1) << np.int64(31),
+                      lo - (np.int64(1) << np.int64(32)), lo)
+        outs, vals = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(((cx + dx) << np.int64(32))
+                            + ((cy + dy) & np.int64(0xFFFFFFFF)))
+                vals.append(xv)
+        return pa.table({"ck": pa.array(np.concatenate(outs)),
+                         "nx": pa.array(np.concatenate(vals)),
+                         "w": pa.array(np.ones(9 * len(ck), np.int64))})
+
+    nbr = (cellcnt.map_batches(emit_window, batch_format="pyarrow",
+                               zero_copy_batch=True)
+           .groupby("ck").aggregate(Sum("nx", alias_name="nx"),
+                                    Sum("w", alias_name="w")))
+    joined = bucket_join_attach(cellcnt, nbr, key="ck")
+    b_var = float(ncells * sxx - s_total * s_total)
+    nm1 = float(ncells - 1)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ck").to_numpy(zero_copy_only=False)
+        nx = batch.column("nx").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        a = (ncells * nx - s_total * w).astype(np.float64)
+        c = (ncells * w - w * w).astype(np.float64)
+        gi = a / np.sqrt(b_var * c / nm1)
+        cx = ck >> np.int64(32)
+        lo = ck & np.int64(0xFFFFFFFF)
+        cy = np.where(lo >= np.int64(1) << np.int64(31),
+                      lo - (np.int64(1) << np.int64(32)), lo)
+        return pa.table({"ix": pa.array(cx), "iy": pa.array(cy),
+                         "n_nbr": batch.column("w"),
+                         "gi_star": pa.array(gi)})
+
+    return joined.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)

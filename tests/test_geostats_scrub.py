@@ -311,3 +311,45 @@ def test_filter_chain_rules_fire(ray_session):
         and out.loc[2, "reasons"] & 16
     assert out.loc[3, "reasons"] & 2 and not (out.loc[3, "reasons"] & 1)
     assert not bool(out.loc[2, "keep"])
+
+
+def test_gi_star_matches_bruteforce(ray_session):
+    from greenex_py_ray.stages.geostats import getis_ord_gi_star
+
+    rng = np.random.default_rng(31)
+    n = 800
+    # clustered points: two hot blobs + uniform background
+    x = np.concatenate([rng.normal(100, 30, 200),
+                        rng.normal(900, 25, 200),
+                        rng.uniform(0, 1000, 400)])
+    y = np.concatenate([rng.normal(100, 30, 200),
+                        rng.normal(900, 25, 200),
+                        rng.uniform(0, 1000, 400)])
+    cell = 100.0
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y})).repartition(4)
+    got = getis_ord_gi_star(ds, cell).to_pandas()
+    got = got.set_index(["ix", "iy"]).sort_index()
+
+    # brute force: textbook Gi* over occupied cells, queen + self
+    cx = np.floor(x / cell).astype(np.int64)
+    cy = np.floor(y / cell).astype(np.int64)
+    df = pd.DataFrame({"ix": cx, "iy": cy})
+    c = df.groupby(["ix", "iy"]).size().rename("v").reset_index()
+    nn = len(c)
+    vals = c["v"].to_numpy(np.float64)
+    xbar = vals.mean()
+    s = math.sqrt((vals ** 2).mean() - xbar ** 2)
+    assert len(got) == nn
+    for i in range(nn):
+        m = ((np.abs(c["ix"].to_numpy() - c["ix"].iloc[i]) <= 1)
+             & (np.abs(c["iy"].to_numpy() - c["iy"].iloc[i]) <= 1))
+        w = m.sum()
+        nx = vals[m].sum()
+        den = s * math.sqrt((nn * w - w * w) / (nn - 1))
+        exp = (nx - xbar * w) / den
+        r = got.loc[(c["ix"].iloc[i], c["iy"].iloc[i])]
+        assert r["n_nbr"] == w
+        assert abs(r["gi_star"] - exp) < 1e-9
+    # the two blob centres are hot (gi* strongly positive)
+    hot = got["gi_star"].max()
+    assert hot > 3.0
