@@ -1423,6 +1423,45 @@ ORACLE_SQL["token_quantiles"] = r"""
     FROM (VALUES {QS}) qs(q)
 """.replace("{QS}", ", ".join(f"({q})" for q in QUANTILE_QS))
 
+# per-group winsorized stats (stages/quantiles.group_winsorize) —
+# exact discrete quantiles (smallest v with cum ≥ ceil(q·n)), int64
+# clipped sums, no float interpolation anywhere
+ORACLE_SQL["winsorize"] = r"""
+    WITH h AS (SELECT source AS grp, n_chars AS v, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    tot AS (SELECT grp, sum(c) AS n FROM h GROUP BY 1),
+    cum AS (SELECT grp, v, c,
+                   sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum
+            FROM h),
+    b AS (SELECT t.grp, CAST(t.n AS BIGINT) AS n,
+            (SELECT min(v) FROM cum
+             WHERE cum.grp = t.grp AND cum >= ceil(0.1 * t.n)) AS lo,
+            (SELECT min(v) FROM cum
+             WHERE cum.grp = t.grp AND cum >= ceil(0.9 * t.n)) AS hi
+          FROM tot t)
+    SELECT b.grp AS source, b.n, b.lo AS lo, b.hi AS hi,
+           CAST(sum(h.c * least(greatest(h.v, b.lo), b.hi)) AS BIGINT)
+             AS sum_winsor,
+           CAST(coalesce(sum(CASE WHEN h.v < b.lo THEN h.c END), 0)
+                AS BIGINT) AS n_lo,
+           CAST(coalesce(sum(CASE WHEN h.v > b.hi THEN h.c END), 0)
+                AS BIGINT) AS n_hi
+    FROM h JOIN b ON h.grp = b.grp
+    GROUP BY b.grp, b.n, b.lo, b.hi
+"""
+
+
+def q_winsorize(sf_dir: str):
+    """Per-source winsorized n_chars stats (stages/quantiles
+    .group_winsorize): exact p10/p90 discrete quantiles, clipped sum
+    and tail-clip counts per group — distinct-value partials bound the
+    shuffle at O(groups × distinct values)."""
+    from ..stages.quantiles import group_winsorize
+
+    ds = dt.read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    return group_winsorize(ds, "source", "n_chars", 0.1, 0.9)
+
+
 ORACLE_SQL["hash_split"] = f"""
     WITH b AS (SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents)
     SELECT doc_id, bucket, {_SPLIT_SQL} AS split
@@ -3376,6 +3415,42 @@ def world_oracle_sql() -> dict[str, str]:
                       ELSE h END AS BIGINT) AS span_fp
           FROM fp
         """,
+        # text-only span compaction (stages/multimodal
+        # .compact_text_spans_batch): drop non-text spans, keep order,
+        # fingerprint the compacted sequence; zero-text docs keep the
+        # empty-sequence Horner basis
+        "compact_text_spans": f"""
+          WITH s AS (SELECT doc_id, unnest(spans) AS sp,
+                       CAST(generate_subscripts(spans, 1) AS BIGINT) AS i
+                     FROM read_parquet('{glob}')),
+          enc AS (SELECT doc_id,
+                    coalesce(string_agg(
+                      coalesce(sp.kind, '') || chr(31)
+                      || coalesce(sp.text, '') || chr(31)
+                      || coalesce(sp.media_ref, '') || chr(30),
+                      '' ORDER BY i)
+                      FILTER (WHERE coalesce(sp.kind, '') = 'text'),
+                      '') AS es,
+                    CAST(count(*) FILTER (
+                      WHERE coalesce(sp.kind, '') = 'text') AS BIGINT)
+                      AS n_kept,
+                    CAST(count(*) FILTER (
+                      WHERE coalesce(sp.kind, '') <> 'text') AS BIGINT)
+                      AS n_dropped
+                  FROM s GROUP BY doc_id),
+          fp AS (SELECT doc_id, n_kept, n_dropped, list_reduce(
+                   list_prepend(1469598103934665603::HUGEINT,
+                     list_transform(regexp_extract_all(es, '.'),
+                                    c -> ascii(c)::HUGEINT)),
+                   (a, b) -> (a * 1000003 + b)
+                             % 18446744073709551616::HUGEINT) AS h
+                 FROM enc)
+          SELECT doc_id, n_kept, n_dropped,
+                 CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                      THEN h - 18446744073709551616::HUGEINT
+                      ELSE h END AS BIGINT) AS text_fp
+          FROM fp
+        """,
     }
 
 
@@ -4760,6 +4835,20 @@ def q_span_fingerprint(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_compact_text_spans(sf_dir: str):
+    """Text-only span compaction over the interleaved table
+    (stages/multimodal.compact_text_spans_batch): drop media spans,
+    preserve text-span order, re-fingerprint — the strip-media
+    projection with the north rule's order invariant on the output."""
+    from ..sources import documents as doc_src
+    from ..stages.multimodal import compact_text_spans_batch
+
+    w = _world_paths()
+    docs = doc_src.read_documents(w["documents"])
+    return docs.map_batches(compact_text_spans_batch,
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_corpus_profile(sf_dir: str):
     """Corpus profiling rollup (stages/text.corpus_profile): per
     (source, lang) doc counts and char totals, partial-combined per
@@ -5378,6 +5467,66 @@ ORACLE_SQL["hll_registers"] = r"""
 """
 
 
+def q_cms_registers(sf_dir: str):
+    """Count-min sketch register table (stages/sketch.cms_registers,
+    d=4, w=64) over the lowercased corpus token stream — the mergeable
+    frequency sketch, integer-exact per register (splitmix64 row
+    constants replayed via the HLL oracle's 32-bit-split HUGEINT
+    multiply)."""
+    from ..stages.sketch import cms_registers
+    from ..stages.text import _ws_token_lists
+
+    ds = dt.read_table(sf_dir, "documents", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, nonempty = _ws_token_lists(col)
+        low = pc.utf8_lower(flat).filter(pa.array(nonempty))
+        return pa.table({"tok": low})
+
+    stream = ds.map_batches(toks, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return cms_registers(stream, "tok", d=4, log2w=6)
+
+
+# count-min registers: same poly-hash token stream as hll_registers;
+# each row constant C is split hi·2^32+lo so th·C mod 2^64 stays inside
+# HUGEINT; cell = top 6 bits
+ORACLE_SQL["cms_registers"] = r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+      SELECT list_reduce(
+        list_prepend(1469598103934665603::HUGEINT,
+          list_transform(regexp_extract_all(tok, '.'),
+                         c -> ascii(c)::HUGEINT)),
+        (a, b) -> (a * 1000003 + b)
+                  % 18446744073709551616::HUGEINT) AS th
+      FROM toks WHERE tok <> ''
+    ),
+    consts AS (SELECT * FROM (VALUES
+      (0, 2654435769::HUGEINT, 2135587861::HUGEINT),
+      (1, 3210233709::HUGEINT, 484763065::HUGEINT),
+      (2, 2496678331::HUGEINT, 321982955::HUGEINT),
+      (3, 3605593784::HUGEINT, 1717173651::HUGEINT)) c(r, hi, lo)),
+    mx AS (SELECT c.r,
+             (((h.th * c.hi) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+              + h.th * c.lo)
+             % 18446744073709551616::HUGEINT AS mh
+           FROM h CROSS JOIN consts c)
+    SELECT CAST(r AS BIGINT) AS "row",
+           CAST(mh // 288230376151711744::HUGEINT AS BIGINT) AS cell,
+           count(*) AS n
+    FROM mx GROUP BY 1, 2
+"""
+
+
 def q_triangles(sf_dir: str):
     """Global wedge + triangle count (stages/graphalgo.triangle_count)
     over the deterministic chain graph {(k, k+1)} ∪ {(k, k+2): k even}
@@ -5462,6 +5611,7 @@ QUERIES = {
     "triangles": q_triangles,
     "embedding_gram": q_embedding_gram,
     "hll_registers": q_hll_registers,
+    "cms_registers": q_cms_registers,
     "max_composite": q_max_composite,
     "revenue_by_nation": q_revenue_by_nation,
     "window_dedup": q_window_dedup,
@@ -5478,6 +5628,7 @@ QUERIES = {
     "orders_with_bulk_item": q_orders_with_bulk_item,
     "media_ref_rollup": q_media_ref_rollup,
     "span_fingerprint": q_span_fingerprint,
+    "compact_text_spans": q_compact_text_spans,
     "orders_no_bulk_item": q_orders_no_bulk_item,
     "distinct_event_types": q_distinct_event_types,
     "embedding_norms": q_embedding_norms,
@@ -5519,6 +5670,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "topk_per_split": q_topk_per_split,
     "token_quantiles": q_token_quantiles,
+    "winsorize": q_winsorize,
     "tfidf_topk": q_tfidf_topk,
     "stratified_sample": q_stratified_sample,
     "bigram_topk": q_bigram_topk,

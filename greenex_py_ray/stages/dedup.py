@@ -655,13 +655,18 @@ def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 20,
     # block count compounds exponentially across rounds (measured: round
     # 4 at 200× round 0's wall time on a 40-node chain)
     nblk = max(2, edges.num_blocks())
-    labels = edges.groupby("key").aggregate(_Min("nbr", alias_name="label"))
+    # high-cardinality min-reduce: the bucketed combiner path (the
+    # generic groupby(key) exchange measured 48× slower at 10M rows /
+    # 1M keys — functions/aggregates.py)
+    from ..functions.aggregates import bucket_group_reduce
+
+    labels = bucket_group_reduce(edges, "key", ["nbr"], ["min"])
     labels = labels.map_batches(
         lambda b: pa.table({
             "key": b.column("key"),
             "label": pa.array(np.minimum(
                 b.column("key").to_numpy(zero_copy_only=False),
-                b.column("label").to_numpy(zero_copy_only=False),
+                b.column("nbr").to_numpy(zero_copy_only=False),
             )),
         }),
         batch_format="pyarrow",
@@ -688,8 +693,8 @@ def connected_components(pairs: "ray.data.Dataset", max_rounds: int = 20,
         # ...and the reduce keeps the min over (own label ∪ neighbor labels).
         # materialize: bucket_join_attach below reads .schema(), which
         # would re-execute this whole shuffle from lineage otherwise
-        labels = labels.union(prop).groupby("key").aggregate(
-            _Min("label", alias_name="label")
+        labels = bucket_group_reduce(
+            labels.union(prop), "key", ["label"], ["min"]
         ).repartition(nblk).materialize()
         # pointer doubling: label[k] <- label[label[k]].  Every label
         # value is itself a key in the table (it is the min over keys),

@@ -287,8 +287,6 @@ def dissolve_dataset(
     import pyarrow.compute as pc
 
     import ray.data as rd
-    from ray.data.aggregate import Count as _Count
-    from ray.data.aggregate import Min as _Min
 
     from .. import cells
     from ..functions.joins import bucket_join_attach
@@ -360,14 +358,21 @@ def dissolve_dataset(
     # — near-unique components through map_groups is the
     # one-pandas-call-per-group pitfall (most polygons are disjoint, so
     # most components are singletons).
-    labels = own.union(comp).groupby("key").aggregate(
-        _Min("component", alias_name="component"),
-        _Count(alias_name="label_rows"))
+    from ..functions.aggregates import bucket_group_reduce
+
+    def with_one(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    labels = bucket_group_reduce(
+        own.union(comp).map_batches(with_one, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+        "key", ["component", "one"], ["min", "sum"])
     labels = labels.map_batches(
         lambda b: pa.table({key_col: b.column("key"),
                             "component": b.column("component"),
                             "is_multi": pc.greater_equal(
-                                b.column("label_rows"), 2)}),
+                                b.column("one"), 2)}),
         batch_format="pyarrow",
     )
     labeled = bucket_join_attach(polys, labels, key=key_col).materialize()

@@ -21,8 +21,10 @@ Two physical plans, size-gated on the node count (the near_dedup
   on the driver and ship once per iteration via ``ray.put``; each
   iteration is ONE ``map_batches`` pass over the (never reshuffled)
   edge table emitting per-batch pre-combined contributions + ONE
-  O(active nodes) groupby.  Measured 16× faster than the join plan at
-  10M edges / 1M nodes (240 s → 15 s, 3 iterations, 32 CPUs).
+  bucketed O(active nodes) reduce (``functions/aggregates.py`` — the
+  generic ``groupby(node)`` exchange measured 56 s/iteration at 10M
+  edges / 1M nodes vs ~1 s bucketed; whole 3-iteration stress 948 s →
+  53 s on 32 CPUs, identical integers).
 * **Join plan** (beyond driver memory): the rank table stays a Dataset,
   attached to the edge stream by a bucket hash-join each iteration and
   re-materialized per round so lineage does not compound (same
@@ -40,7 +42,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 from ..functions.joins import bucket_join_attach
 
@@ -48,7 +50,10 @@ from ..functions.joins import bucket_join_attach
 def _distinct_nodes(edges: "ray.data.Dataset", src_col: str,
                     dst_col: str) -> "ray.data.Dataset":
     """(node) dataset = distinct(src) ∪ distinct(dst), via per-batch
-    partial dedup + one groupby (ships O(distinct per batch) rows)."""
+    partial dedup + one bucketed shuffle (ships O(distinct per batch)
+    rows; the generic ``groupby(node)`` exchange measured 125 s on a
+    10M-edge graph, the bucket path ~2 s)."""
+    from ..functions.aggregates import bucket_distinct
 
     def both(batch: pa.Table) -> pa.Table:
         s = batch.column(src_col).to_numpy(zero_copy_only=False)
@@ -57,9 +62,7 @@ def _distinct_nodes(edges: "ray.data.Dataset", src_col: str,
 
     part = edges.map_batches(both, batch_format="pyarrow",
                              zero_copy_batch=True)
-    return (part.groupby("node")
-            .aggregate(Min("node", alias_name="__m"))
-            .select_columns(["node"]))
+    return bucket_distinct(part, "node")
 
 
 def _collect_column(ds: "ray.data.Dataset", col: str) -> np.ndarray:
@@ -97,11 +100,23 @@ class _BroadcastContrib:
 def _pagerank_broadcast(edges, nodes, iters, scale, src_col, dst_col):
     import ray.data as _rd
 
+    from ..functions.aggregates import bucket_group_reduce
+
     keys = np.sort(_collect_column(nodes, "node"))
-    deg_ds = edges.groupby(src_col).count()
+
+    def out_deg(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column(src_col).to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({src_col: pa.array(u),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    deg_ds = bucket_group_reduce(
+        edges.map_batches(out_deg, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        src_col, ["deg"], ["sum"])
     deg = np.ones(len(keys), dtype=np.int64)  # 1 for dangling: r//1
     dk = _collect_column(deg_ds, src_col)
-    dv = _collect_column(deg_ds, "count()").astype(np.int64)
+    dv = _collect_column(deg_ds, "deg").astype(np.int64)
     deg[np.searchsorted(keys, dk)] = dv
     ranks = np.full(len(keys), scale, dtype=np.int64)
     base = (15 * scale) // 100
@@ -115,7 +130,11 @@ def _pagerank_broadcast(edges, nodes, iters, scale, src_col, dst_col):
                                        dst_col=dst_col),
             batch_format="pyarrow", zero_copy_batch=True,
             concurrency=(1, 16), num_cpus=0.5)
-        summed = parts.groupby("node").aggregate(Sum("c", alias_name="c"))
+        # contrib batches are already key-combined; bucket-reduce the
+        # O(uniq-per-batch) partials (the generic groupby here measured
+        # 56 s/iteration at 10M edges, the bucket path ~1 s)
+        summed = bucket_group_reduce(parts, "node", ["c"], ["sum"],
+                                     pre_reduce=False)
         new = np.full(len(keys), base, dtype=np.int64)
         ck = _collect_column(summed, "node")
         cv = _collect_column(summed, "c")
@@ -128,11 +147,18 @@ def _pagerank_broadcast(edges, nodes, iters, scale, src_col, dst_col):
 
 
 def _pagerank_join(edges, nodes, iters, scale, src_col, dst_col):
-    deg = edges.groupby(src_col).count().map_batches(
-        lambda b: pa.table({
-            src_col: b.column(src_col),
-            "deg": b.column("count()").cast(pa.int64()),
-        }), batch_format="pyarrow", zero_copy_batch=True)
+    from ..functions.aggregates import bucket_group_reduce
+
+    def out_deg(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column(src_col).to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({src_col: pa.array(u),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    deg = bucket_group_reduce(
+        edges.map_batches(out_deg, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        src_col, ["deg"], ["sum"])
     # (src, dst, deg) — joined once, reused by every iteration
     edges_deg = bucket_join_attach(edges, deg, key=src_col).materialize()
 
@@ -173,8 +199,8 @@ def _pagerank_join(edges, nodes, iters, scale, src_col, dst_col):
                                zero_copy_batch=True)
         seeded = parts.union(nodes.map_batches(
             zeros, batch_format="pyarrow", zero_copy_batch=True))
-        summed = seeded.groupby("node").aggregate(
-            Sum("c", alias_name="c"))
+        summed = bucket_group_reduce(seeded, "node", ["c"], ["sum"],
+                                     pre_reduce=False)
         ranks = summed.map_batches(
             damp, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
@@ -273,12 +299,23 @@ def triangle_count(edges: "ray.data.Dataset", u_col: str = "u",
             v = v.combine_chunks()
         return pa.table({"node": pa.concat_arrays([u, v])})
 
-    deg = edges.map_batches(endpoints, batch_format="pyarrow",
-                            zero_copy_batch=True).groupby("node").count()
+    from ..functions.aggregates import bucket_group_reduce
+
+    def end_counts(batch: pa.Table) -> pa.Table:
+        t = endpoints(batch)
+        u, c = np.unique(t.column("node").to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    deg = bucket_group_reduce(
+        edges.map_batches(end_counts, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "node", ["cnt"], ["sum"])
     n_w = deg.map_batches(
         lambda b: pa.table({"n": pa.array([int(
             (lambda d: (d * (d - 1) // 2).sum())(
-                b.column("count()").to_numpy(
+                b.column("cnt").to_numpy(
                     zero_copy_only=False).astype(np.int64)))],
             pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True).aggregate(

@@ -376,3 +376,51 @@ def span_fingerprint_batch(batch: pa.Table,
         "n_spans": pa.array(counts),
         "span_fp": pa.array(fp.view(np.int64)),
     })
+
+
+def compact_text_spans_batch(batch: pa.Table,
+                             key_col: str = "doc_id") -> pa.Table:
+    """Text-only span compaction: drop every non-``text`` span from the
+    interleaved sequence, PRESERVING the relative order of the kept
+    spans, and fingerprint the compacted sequence with the same
+    ``kind␟text␟media_ref␞`` Horner encoding as
+    :func:`span_fingerprint_batch` — the "strip media for text-only
+    training" projection, with the north rule's order invariant
+    checkable on the output.  Emits every input doc (a doc with no
+    text spans keeps the empty-sequence fingerprint = the Horner
+    basis).  All Arrow kernels + cumsum segment arithmetic; no per-row
+    Python."""
+    from .text import hash_string_array
+
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    kind = pc.fill_null(flat.field("kind"), "")
+    keep = pc.equal(kind, "text")
+    per_span = pc.binary_join_element_wise(
+        kind,
+        pc.fill_null(flat.field("text"), ""),
+        pc.fill_null(flat.field("media_ref"), ""),
+        "\x1f")
+    per_span = pc.binary_join_element_wise(per_span, "", "\x1e")
+    kept_span = per_span.filter(keep)
+    counts = pc.list_value_length(spans).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    km = keep.to_numpy(zero_copy_only=False).astype(np.int64)
+    cm = np.concatenate(([0], np.cumsum(km)))
+    n_kept = cm[offs[1:]] - cm[offs[:-1]]
+    new_offs = np.concatenate(([0], np.cumsum(n_kept))).astype(np.int32)
+    doc_str = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                 kept_span.combine_chunks()
+                                 if isinstance(kept_span, pa.ChunkedArray)
+                                 else kept_span), "")
+    fp = hash_string_array(doc_str)
+    return pa.table({
+        key_col: batch.column(key_col),
+        "n_kept": pa.array(n_kept),
+        "n_dropped": pa.array(counts - n_kept),
+        "text_fp": pa.array(fp.view(np.int64)),
+    })

@@ -137,3 +137,68 @@ def percent_rank(ds: "ray.data.Dataset", col: str,
         fn_constructor_kwargs=dict(hist_ref=ref, col=col, out_col=out_col),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.25,
     )
+
+
+def group_winsorize(ds: "ray.data.Dataset", group_col: str, col: str,
+                    p_lo: float = 0.1,
+                    p_hi: float = 0.9) -> "ray.data.Dataset":
+    """Per-group winsorized statistics of an integer column: exact
+    discrete ``p_lo``/``p_hi`` quantiles per group (same smallest-value-
+    with-cum ≥ ceil(q·n) convention as :func:`exact_quantiles`), the
+    group's clipped sum Σ clip(v, lo, hi), and how many rows each tail
+    clipped — the outlier-robust length/score statistic a corpus pass
+    computes before setting filter thresholds.
+
+    Scale shape: per-batch (group, value) distinct counts collapse rows
+    BEFORE the one shuffle (payload O(#groups × #distinct values)); the
+    per-group final walks its own tiny value histogram.  Everything is
+    int64-exact — no float quantile interpolation."""
+    if not (0.0 < p_lo < p_hi < 1.0):
+        raise ValueError("need 0 < p_lo < p_hi < 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        v = batch.column(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({group_col: g, "v": pa.array(v)}).group_by(
+            [group_col, "v"]).aggregate([([], "count_all")])
+        return pa.table({group_col: t.column(group_col),
+                         "v": t.column("v"),
+                         "c": t.column("count_all").cast(pa.int64())})
+
+    def final(df) -> "object":
+        import pandas as pd
+
+        if not len(df):
+            return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "lo": pd.Series([], dtype="int64"),
+                                 "hi": pd.Series([], dtype="int64"),
+                                 "sum_winsor": pd.Series([], dtype="int64"),
+                                 "n_lo": pd.Series([], dtype="int64"),
+                                 "n_hi": pd.Series([], dtype="int64")})
+        v = df["v"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(
+            cum, max(int(np.ceil(p_lo * n)), 1))])
+        hi = int(v[np.searchsorted(
+            cum, max(int(np.ceil(p_hi * n)), 1))])
+        clipped = np.clip(v, lo, hi)
+        return pd.DataFrame({
+            group_col: [df[group_col].iloc[0]],
+            "n": np.array([n], np.int64),
+            "lo": np.array([lo], np.int64),
+            "hi": np.array([hi], np.int64),
+            "sum_winsor": np.array([int((c * clipped).sum())], np.int64),
+            "n_lo": np.array([int(c[v < lo].sum())], np.int64),
+            "n_hi": np.array([int(c[v > hi].sum())], np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([group_col, "v"]).aggregate(Sum("c", alias_name="c"))
+            .groupby(group_col).map_groups(final, batch_format="pandas"))

@@ -97,3 +97,80 @@ def hll_estimate(registers: pa.Table, p: int = 8) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+#: splitmix64 mixing constants (public domain, Vigna 2015) — one odd
+#: multiplier per count-min row; each is SQL-replayable in HUGEINT via
+#: the same 32-bit-split multiply as the HLL oracle
+CMS_ROW_CONSTS = (
+    np.uint64(11400714819323198485),   # 0x9E3779B97F4A7C15
+    np.uint64(13787848793156543929),   # 0xBF58476D1CE4E5B9
+    np.uint64(10723151780598845931),   # 0x94D049BB133111EB
+    np.uint64(15485907386658061715),   # 0xD6E8FEB86659FD93
+)
+
+
+def cms_partial(values_hash: np.ndarray, d: int = 4,
+                log2w: int = 6) -> pa.Table:
+    """(row, cell, n) partial counts for one batch of 64-bit hashes —
+    the count-min update, collapsed to ≤ d·w rows per batch."""
+    w = 1 << log2w
+    rows, cells, ns = [], [], []
+    shift = np.uint64(64 - log2w)
+    for r in range(d):
+        with np.errstate(over="ignore"):  # mod-2^64 wrap is the mix
+            m = values_hash * CMS_ROW_CONSTS[r]
+        cell = (m >> shift).astype(np.int64)
+        cnt = np.bincount(cell, minlength=w).astype(np.int64)
+        touched = np.flatnonzero(cnt)
+        rows.append(np.full(len(touched), r, dtype=np.int64))
+        cells.append(touched)
+        ns.append(cnt[touched])
+    return pa.table({"row": pa.array(np.concatenate(rows)),
+                     "cell": pa.array(np.concatenate(cells)),
+                     "n": pa.array(np.concatenate(ns))})
+
+
+def cms_registers(ds: "ray.data.Dataset", col: str, d: int = 4,
+                  log2w: int = 6) -> "ray.data.Dataset":
+    """Count-min sketch register table of a string stream: d×w int64
+    occurrence counters, each batch collapsing to ≤ d·w partial rows
+    before the one O(d·w·batches) groupby — the mergeable heavy-hitter
+    /frequency sketch (Cormode & Muthukrishnan 2005) a 100 TB profiler
+    keeps where an exact per-token count shuffle is unaffordable.
+    Integer-exact: hash = the corpus 64-bit polynomial hash, row r's
+    cell = top ``log2w`` bits of ``hash · CMS_ROW_CONSTS[r] mod 2^64``
+    — every register SQL-replayable bit-for-bit."""
+    if not (1 <= d <= len(CMS_ROW_CONSTS)):
+        raise ValueError(f"d must be in 1..{len(CMS_ROW_CONSTS)}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return cms_partial(hash_string_array(c), d, log2w)
+
+    from ray.data.aggregate import Sum
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return part.groupby(["row", "cell"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def cms_query(registers: pa.Table, token_hashes: np.ndarray, d: int = 4,
+              log2w: int = 6) -> np.ndarray:
+    """Point-frequency estimates (min over rows) from a register
+    table — never under the true count, over by ≤ εN w.h.p."""
+    w = 1 << log2w
+    grid = np.zeros((d, w), dtype=np.int64)
+    grid[registers.column("row").to_numpy(zero_copy_only=False),
+         registers.column("cell").to_numpy(zero_copy_only=False)] = \
+        registers.column("n").to_numpy(zero_copy_only=False)
+    shift = np.uint64(64 - log2w)
+    est = np.full(len(token_hashes), np.iinfo(np.int64).max)
+    for r in range(d):
+        with np.errstate(over="ignore"):
+            m = token_hashes * CMS_ROW_CONSTS[r]
+        est = np.minimum(est, grid[r, (m >> shift).astype(np.int64)])
+    return est

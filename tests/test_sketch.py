@@ -49,3 +49,42 @@ def test_hll_estimate_accuracy():
     est = hll_estimate(tbl, p=8)
     # standard error for m=256 is ~6.5%; allow 3 sigma
     assert abs(est - n) / n < 0.2
+
+
+def test_cms_exact_counts_and_bounds(ray_session):
+    from greenex_py_ray.stages.sketch import cms_query, cms_registers
+    from greenex_py_ray.stages.text import hash_string_array
+
+    rng = np.random.default_rng(17)
+    # zipf-ish stream: token-0 is hot, long tail
+    vocab = [f"tok{i}" for i in range(400)]
+    freq = (5000 / (1 + np.arange(400))).astype(int) + 1
+    stream = np.repeat(np.array(vocab, dtype=object), freq)
+    rng.shuffle(stream)
+    n_total = len(stream)
+    ds = rd.from_arrow(pa.table({"v": pa.array(list(stream))}))
+    ds = ds.repartition(7)
+    regs = cms_registers(ds, "v", d=4, log2w=6).to_pandas()
+    # grid mass conservation: every row sums to the stream length
+    for r in range(4):
+        assert regs[regs["row"] == r]["n"].sum() == n_total
+    # point queries: never under, over by at most the d-min bound
+    qh = hash_string_array(pa.array(vocab))
+    est = cms_query(pa.Table.from_pandas(regs), qh, d=4, log2w=6)
+    assert (est >= freq).all()
+    # the hot token's estimate is within eN of truth (e = e/w ~ 4.2%)
+    assert est[0] - freq[0] <= 0.1 * n_total
+
+
+def test_cms_partition_invariance(ray_session):
+    from greenex_py_ray.stages.sketch import cms_registers
+
+    vals = [f"item-{i % 97}" for i in range(4000)]
+
+    def grid(nblocks):
+        rows = cms_registers(
+            rd.from_items([{"v": v} for v in vals],
+                          override_num_blocks=nblocks), "v").take_all()
+        return {(r["row"], r["cell"]): r["n"] for r in rows}
+
+    assert grid(1) == grid(13)

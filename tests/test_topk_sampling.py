@@ -362,3 +362,34 @@ def test_group_mode_matches_bruteforce(ray_session):
     assert (got["mode_value"].to_numpy()
             == exp["event_type"].to_numpy()).all()
     assert (got["cnt"].to_numpy() == exp["cnt"].to_numpy()).all()
+
+
+def test_group_winsorize_matches_bruteforce(ray_session):
+    import pandas as pd
+
+    from greenex_py_ray.stages.quantiles import group_winsorize
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    df = pd.DataFrame({
+        "source": rng.choice(["web", "books", "code"], n),
+        "n_chars": rng.integers(10, 500, n).astype(np.int64),
+    })
+    # heavy outliers in one group
+    df.loc[df.index[:20], "n_chars"] = 100_000
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = group_winsorize(ds, "source", "n_chars", 0.1, 0.9).to_pandas()
+    got = got.set_index("source").sort_index()
+    for g, sub in df.groupby("source"):
+        v = np.sort(sub["n_chars"].to_numpy())
+        nn = len(v)
+        lo = v[max(int(np.ceil(0.1 * nn)), 1) - 1]
+        hi = v[max(int(np.ceil(0.9 * nn)), 1) - 1]
+        r = got.loc[g]
+        assert r["n"] == nn
+        assert r["lo"] == lo and r["hi"] == hi
+        assert r["sum_winsor"] == np.clip(v, lo, hi).sum()
+        assert r["n_lo"] == (v < lo).sum()
+        assert r["n_hi"] == (v > hi).sum()
+    # outliers actually got clipped
+    assert (got["n_hi"] > 0).any()

@@ -210,3 +210,41 @@ def test_partition_checksum_order_free_and_sensitive(ray_session):
     diff = (a["checksum"] != c["checksum"]).to_numpy()
     assert diff.sum() == 1
     assert a.loc[diff, "cell"].iloc[0] == cell[5]
+
+
+def test_compact_text_spans_order_and_zero_docs(ray_session):
+    from greenex_py_ray.stages.multimodal import compact_text_spans_batch
+    from greenex_py_ray.stages.text import fingerprint64
+
+    def mk(list_of_spans):
+        return pa.array(list_of_spans, pa.list_(pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())])))
+
+    d0 = [{"kind": "text", "text": "a", "media_ref": "", "offset": 0},
+          {"kind": "media", "text": "", "media_ref": "tile://ndvi/0_0",
+           "offset": 1},
+          {"kind": "text", "text": "b", "media_ref": "", "offset": 2}]
+    d1 = [{"kind": "media", "text": "", "media_ref": "img://7",
+           "offset": 0}]          # no text spans at all
+    d2 = []                        # empty span list
+    tbl = pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()),
+                    "spans": mk([d0, d1, d2])})
+    out = compact_text_spans_batch(tbl).to_pandas().set_index("doc_id")
+    assert out.loc[10, "n_kept"] == 2 and out.loc[10, "n_dropped"] == 1
+    assert out.loc[11, "n_kept"] == 0 and out.loc[11, "n_dropped"] == 1
+    assert out.loc[12, "n_kept"] == 0 and out.loc[12, "n_dropped"] == 0
+    # kept-span order preserved: fingerprint equals the serialized
+    # text-only sequence under the engine-wide Horner family
+    ser = "text\x1fa\x1f\x1etext\x1fb\x1f\x1e"
+    assert out.loc[10, "text_fp"] == fingerprint64([ser]).view(np.int64)[0]
+    # zero-text docs carry the empty-sequence fingerprint (Horner basis)
+    empty = fingerprint64([""]).view(np.int64)[0]
+    assert out.loc[11, "text_fp"] == empty
+    assert out.loc[12, "text_fp"] == empty
+    # swapping the two text spans flips the fingerprint
+    d0r = [d0[2], d0[1], d0[0]]
+    tbl2 = pa.table({"doc_id": pa.array([10], pa.int64()),
+                     "spans": mk([d0r])})
+    out2 = compact_text_spans_batch(tbl2).to_pandas()
+    assert out2["text_fp"][0] != out.loc[10, "text_fp"]
