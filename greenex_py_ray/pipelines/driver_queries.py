@@ -5730,3 +5730,172 @@ QUERIES = {
     "polygon_streetview": q_polygon_streetview,
     "streetview_quarters": q_streetview_quarters,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (cont.): OLAP rollup / pivot / pearson / interval-overlap join
+# ---------------------------------------------------------------------------
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(priority, year) revenue (stages/olap.rollup_sum):
+    one raw-row shuffle at the finest grain, coarser levels re-aggregate
+    the tiny fine table."""
+    from ..stages.olap import rollup_sum
+
+    ds = dt.read_table(sf_dir, "orders",
+                       columns=["o_orderpriority", "o_orderdate",
+                                "o_totalprice"])
+
+    def add_year(b: pa.Table) -> pa.Table:
+        yr = b.column("o_orderdate").to_pandas().dt.year.to_numpy()
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "o_year": pa.array(yr.astype(np.int64)),
+            "o_totalprice": b.column("o_totalprice"),
+        })
+
+    wide = ds.map_batches(add_year, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return rollup_sum(wide, ["o_orderpriority", "o_year"],
+                      "o_totalprice", scale=100.0)
+
+
+ORACLE_SQL["rollup_revenue"] = """
+    WITH q AS (SELECT o_orderpriority,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+               FROM orders)
+    SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COALESCE(o_year, -1) AS o_year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_q,
+           CAST(2 - GROUPING(o_orderpriority) - GROUPING(o_year)
+                AS BIGINT) AS lvl
+    FROM q GROUP BY ROLLUP(o_orderpriority, o_year)
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_events(sf_dir: str):
+    """Long→wide pivot: per-user count + cents-sum per event type
+    (stages/olap.pivot_count_sum; shuffle payload O(#users))."""
+    from ..stages.olap import pivot_count_sum
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["user_id", "event_type", "value"])
+    return pivot_count_sum(ds, "user_id", "event_type", _EVENT_TYPES,
+                           "value", scale=100.0)
+
+
+ORACLE_SQL["pivot_user_events"] = """
+    WITH q AS (SELECT user_id, event_type,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS vq
+               FROM events)
+    SELECT user_id,
+""" + ",\n".join(
+    f"""           CAST(count(*) FILTER (event_type = '{t}') AS BIGINT)
+             AS n_{t},
+           CAST(COALESCE(sum(vq) FILTER (event_type = '{t}'), 0)
+                AS BIGINT) AS sum_{t}"""
+    for t in _EVENT_TYPES) + """
+    FROM q GROUP BY user_id
+"""
+
+
+def q_pearson(sf_dir: str):
+    """Per-event-type Pearson r between event_id and quantized value
+    (stages/regression.group_pearson; exact integer moments)."""
+    from ..stages.regression import group_pearson
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["event_id", "event_type", "value"])
+    return group_pearson(ds, "event_type", "event_id", "value",
+                         y_scale=100.0)
+
+
+ORACLE_SQL["pearson"] = """
+    WITH q AS (SELECT event_type, event_id AS x,
+                 CAST(round(value * 100.0, 0) AS BIGINT) AS yq
+               FROM events),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+            CAST(sum(x * yq) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(yq * yq) AS BIGINT) AS syy
+          FROM q GROUP BY event_type),
+    f AS (SELECT event_type, n,
+            CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+            CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+          FROM s)
+    SELECT event_type, n,
+           CASE WHEN varx > 0.0 AND vary > 0.0
+                THEN num / sqrt(varx * vary) ELSE NULL END AS r
+    FROM f
+"""
+
+
+_N_WINDOWS = 30
+_WIN_US = 86_400_000_000  # one day in microseconds
+_WIN_BASE_US = 1_704_067_200_000_000  # epoch_us('2024-01-01')
+
+
+def q_window_overlap(sf_dir: str):
+    """Interval-overlap join: events extended to [ts, ts+dur] intervals
+    counted into daily maintenance windows (stages/olap.
+    interval_overlap_count; broadcast small side, no row shuffle)."""
+    from ..stages.olap import interval_overlap_count
+
+    wins = pa.table({
+        "w_id": pa.array(np.arange(_N_WINDOWS, dtype=np.int64)),
+        "w_start": pa.array(_WIN_BASE_US
+                            + np.arange(_N_WINDOWS, dtype=np.int64)
+                            * _WIN_US),
+        "w_end": pa.array(_WIN_BASE_US + _WIN_US - 1
+                          + np.arange(_N_WINDOWS, dtype=np.int64)
+                          * _WIN_US),
+    })
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["event_id", "ts", "value"])
+
+    def to_intervals(b: pa.Table) -> pa.Table:
+        s = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = (b.column("event_id").to_numpy(zero_copy_only=False)
+               % 3600 + 60) * 1_000_000
+        return pa.table({
+            "s": pa.array(s), "e": pa.array(s + dur),
+            "value": b.column("value"),
+        })
+
+    iv = ds.map_batches(to_intervals, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return interval_overlap_count(iv, wins, "s", "e",
+                                  value_col="value", scale=100.0)
+
+
+ORACLE_SQL["window_overlap"] = f"""
+    WITH w AS (SELECT CAST(i AS BIGINT) AS w_id,
+                 {_WIN_BASE_US} + i * {_WIN_US} AS w_start,
+                 {_WIN_BASE_US} + {_WIN_US} - 1 + i * {_WIN_US} AS w_end
+               FROM range({_N_WINDOWS}) t(i)),
+    ev AS (SELECT epoch_us(ts) AS s,
+             epoch_us(ts) + ((event_id % 3600) + 60) * 1000000 AS e,
+             CAST(round(value * 100.0, 0) AS BIGINT) AS vq
+           FROM events)
+    SELECT w.w_id,
+           CAST(count(ev.s) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(sum(ev.vq), 0) AS BIGINT) AS sum_q
+    FROM w LEFT JOIN ev ON ev.s <= w.w_end AND ev.e >= w.w_start
+    GROUP BY w.w_id
+"""
+
+
+QUERIES["rollup_revenue"] = q_rollup_revenue
+QUERIES["pivot_user_events"] = q_pivot_user_events
+QUERIES["pearson"] = q_pearson
+QUERIES["window_overlap"] = q_window_overlap

@@ -83,3 +83,64 @@ def group_ols(ds: "ray.data.Dataset", group_col: str, x_col: str,
         })
 
     return agg.map_batches(fit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pearson_partials(batch: pa.Table, group_col: str, x_col: str,
+                      y_col: str, y_scale: float) -> pa.Table:
+    g = batch.column(group_col)
+    x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    y = batch.column(y_col).to_numpy(zero_copy_only=False)
+    yq = np.round(y * y_scale, 0).astype(np.int64)
+    codes, uniq = g.to_pandas().factorize()
+    k = len(uniq)
+    def bc(w):
+        return pa.array(np.bincount(codes, weights=w,
+                                    minlength=k).astype(np.int64))
+    return pa.table({
+        group_col: pa.array(uniq),
+        "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+        "sx": bc(x), "sy": bc(yq), "sxy": bc(x * yq),
+        "sxx": bc(x * x), "syy": bc(yq * yq),
+    })
+
+
+def group_pearson(ds: "ray.data.Dataset", group_col: str, x_col: str,
+                  y_col: str, y_scale: float = 100.0) -> "ray.data.Dataset":
+    """Per-group Pearson correlation between an integer x column and a
+    quantized y column.
+
+    Same exact-integer sufficient-statistics shape as :func:`group_ols`
+    (one extra Σy² moment): per-batch partials collapse to O(#groups)
+    rows before the single shuffle, and the final ``r`` is one closed
+    double expression — ``(n·Σxy − Σx·Σy) / sqrt((n·Σx²−Σx²)·(n·Σy²−Σy²))``
+    — replayed token-for-token by the SQL oracle, so the gate is
+    bit-stable under any partitioning.  NULL for degenerate groups
+    (zero variance on either side).  The y quantization drops
+    correlation information below 1/y_scale — acceptable for gate
+    determinism; pass a larger scale when fidelity matters.
+    """
+    part = ds.map_batches(
+        lambda b: _pearson_partials(b, group_col, x_col, y_col, y_scale),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = part.groupby(group_col).aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"))
+
+    def fit(batch: pa.Table) -> pa.Table:
+        f = {c: batch.column(c).to_numpy(zero_copy_only=False)
+             .astype(np.float64) for c in
+             ("n", "sx", "sy", "sxy", "sxx", "syy")}
+        varx = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+        vary = f["n"] * f["syy"] - f["sy"] * f["sy"]
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        ok = (varx > 0.0) & (vary > 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = num / np.sqrt(varx * vary)
+        return pa.table({
+            batch.column_names[0]: batch.column(0),
+            "n": batch.column("n"),
+            "r": pa.array(np.where(ok, r, np.nan), mask=~ok),
+        })
+
+    return agg.map_batches(fit, batch_format="pyarrow", zero_copy_batch=True)

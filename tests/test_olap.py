@@ -1,0 +1,132 @@
+"""stages/olap: ROLLUP, pivot, interval-overlap join; group_pearson.
+
+Oracles here are tiny pandas replays — the driver-shaped DuckDB gates
+live in pipelines/driver_queries (rollup_revenue, pivot_user_events,
+pearson, window_overlap).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from greenex_py_ray.stages.olap import (
+    interval_overlap_count,
+    pivot_count_sum,
+    rollup_sum,
+)
+from greenex_py_ray.stages.regression import group_pearson
+
+
+@pytest.fixture()
+def sales_df():
+    rng = np.random.RandomState(7)
+    n = 500
+    return pd.DataFrame({
+        "region": rng.choice(["n", "s", "e"], n),
+        "year": rng.choice([2020, 2021], n).astype(np.int64),
+        "amount": np.round(rng.uniform(0, 100, n), 2),
+    })
+
+
+def test_rollup_matches_pandas(sales_df):
+    ds = ray.data.from_pandas(sales_df).repartition(7)
+    out = rollup_sum(ds, ["region", "year"], "amount",
+                     scale=100.0).to_pandas()
+    cents = np.round(sales_df["amount"] * 100.0, 0).astype(np.int64)
+    df = sales_df.assign(cents=cents)
+
+    fine = df.groupby(["region", "year"])["cents"].agg(["count", "sum"])
+    got_fine = out[out.lvl == 2].set_index(["region", "year"]).sort_index()
+    assert (got_fine["n"].to_numpy()
+            == fine["count"].sort_index().to_numpy()).all()
+    assert (got_fine["sum_q"].to_numpy()
+            == fine["sum"].sort_index().to_numpy()).all()
+
+    lvl1 = df.groupby("region")["cents"].sum().sort_index()
+    got1 = out[out.lvl == 1].sort_values("region")
+    assert (got1["year"] == -1).all()
+    assert (got1["sum_q"].to_numpy() == lvl1.to_numpy()).all()
+
+    got0 = out[out.lvl == 0]
+    assert len(got0) == 1
+    assert got0["region"].iloc[0] == "ALL"
+    assert got0["sum_q"].iloc[0] == cents.sum()
+    assert got0["n"].iloc[0] == len(df)
+    # total row count: grouping sets fine + per-region + grand total
+    assert len(out) == len(fine) + df["region"].nunique() + 1
+
+
+def test_pivot_count_sum(sales_df):
+    ds = ray.data.from_pandas(sales_df).repartition(5)
+    out = pivot_count_sum(ds, "year", "region", ["n", "s", "e"],
+                          "amount", scale=100.0).to_pandas()
+    out = out.set_index("year").sort_index()
+    cents = np.round(sales_df["amount"] * 100.0, 0).astype(np.int64)
+    df = sales_df.assign(cents=cents)
+    for r in ["n", "s", "e"]:
+        sub = df[df.region == r].groupby("year")
+        exp_n = sub.size().reindex(out.index, fill_value=0)
+        exp_s = sub["cents"].sum().reindex(out.index, fill_value=0)
+        assert (out[f"n_{r}"].to_numpy() == exp_n.to_numpy()).all()
+        assert (out[f"sum_{r}"].to_numpy() == exp_s.to_numpy()).all()
+
+
+def test_pivot_unknown_type_ignored():
+    df = pd.DataFrame({"k": [1, 1, 2], "t": ["a", "zz", "a"],
+                       "v": [1.0, 99.0, 2.0]})
+    out = pivot_count_sum(ray.data.from_pandas(df), "k", "t", ["a"],
+                          "v").to_pandas().set_index("k").sort_index()
+    assert out.loc[1, "n_a"] == 1 and out.loc[1, "sum_a"] == 100
+    assert out.loc[2, "n_a"] == 1 and out.loc[2, "sum_a"] == 200
+
+
+def test_interval_overlap_count():
+    # two windows [0,99], [100,199]; intervals straddling count twice
+    wins = pa.table({"w_id": pa.array([0, 1], type=pa.int64()),
+                     "w_start": pa.array([0, 100], type=pa.int64()),
+                     "w_end": pa.array([99, 199], type=pa.int64())})
+    df = pd.DataFrame({
+        "s": np.array([10, 90, 150, 250], dtype=np.int64),
+        "e": np.array([20, 110, 160, 260], dtype=np.int64),
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = interval_overlap_count(
+        ray.data.from_pandas(df).repartition(2), wins, "s", "e",
+        value_col="v", scale=100.0).to_pandas().set_index("w_id")
+    assert out.loc[0, "n_overlap"] == 2          # [10,20], [90,110]
+    assert out.loc[1, "n_overlap"] == 2          # [90,110], [150,160]
+    assert out.loc[0, "sum_q"] == 300            # 100 + 200
+    assert out.loc[1, "sum_q"] == 500            # 200 + 300
+    # rows overlapping nothing appear nowhere; empty windows emit 0
+    assert (out["n_overlap"] >= 0).all()
+
+
+def test_group_pearson_matches_numpy():
+    rng = np.random.RandomState(3)
+    n = 400
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "x": np.arange(n, dtype=np.int64),
+        "y": np.round(rng.uniform(-5, 5, n), 2),
+    })
+    df.loc[df.g == "a", "y"] += 0.01 * df.loc[df.g == "a", "x"]
+    out = group_pearson(ray.data.from_pandas(df).repartition(6),
+                        "g", "x", "y", y_scale=100.0).to_pandas()
+    out = out.set_index("g").sort_index()
+    for g in ["a", "b"]:
+        sub = df[df.g == g]
+        yq = np.round(sub["y"] * 100.0, 0)
+        exp = np.corrcoef(sub["x"], yq)[0, 1]
+        assert out.loc[g, "r"] == pytest.approx(exp, abs=1e-12)
+        assert out.loc[g, "n"] == len(sub)
+
+
+def test_group_pearson_degenerate_null():
+    df = pd.DataFrame({"g": ["c"] * 5, "x": np.arange(5, dtype=np.int64),
+                       "y": [2.0] * 5})
+    out = group_pearson(ray.data.from_pandas(df), "g", "x", "y").to_pandas()
+    assert out["r"].isna().all()
