@@ -5899,3 +5899,93 @@ QUERIES["rollup_revenue"] = q_rollup_revenue
 QUERIES["pivot_user_events"] = q_pivot_user_events
 QUERIES["pearson"] = q_pearson
 QUERIES["window_overlap"] = q_window_overlap
+
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(priority, year) revenue (stages/olap.cube_sum):
+    all four grouping sets derived from one finest-grain shuffle."""
+    from ..stages.olap import cube_sum
+
+    ds = dt.read_table(sf_dir, "orders",
+                       columns=["o_orderpriority", "o_orderdate",
+                                "o_totalprice"])
+
+    def add_year(b: pa.Table) -> pa.Table:
+        yr = b.column("o_orderdate").to_pandas().dt.year.to_numpy()
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "o_year": pa.array(yr.astype(np.int64)),
+            "o_totalprice": b.column("o_totalprice"),
+        })
+
+    wide = ds.map_batches(add_year, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return cube_sum(wide, ["o_orderpriority", "o_year"],
+                    "o_totalprice", scale=100.0)
+
+
+ORACLE_SQL["cube_revenue"] = """
+    WITH q AS (SELECT o_orderpriority,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+               FROM orders)
+    SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COALESCE(o_year, -1) AS o_year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_q,
+           CAST((1 - GROUPING(o_orderpriority))
+                + 2 * (1 - GROUPING(o_year)) AS BIGINT) AS lvl
+    FROM q GROUP BY CUBE(o_orderpriority, o_year)
+"""
+
+
+def q_box_overlap_join(sf_dir: str):
+    """Box↔box overlap join (2-D range join): per-doc square buffers ×
+    part rects via the ownership-cell groupby shuffle
+    (stages/spatial_join.cell_box_join) — each overlapping pair is
+    reported from exactly one grid cell, no distinct pass."""
+    from ..stages.spatial_join import cell_box_join
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+
+    def to_boxes(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy(zero_copy_only=False)
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        r = 50.0 + (k % 7).astype(np.float64) * 25.0
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "bx0": pa.array(x - r), "by0": pa.array(y - r),
+            "bx1": pa.array(x + r), "by1": pa.array(y + r),
+        })
+
+    boxes = ds.map_batches(to_boxes, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return cell_box_join(boxes, _rects_from_part(sf_dir),
+                         cell_size=CELL_SIZE, key_col="doc_id")
+
+
+ORACLE_SQL["box_overlap_join"] = f"""
+    WITH boxes AS (SELECT doc_id,
+             {_X} - (50.0 + (doc_id % 7) * 25.0) AS bx0,
+             {_Y} - (50.0 + (doc_id % 7) * 25.0) AS by0,
+             {_X} + (50.0 + (doc_id % 7) * 25.0) AS bx1,
+             {_Y} + (50.0 + (doc_id % 7) * 25.0) AS by1
+           FROM documents),
+    rects AS (
+      SELECT p_partkey AS gs_id,
+             {_GX} - (100.0 + (p_partkey * 13) % 400) AS x0,
+             {_GX} + (100.0 + (p_partkey * 13) % 400) AS x1,
+             {_GY} - (100.0 + (p_partkey * 29) % 500) AS y0,
+             {_GY} + (100.0 + (p_partkey * 29) % 500) AS y1
+      FROM part
+    )
+    SELECT boxes.doc_id, rects.gs_id
+    FROM boxes JOIN rects
+      ON boxes.bx0 <= rects.x1 AND boxes.bx1 >= rects.x0
+     AND boxes.by0 <= rects.y1 AND boxes.by1 >= rects.y0
+"""
+
+
+QUERIES["cube_revenue"] = q_cube_revenue
+QUERIES["box_overlap_join"] = q_box_overlap_join

@@ -203,3 +203,63 @@ def interval_overlap_count(ds: "ray.data.Dataset", windows: pa.Table,
     part = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
     return part.groupby("w_id").aggregate(*aggs)
+
+
+def cube_sum(ds: "ray.data.Dataset", keys: list[str], value_col: str,
+             scale: float = 100.0,
+             sentinels: dict[str, object] | None = None) -> "ray.data.Dataset":
+    """``GROUP BY CUBE(keys...)`` — every key subset as a grouping set.
+
+    Same single-shuffle design as :func:`rollup_sum`: the raw rows
+    reduce once to the finest grain; all 2^|keys| grouping sets are
+    groupbys over that tiny fine aggregate.  ``lvl`` is a bitmask of
+    live keys (bit i set ⇔ keys[i] grouped), matching
+    ``2^k - 1 - GROUPING(k1,...,kn)`` in SQL.
+    """
+    from itertools import combinations
+
+    sentinels = sentinels or {}
+    schema = ds.schema()
+    raw_types = dict(zip(schema.names, schema.types))
+    key_types = {c: (t if isinstance(t := raw_types[c], pa.DataType)
+                     else pa.string()) for c in keys}
+    pads = {c: sentinels.get(
+        c, "ALL" if pa.types.is_string(key_types[c]) else -1)
+        for c in keys}
+
+    part = ds.map_batches(
+        lambda b: _fine_partials(b, keys, value_col, scale),
+        batch_format="pyarrow", zero_copy_batch=True)
+    fine = part.groupby(keys).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q"))
+
+    out = None
+    for r in range(len(keys), -1, -1):
+        for live in combinations(range(len(keys)), r):
+            live_cols = [keys[i] for i in live]
+            dead_cols = [k for k in keys if k not in live_cols]
+            mask = sum(1 << i for i in live)
+            if len(live_cols) == len(keys):
+                cur = fine
+            elif live_cols:
+                cur = fine.groupby(live_cols).aggregate(
+                    Sum("n", alias_name="n"),
+                    Sum("sum_q", alias_name="sum_q"))
+            else:
+                tot = fine.aggregate(Sum("n", alias_name="n"),
+                                     Sum("sum_q", alias_name="sum_q"))
+                cur = ray.data.from_arrow(pa.table(
+                    {"n": [int(tot["n"])], "sum_q": [int(tot["sum_q"])]}))
+
+            def pad(b: pa.Table, _dead=tuple(dead_cols),
+                    _mask=mask) -> pa.Table:
+                for col in _dead:
+                    b = b.append_column(col, pa.array(
+                        [pads[col]] * b.num_rows, type=key_types[col]))
+                b = b.append_column("lvl", pa.array(
+                    np.full(b.num_rows, _mask, dtype=np.int64)))
+                return b.select(keys + ["n", "sum_q", "lvl"])
+
+            piece = cur.map_batches(pad, batch_format="pyarrow")
+            out = piece if out is None else out.union(piece)
+    return out

@@ -280,3 +280,107 @@ def cell_buffer_join(
         return pa.table(cols)
 
     return u.groupby("__cell").map_groups(join_group, batch_format="pyarrow")
+
+
+def cell_box_join(
+    boxes: "ray.data.Dataset",
+    rects: pa.Table,
+    cell_size: float = cells.DEFAULT_CELL_SIZE,
+    key_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Box↔box overlap join (2-D range join) as a groupby-cell shuffle
+    with ownership-cell dedup.
+
+    ``boxes`` needs (key, bx0, by0, bx1, by1); ``rects`` is
+    (gs_id, x0, y0, x1, y1).  BOTH sides are exploded to every grid
+    cell their box covers, so an overlapping pair meets in every cell
+    their covers share — the classic over-reporting problem of
+    grid-partitioned spatial joins.  Dedup is by *ownership cell*: the
+    intersection's min corner ``(max(bx0,x0), max(by0,y0))`` lies in
+    exactly one grid cell, and the pair is emitted only from that
+    cell's group.  No post-shuffle distinct pass, no global state —
+    the standard PBSM / spatial-hash-join reporting rule.
+
+    Scale shape: shuffle payload is Σ cells-covered per box (bounded by
+    box extent / cell_size); within a group the overlap test is one
+    vectorized (n_left × n_right) numpy predicate.  Pick ``cell_size``
+    on the order of the median box extent to bound both replication
+    and group fan-in.
+    """
+    sch = boxes.schema()
+    kt = dict(zip(sch.names, sch.types))[key_col]
+    # pandas-block schemas surface numpy dtypes; keys here are int ids
+    key_type = kt if isinstance(kt, pa.DataType) else pa.int64()
+
+    def explode_left(batch: pa.Table) -> pa.Table:
+        x0 = batch.column("bx0").to_numpy(zero_copy_only=False)
+        y0 = batch.column("by0").to_numpy(zero_copy_only=False)
+        x1 = batch.column("bx1").to_numpy(zero_copy_only=False)
+        y1 = batch.column("by1").to_numpy(zero_copy_only=False)
+        idx, cell = cells.cover_bbox(x0, y0, x1, y1, cell_size)
+        n = len(idx)
+        return pa.table({
+            key_col: batch.column(key_col).take(pa.array(idx)),
+            "cell": pa.array(cell),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "gs_id": pa.nulls(n, pa.int64()),
+            "x0": pa.array(x0[idx]), "y0": pa.array(y0[idx]),
+            "x1": pa.array(x1[idx]), "y1": pa.array(y1[idx]),
+        })
+
+    def explode_right(batch: pa.Table) -> pa.Table:
+        x0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        y0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        x1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        y1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        idx, cell = cells.cover_bbox(x0, y0, x1, y1, cell_size)
+        n = len(idx)
+        gs = batch.column("gs_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.nulls(n, key_type),
+            "cell": pa.array(cell),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "gs_id": pa.array(gs[idx]),
+            "x0": pa.array(x0[idx]), "y0": pa.array(y0[idx]),
+            "x1": pa.array(x1[idx]), "y1": pa.array(y1[idx]),
+        })
+
+    left = boxes.map_batches(explode_left, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    right = ray.data.from_arrow(rects).map_batches(
+        explode_right, batch_format="pyarrow")
+    cols = [key_col, "cell", "side", "gs_id", "x0", "y0", "x1", "y1"]
+    u = left.select_columns(cols).union(right.select_columns(cols))
+
+    def join_group(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        empty = pa.table({key_col: pa.array([], key_type),
+                          "gs_id": pa.array([], pa.int64())})
+        if len(li) == 0 or len(ri) == 0:
+            return empty
+        gcell = int(tbl.column("cell")[0].as_py())
+        ax0 = tbl.column("x0").to_numpy(zero_copy_only=False)[li]
+        ay0 = tbl.column("y0").to_numpy(zero_copy_only=False)[li]
+        ax1 = tbl.column("x1").to_numpy(zero_copy_only=False)[li]
+        ay1 = tbl.column("y1").to_numpy(zero_copy_only=False)[li]
+        bx0 = tbl.column("x0").to_numpy(zero_copy_only=False)[ri]
+        by0 = tbl.column("y0").to_numpy(zero_copy_only=False)[ri]
+        bx1 = tbl.column("x1").to_numpy(zero_copy_only=False)[ri]
+        by1 = tbl.column("y1").to_numpy(zero_copy_only=False)[ri]
+        hit = ((ax0[:, None] <= bx1[None, :]) & (ax1[:, None] >= bx0[None, :])
+               & (ay0[:, None] <= by1[None, :]) & (ay1[:, None] >= by0[None, :]))
+        ai, bj = np.nonzero(hit)
+        if len(ai) == 0:
+            return empty
+        ox = np.maximum(ax0[ai], bx0[bj])
+        oy = np.maximum(ay0[ai], by0[bj])
+        own = cells.cell_of(ox, oy, cell_size)
+        keep = own == gcell
+        return pa.table({
+            key_col: tbl.column(key_col).take(pa.array(li[ai[keep]])),
+            "gs_id": tbl.column("gs_id").take(pa.array(ri[bj[keep]])),
+        })
+
+    return u.groupby("cell").map_groups(join_group, batch_format="pyarrow")

@@ -130,3 +130,58 @@ def test_group_pearson_degenerate_null():
                        "y": [2.0] * 5})
     out = group_pearson(ray.data.from_pandas(df), "g", "x", "y").to_pandas()
     assert out["r"].isna().all()
+
+
+def test_cube_sum_grouping_sets(sales_df):
+    from greenex_py_ray.stages.olap import cube_sum
+
+    ds = ray.data.from_pandas(sales_df).repartition(4)
+    out = cube_sum(ds, ["region", "year"], "amount", scale=100.0).to_pandas()
+    cents = np.round(sales_df["amount"] * 100.0, 0).astype(np.int64)
+    df = sales_df.assign(cents=cents)
+    # lvl bitmask: 3 = fine, 1 = region only, 2 = year only, 0 = total
+    assert sorted(out["lvl"].unique()) == [0, 1, 2, 3]
+    yr = out[out.lvl == 2].sort_values("year")
+    exp = df.groupby("year")["cents"].sum().sort_index()
+    assert (yr["region"] == "ALL").all()
+    assert (yr["sum_q"].to_numpy() == exp.to_numpy()).all()
+    assert out[out.lvl == 0]["sum_q"].iloc[0] == cents.sum()
+    n_fine = df.groupby(["region", "year"]).ngroups
+    assert len(out) == n_fine + 3 + 2 + 1
+
+
+def test_cell_box_join_matches_bruteforce():
+    from greenex_py_ray.stages.spatial_join import cell_box_join
+
+    rng = np.random.RandomState(11)
+    nb, nr = 300, 40
+    bx = rng.uniform(0, 5000, nb)
+    by = rng.uniform(0, 5000, nb)
+    br = rng.uniform(10, 400, nb)
+    boxes = pd.DataFrame({
+        "doc_id": np.arange(nb, dtype=np.int64),
+        "bx0": bx - br, "by0": by - br, "bx1": bx + br, "by1": by + br,
+    })
+    rx = rng.uniform(0, 5000, nr)
+    ry = rng.uniform(0, 5000, nr)
+    rw = rng.uniform(50, 800, nr)
+    rh = rng.uniform(50, 800, nr)
+    rects = pa.table({
+        "gs_id": pa.array(np.arange(nr, dtype=np.int64)),
+        "x0": pa.array(rx - rw), "y0": pa.array(ry - rh),
+        "x1": pa.array(rx + rw), "y1": pa.array(ry + rh),
+    })
+    out = cell_box_join(ray.data.from_pandas(boxes).repartition(3),
+                        rects, cell_size=500.0,
+                        key_col="doc_id").to_pandas()
+    got = set(zip(out["doc_id"], out["gs_id"]))
+    exp = set()
+    for i in range(nb):
+        for j in range(nr):
+            if (boxes.bx0[i] <= rects["x1"][j].as_py()
+                    and boxes.bx1[i] >= rects["x0"][j].as_py()
+                    and boxes.by0[i] <= rects["y1"][j].as_py()
+                    and boxes.by1[i] >= rects["y0"][j].as_py()):
+                exp.add((i, j))
+    assert got == exp            # exact pair set, no dupes, no misses
+    assert len(out) == len(got)  # ownership dedup emitted each pair once
