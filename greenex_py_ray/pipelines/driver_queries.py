@@ -3451,6 +3451,26 @@ def world_oracle_sql() -> dict[str, str]:
                       ELSE h END AS BIGINT) AS text_fp
           FROM fp
         """,
+        # video frame-sampling schedule (stages/multimodal
+        # .frame_sample_plan): distinct media assets × k evenly-spaced
+        # deterministic frame indices
+        "frame_sample_plan": f"""
+          WITH s AS (SELECT unnest(spans) AS sp
+                     FROM read_parquet('{glob}')),
+          a AS (SELECT DISTINCT
+                  regexp_extract(sp.media_ref,
+                                 'tile://([a-z]+)/(\\d+)_(\\d+)', 1) AS band,
+                  CAST(regexp_extract(sp.media_ref,
+                    'tile://([a-z]+)/(\\d+)_(\\d+)', 2) AS BIGINT) AS tx,
+                  CAST(regexp_extract(sp.media_ref,
+                    'tile://([a-z]+)/(\\d+)_(\\d+)', 3) AS BIGINT) AS ty
+                FROM s WHERE sp.kind = 'media')
+          SELECT band, tx, ty,
+                 (7 * tx + 13 * ty) % 290 + 10 AS n_frames,
+                 CAST(j * ((7 * tx + 13 * ty) % 290 + 10) // 8 AS BIGINT)
+                   AS frame_idx
+          FROM a CROSS JOIN range(8) t(j)
+        """,
     }
 
 
@@ -5989,3 +6009,41 @@ ORACLE_SQL["box_overlap_join"] = f"""
 
 QUERIES["cube_revenue"] = q_cube_revenue
 QUERIES["box_overlap_join"] = q_box_overlap_join
+
+
+def q_frame_sample_plan(sf_dir: str):
+    """Video frame-sampling schedule over the interleaved table
+    (stages/multimodal.frame_sample_plan): distinct media assets × 8
+    evenly-spaced deterministic frame indices, pre-deduped per batch."""
+    from ..sources import documents as doc_src
+    from ..stages.multimodal import frame_sample_plan
+
+    w = _world_paths()
+    docs = doc_src.read_documents(w["documents"])
+    return frame_sample_plan(docs, k=8).select_columns(
+        ["band", "tx", "ty", "n_frames", "frame_idx"])
+
+
+def q_sorted_docs(sf_dir: str):
+    """Global sort + limit with dense output rank (SURVEY §2.6 output
+    ordering as a value gate): top-100 docs by (n_chars DESC, doc_id)."""
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+    t = pa.Table.from_pandas(top.to_pandas(),
+                             preserve_index=False)  # 100 rows — rank stamp
+    return t.append_column(
+        "rank", pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)))
+
+
+ORACLE_SQL["sorted_docs"] = """
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM documents
+    ORDER BY n_chars DESC, doc_id
+    LIMIT 100
+"""
+
+
+QUERIES["frame_sample_plan"] = q_frame_sample_plan
+QUERIES["sorted_docs"] = q_sorted_docs

@@ -424,3 +424,54 @@ def compact_text_spans_batch(batch: pa.Table,
         "n_dropped": pa.array(counts - n_kept),
         "text_fp": pa.array(fp.view(np.int64)),
     })
+
+
+def frame_sample_plan(ds: "ray.data.Dataset", k: int = 8) -> "ray.data.Dataset":
+    """Video frame-sampling schedule per distinct media asset.
+
+    The decode/keyframe codec is environment-stubbed (see module
+    docstring), but the Ray-side *plan* — which frames each worker will
+    pull — is real: explode ``kind='media'`` spans, reduce to distinct
+    ``tile://band/tx_ty`` assets (pre-deduped per batch so the shuffle
+    carries O(#assets) rows), derive a deterministic pseudo-duration
+    ``n_frames = (7·tx + 13·ty) mod 290 + 10``, and emit the k
+    evenly-spaced frame indices ``floor(j·n_frames/k)`` every sampler
+    uses (n_frames ≥ 10 ≥ k keeps them strictly increasing).
+
+    Output: (band, tx, ty, n_frames, frame_idx) — one row per sampled
+    frame, ready to feed a ``FetchMedia``-style actor pool.
+    """
+    refs = ds.map_batches(extract_media_refs_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def parse_dedup(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = batch.column("media_ref").to_pandas()
+        m = s.str.extract(r"tile://([a-z]+)/(\d+)_(\d+)")
+        ok = m[0].notna()
+        df = pd.DataFrame({
+            "band": m[0][ok],
+            "tx": m[1][ok].astype(np.int64),
+            "ty": m[2][ok].astype(np.int64),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    assets = (refs.map_batches(parse_dedup, batch_format="pyarrow")
+              .groupby(["band", "tx", "ty"]).count())
+
+    def plan(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tx").to_numpy(zero_copy_only=False)
+        ty = batch.column("ty").to_numpy(zero_copy_only=False)
+        nf = (7 * tx + 13 * ty) % 290 + 10
+        j = np.tile(np.arange(k, dtype=np.int64), len(tx))
+        rep = np.repeat(np.arange(len(tx)), k)
+        return pa.table({
+            "band": batch.column("band").take(pa.array(rep)),
+            "tx": pa.array(tx[rep]), "ty": pa.array(ty[rep]),
+            "n_frames": pa.array(nf[rep]),
+            "frame_idx": pa.array(j * nf[rep] // k),
+        })
+
+    return assets.map_batches(plan, batch_format="pyarrow",
+                              zero_copy_batch=True)

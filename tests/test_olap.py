@@ -185,3 +185,30 @@ def test_cell_box_join_matches_bruteforce():
                 exp.add((i, j))
     assert got == exp            # exact pair set, no dupes, no misses
     assert len(out) == len(got)  # ownership dedup emitted each pair once
+
+
+def test_frame_sample_plan_dedup_and_spacing():
+    from greenex_py_ray.stages.multimodal import frame_sample_plan
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    mk = lambda ref: {"kind": "media", "text": None,
+                      "media_ref": ref, "offset": 0}
+    txt = {"kind": "text", "text": "hi", "media_ref": None, "offset": 0}
+    docs = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "spans": pa.array([
+            [txt, mk("tile://ndvi/3_5")],
+            [mk("tile://ndvi/3_5"), mk("tile://lulc/2_9")],  # dup asset
+            [txt],
+        ], type=pa.list_(span_t)),
+    })
+    out = frame_sample_plan(ray.data.from_arrow(docs), k=8).to_pandas()
+    # 2 distinct assets x 8 frames, duplicates collapsed
+    assert len(out) == 16
+    one = out[(out.band == "ndvi") & (out.tx == 3)].sort_values("frame_idx")
+    nf = (7 * 3 + 13 * 5) % 290 + 10
+    assert (one["n_frames"] == nf).all()
+    exp = [j * nf // 8 for j in range(8)]
+    assert list(one["frame_idx"]) == exp
+    assert one["frame_idx"].is_monotonic_increasing
