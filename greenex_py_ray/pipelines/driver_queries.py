@@ -6047,3 +6047,77 @@ ORACLE_SQL["sorted_docs"] = """
 
 QUERIES["frame_sample_plan"] = q_frame_sample_plan
 QUERIES["sorted_docs"] = q_sorted_docs
+
+
+def _lsh_topk_sql() -> str:
+    """LSH-ANN oracle: the deterministic integer hyperplanes embedded
+    as literals; signature dots are exact (|Σ eq·h| < 2^53), so the
+    bucket assignment matches the engine bit-for-bit; candidates =
+    DISTINCT pairs sharing any band bucket; cosine re-rank over the
+    same quantized ints."""
+    H = similarity.lsh_planes(EMB_DIM, 16)
+    per = 16 // 4
+    qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
+    rows = ",\n          ".join(
+        "({}, [{}])".format(p, ", ".join(str(int(v)) for v in H[p]))
+        for p in range(16))
+    return f"""
+        WITH planes(p, h) AS (VALUES {rows}),
+        e AS (SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> round(x * 1000000.0)) AS eq
+              FROM embeddings),
+        bits AS (
+          SELECT e.vec_id, planes.p,
+                 CASE WHEN list_dot_product(e.eq, CAST(planes.h AS DOUBLE[]))
+                      >= 0.0 THEN 1 ELSE 0 END AS b
+          FROM e CROSS JOIN planes
+        ),
+        codes AS (
+          SELECT vec_id, p // {per} AS band,
+                 CAST(sum(b * (1 << (p % {per}))) AS BIGINT) AS code
+          FROM bits GROUP BY vec_id, p // {per}
+        ),
+        qcodes AS (SELECT vec_id AS qid, band, code FROM codes
+                   WHERE vec_id IN ({qids})),
+        cand AS (SELECT DISTINCT q.qid, c.vec_id
+                 FROM codes c JOIN qcodes q
+                   ON c.band = q.band AND c.code = q.code),
+        qe AS (SELECT vec_id AS qid, eq FROM e WHERE vec_id IN ({qids})),
+        scored AS (
+          SELECT cand.qid AS query_id, cand.vec_id,
+                 round(list_dot_product(ce.eq, qe.eq)
+                       / (sqrt(list_dot_product(ce.eq, ce.eq))
+                          * sqrt(list_dot_product(qe.eq, qe.eq))), 6) AS s
+          FROM cand JOIN e ce ON ce.vec_id = cand.vec_id
+          JOIN qe ON qe.qid = cand.qid
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, s,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, vec_id ASC) AS rn
+          FROM scored
+        )
+        SELECT query_id, vec_id, s AS score FROM ranked WHERE rn <= {TOPK_K}
+    """
+
+
+def q_lsh_topk(sf_dir: str):
+    """LSH-bucketed ANN (random-hyperplane banding, the bucket-shuffle
+    scale path; stages/similarity.lsh_topk).  Complements brute-force
+    (embedding_topk) and IVF (ivf_topk)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    V = (emb.column("embedding").combine_chunks().flatten()
+         .to_numpy(zero_copy_only=False).reshape(-1, EMB_DIM)
+         .astype(np.float64))
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    sel = np.isin(ids, TOPK_QUERY_IDS)
+    queries = {"query_id": ids[sel].tolist(), "vectors": V[sel]}
+    ds = dt.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.lsh_topk(ds, queries, TOPK_K, EMB_DIM,
+                               n_planes=16, n_bands=4)
+
+
+ORACLE_SQL["lsh_topk"] = _lsh_topk_sql()
+QUERIES["lsh_topk"] = q_lsh_topk

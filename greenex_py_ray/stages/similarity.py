@@ -485,3 +485,120 @@ def embedding_gram(ds: "ray.data.Dataset", col: str = "embedding",
 
     return agg.map_batches(fin, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random-hyperplane / SimHash-style) bucketed ANN — scale path
+# ---------------------------------------------------------------------------
+
+#: quantization scale making every signature dot exact: emb values are
+#: O(1) floats, round(v·1e6) ≤ ~1e8 per dim; |Σ eq·h| ≤ 64·1e8·48 ≈ 3e11
+#: — exactly representable in both int64 and float64, so numpy and any
+#: SQL replay agree on every sign bit.
+LSH_QUANT = 1_000_000.0
+
+
+def lsh_planes(dim: int, n_planes: int = 16) -> np.ndarray:
+    """Deterministic integer hyperplanes: H[p,d] = ((131·p + 197·d)
+    mod 97) − 48 — zero-mean small ints any engine reproduces exactly
+    (same role as fixed_random_centroids for IVF)."""
+    p = np.arange(n_planes, dtype=np.int64)[:, None]
+    d = np.arange(dim, dtype=np.int64)[None, :]
+    return (131 * p + 197 * d) % 97 - 48
+
+
+def _band_codes(eq: np.ndarray, planes: np.ndarray,
+                n_bands: int) -> np.ndarray:
+    """(n, dim) quantized-int vectors → (n, n_bands) band codes.
+    bit_p = [eq·H_p ≥ 0]; band b packs its bits little-endian."""
+    bits = (eq @ planes.T >= 0).astype(np.int64)        # (n, n_planes)
+    per = planes.shape[0] // n_bands
+    w = 1 << np.arange(per, dtype=np.int64)
+    return bits.reshape(len(eq), n_bands, per) @ w      # (n, n_bands)
+
+
+def lsh_topk(
+    ds: "ray.data.Dataset", queries: dict, k: int, dim: int,
+    n_planes: int = 16, n_bands: int = 4, key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """LSH-bucketed approximate top-k: vectors and queries hash to
+    ``n_bands`` band codes; candidates are vectors sharing ANY band
+    bucket with a query; exact cosine re-rank inside the bucket.
+
+    This is the bucket-SHUFFLE plan (the scale path): each vector
+    explodes to its (band, code) rows and candidates meet in a
+    ``groupby(band, code)`` exchange — no broadcast of the corpus, hot
+    buckets spread across band groups, and at 10^12 rows the exploded
+    side is n_bands × corpus (bounded, linear).  A vector matching a
+    query in several bands is scored in each — the final per-query
+    top-k reduce collapses duplicates (identical (vec, score) rows)
+    before ranking.  Recall tunes with n_planes / n_bands exactly like
+    MinHash-LSH banding.
+    """
+    planes = lsh_planes(dim, n_planes)
+    qv = np.asarray(queries["vectors"], dtype=np.float64)
+    qids = np.asarray(queries["query_id"], dtype=np.int64)
+    qq = np.round(qv * LSH_QUANT).astype(np.int64)
+    qcodes = _band_codes(qq, planes, n_bands)           # (nq, n_bands)
+    qref = ray.put({"qids": qids, "qq": qq, "qcodes": qcodes})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        v = _to_matrix(batch.column(vec_col), dim)
+        eq = np.round(v * LSH_QUANT).astype(np.int64)
+        codes = _band_codes(eq, planes, n_bands)
+        q = ray.get(qref)
+        # pre-filter: only (vector, band) rows whose code matches SOME
+        # query in that band survive — the exploded shuffle side drops
+        # from n_bands×rows to the true candidate postings
+        hit = (codes[:, :, None] == q["qcodes"].T[None, :, :]).any(2)
+        vi, bi = np.nonzero(hit)
+        return pa.table({
+            key_col: batch.column(key_col).take(pa.array(vi)),
+            "band": pa.array(bi.astype(np.int64)),
+            "code": pa.array(codes[vi, bi]),
+            "eq": pa.array(list(eq[vi]), type=pa.list_(pa.int64())),
+        })
+
+    posts = ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def score_group(tbl: pa.Table) -> pa.Table:
+        band = int(tbl.column("band")[0].as_py())
+        code = int(tbl.column("code")[0].as_py())
+        q = ray.get(qref)
+        qsel = np.flatnonzero(q["qcodes"][:, band] == code)
+        if len(qsel) == 0 or tbl.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        eq = np.asarray(tbl.column("eq").combine_chunks()
+                        .flatten().to_numpy(zero_copy_only=False)
+                        ).reshape(tbl.num_rows, dim).astype(np.float64)
+        qm = q["qq"][qsel].astype(np.float64)
+        dots = eq @ qm.T
+        sim = dots / (np.linalg.norm(eq, axis=1)[:, None]
+                      * np.linalg.norm(qm, axis=1)[None, :])
+        vi, qi = np.nonzero(np.ones_like(sim, dtype=bool))
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "query_id": pa.array(q["qids"][qsel][qi]),
+            key_col: pa.array(keys[vi]),
+            "score": pa.array(np.round(sim[vi, qi], 6)),
+        })
+
+    cand = posts.groupby(["band", "code"]).map_groups(
+        score_group, batch_format="pyarrow")
+
+    def final_topk(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.to_pandas().drop_duplicates(["query_id", key_col])
+        df = df.sort_values(["query_id", "score", key_col],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cand.repartition(1).map_batches(final_topk,
+                                           batch_format="pyarrow",
+                                           batch_size=None)
