@@ -6121,3 +6121,129 @@ def q_lsh_topk(sf_dir: str):
 
 ORACLE_SQL["lsh_topk"] = _lsh_topk_sql()
 QUERIES["lsh_topk"] = q_lsh_topk
+
+
+def q_bloom_bits(sf_dir: str):
+    """Bloom-filter set-bit table (stages/sketch.bloom_bits, m=1024,
+    k=4) over the lowercased corpus token stream — the mergeable
+    membership sketch, integer-exact per bit position."""
+    from ..stages.sketch import bloom_bits
+    from ..stages.text import _ws_token_lists
+
+    ds = dt.read_table(sf_dir, "documents", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, nonempty = _ws_token_lists(col)
+        low = pc.utf8_lower(flat).filter(pa.array(nonempty))
+        return pa.table({"tok": low})
+
+    stream = ds.map_batches(toks, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return bloom_bits(stream, "tok", mbits=1024, k=4)
+
+
+ORACLE_SQL["bloom_bits"] = r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+      SELECT list_reduce(
+        list_prepend(1469598103934665603::HUGEINT,
+          list_transform(regexp_extract_all(tok, '.'),
+                         c -> ascii(c)::HUGEINT)),
+        (a, b) -> (a * 1000003 + b)
+                  % 18446744073709551616::HUGEINT) AS th
+      FROM toks WHERE tok <> ''
+    ),
+    mx AS (SELECT (((th * 2654435769::HUGEINT)
+                    % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   + th * 2135587861::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS mh FROM h),
+    hh AS (SELECT mh // 4294967296::HUGEINT AS h1,
+                  (mh % 4294967296::HUGEINT)
+                    - ((mh % 4294967296::HUGEINT) % 2) + 1 AS h2
+           FROM mx)
+    SELECT DISTINCT CAST((h1 + i * h2) % 1024 AS BIGINT) AS pos
+    FROM hh CROSS JOIN range(4) t(i)
+"""
+
+
+QUERIES["bloom_bits"] = q_bloom_bits
+
+
+def q_user_event_path(sf_dir: str):
+    """Ordered path aggregation: per user, the first letter of each
+    event type concatenated in (ts, event_id) order — the classic
+    clickstream path string, via sort-within-group map_groups (the
+    shuffle carries each user's rows once; the per-group sort is local)."""
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["user_id", "event_type", "ts", "event_id"])
+
+    def path_group(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        types = tbl.column("event_type").to_pandas().to_numpy()
+        path = "".join(t[0] for t in types[order])
+        return pa.table({
+            "user_id": pa.array([tbl.column("user_id")[0].as_py()]),
+            "n_events": pa.array([len(order)], pa.int64()),
+            "path": pa.array([path]),
+        })
+
+    return ds.groupby("user_id").map_groups(path_group,
+                                            batch_format="pyarrow")
+
+
+ORACLE_SQL["user_event_path"] = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(substr(event_type, 1, 1), ''
+                      ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id
+"""
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram of order totals: 500-unit bins with count
+    and exact cents min/max per bin (per-batch partials collapse to
+    O(#bins) rows before the single groupby-sum shuffle)."""
+    ds = dt.read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.round(p * 100.0, 0).astype(np.int64)
+        bins = cents // 50_000
+        uniq, inv = np.unique(bins, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv, cents)
+        np.maximum.at(mx, inv, cents)
+        return pa.table({"bin": pa.array(uniq), "n": pa.array(n),
+                         "min_cents": pa.array(mn), "max_cents": pa.array(mx)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bin").aggregate(
+                Sum("n", alias_name="n"),
+                Min("min_cents", alias_name="min_cents"),
+                Max("max_cents", alias_name="max_cents")))
+
+
+ORACLE_SQL["price_histogram"] = """
+    WITH q AS (SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                 AS cents FROM orders)
+    SELECT cents // 50000 AS bin, CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM q GROUP BY cents // 50000
+"""
+
+
+QUERIES["user_event_path"] = q_user_event_path
+QUERIES["price_histogram"] = q_price_histogram

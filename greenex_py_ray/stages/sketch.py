@@ -174,3 +174,56 @@ def cms_query(registers: pa.Table, token_hashes: np.ndarray, d: int = 4,
             m = token_hashes * CMS_ROW_CONSTS[r]
         est = np.minimum(est, grid[r, (m >> shift).astype(np.int64)])
     return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable membership sketch)
+# ---------------------------------------------------------------------------
+
+def bloom_positions(values_hash: np.ndarray, mbits: int = 1024,
+                    k: int = 4) -> np.ndarray:
+    """Kirsch–Mitzenmacher double hashing: bit positions
+    ``(h1 + i·h2) mod mbits`` for i < k, with h1 = top 32 bits and
+    h2 = (low 32 bits | 1) of the φ-mixed 64-bit value hash — all
+    integer-exact and HUGEINT-replayable in SQL."""
+    with np.errstate(over="ignore"):
+        mixed = values_hash.astype(np.uint64) * _PHI64
+    h1 = (mixed >> np.uint64(32)).astype(np.int64)
+    h2 = ((mixed & np.uint64(0xFFFFFFFF)) | np.uint64(1)).astype(np.int64)
+    i = np.arange(k, dtype=np.int64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % mbits).ravel()
+
+
+def bloom_bits(ds: "ray.data.Dataset", col: str, mbits: int = 1024,
+               k: int = 4) -> "ray.data.Dataset":
+    """Build a Bloom filter over a string column as its SET-BIT table.
+
+    Each batch collapses to ≤ mbits distinct ``pos`` rows (the batch's
+    OR-mask), partials merge by distinct-union under any partitioning —
+    the same mergeable-sketch shape as the HLL/CMS register gates; the
+    final table IS the filter (assemble words driver-side if a packed
+    bitmap is needed).  Probe via :func:`bloom_probe`."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        h = hash_string_array(c)
+        pos = np.unique(bloom_positions(h, mbits, k))
+        return pa.table({"pos": pa.array(pos)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("pos").aggregate(Count(alias_name="_n"))
+            .select_columns(["pos"]))
+
+
+def bloom_probe(bits: set[int], keys_hash: np.ndarray, mbits: int = 1024,
+                k: int = 4) -> np.ndarray:
+    """Membership test (driver-side, tiny filter): True ⇔ all k bit
+    positions are set.  No false negatives by construction."""
+    pos = bloom_positions(keys_hash, mbits, k).reshape(-1, k)
+    isin = np.isin(pos, np.fromiter(bits, dtype=np.int64,
+                                    count=len(bits)))
+    return isin.all(axis=1)

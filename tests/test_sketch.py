@@ -88,3 +88,28 @@ def test_cms_partition_invariance(ray_session):
         return {(r["row"], r["cell"]): r["n"] for r in rows}
 
     assert grid(1) == grid(13)
+
+
+def test_bloom_no_false_negatives_and_fpr(ray_session):
+    import ray.data as rd
+
+    from greenex_py_ray.stages.sketch import (
+        bloom_bits,
+        bloom_positions,
+        bloom_probe,
+    )
+    from greenex_py_ray.stages.text import hash_string_array
+
+    members = [f"member-{i}" for i in range(200)]
+    tbl = pa.table({"tok": pa.array(members)})
+    bits = set(bloom_bits(rd.from_arrow(tbl).repartition(4), "tok")
+               .to_pandas()["pos"])
+    hm = hash_string_array(pa.array(members))
+    assert bloom_probe(bits, hm).all()      # zero false negatives
+    probes = pa.array([f"absent-{i}" for i in range(2000)])
+    fp = bloom_probe(bits, hash_string_array(probes)).mean()
+    # m=1024, k=4, n=200 -> theoretical FPR ~ (1-e^(-kn/m))^k ~ 0.09
+    assert fp < 0.2
+    # positions are stable + in range
+    pos = bloom_positions(hm)
+    assert ((pos >= 0) & (pos < 1024)).all()
