@@ -6247,3 +6247,62 @@ ORACLE_SQL["price_histogram"] = """
 
 QUERIES["user_event_path"] = q_user_event_path
 QUERIES["price_histogram"] = q_price_histogram
+
+
+def q_polygon_metrics(sf_dir: str):
+    """Shoelace area + rectilinear perimeter per polygon PoI (geom
+    .polygon_area semantics over the same L-shaped hexagons as
+    polygon_centroid, which covers the WKT decode path) — fully
+    vectorized: all six edges in one (n, 6) einsum, no per-row ring
+    loop."""
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x, y = dt.derive_xy(k)
+        x0 = x - (50.0 + k * 3 % 100)
+        x1 = x + (60.0 + k * 7 % 120)
+        y0 = y - (40.0 + k * 11 % 90)
+        y1 = y + (70.0 + k * 5 % 110)
+        vx = np.stack([x0, x1, x1, x, x, x0], axis=1)
+        vy = np.stack([y0, y0, y, y, y1, y1], axis=1)
+        nx = np.roll(vx, -1, axis=1)
+        ny = np.roll(vy, -1, axis=1)
+        cross = vx * ny - nx * vy
+        area = np.abs(cross.sum(axis=1)) / 2.0
+        perim = (np.abs(nx - vx) + np.abs(ny - vy)).sum(axis=1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "area": pa.array(np.round(area, 4)),
+            "perimeter": pa.array(np.round(perim, 4)),
+        })
+
+    return ds.map_batches(metrics, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+ORACLE_SQL["polygon_metrics"] = f"""
+    WITH d AS (SELECT doc_id, {_X} AS x, {_Y} AS y,
+               {_X} - (50.0 + doc_id*3 % 100) AS x0,
+               {_X} + (60.0 + doc_id*7 % 120) AS x1,
+               {_Y} - (40.0 + doc_id*11 % 90) AS y0,
+               {_Y} + (70.0 + doc_id*5 % 110) AS y1
+               FROM documents),
+    v AS (
+      SELECT doc_id, 0 AS i, x0 AS vx, y0 AS vy FROM d UNION ALL
+      SELECT doc_id, 1, x1, y0 FROM d UNION ALL
+      SELECT doc_id, 2, x1, y FROM d UNION ALL
+      SELECT doc_id, 3, x, y FROM d UNION ALL
+      SELECT doc_id, 4, x, y1 FROM d UNION ALL
+      SELECT doc_id, 5, x0, y1 FROM d),
+    p AS (SELECT a.doc_id, a.vx AS x, a.vy AS y, b.vx AS xn, b.vy AS yn
+          FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.i = (a.i+1) % 6)
+    SELECT doc_id,
+           round(abs(sum(x*yn - xn*y)) / 2.0, 4) AS area,
+           round(sum(abs(xn - x) + abs(yn - y)), 4) AS perimeter
+    FROM p GROUP BY doc_id
+"""
+
+
+QUERIES["polygon_metrics"] = q_polygon_metrics
