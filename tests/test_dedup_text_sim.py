@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -472,3 +473,22 @@ def test_lsh_topk_clustered_high_recall(ray_session):
         e = set(exact[exact.query_id == qid]["vec_id"])
         a = set(approx[approx.query_id == qid]["vec_id"])
         assert len(e & a) / len(e) >= 0.9
+
+
+def test_pca_components_match_numpy(sf_dir):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    V = emb.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).reshape(-1, 64).astype(np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    comps, eigs = similarity.pca_components(ds, n_components=3, dim=64)
+    Q = np.round(V * 1e4) / 1e4            # the op's quantization
+    C = np.cov(Q, rowvar=False, bias=True)
+    w, U = np.linalg.eigh(C)
+    order = np.argsort(-w)
+    for c in range(3):
+        u = U[:, order[c]]
+        if u[np.argmax(np.abs(u))] < 0:
+            u = -u
+        assert eigs[c] == pytest.approx(w[order[c]], rel=1e-6)
+        assert np.abs(comps[c] @ u) == pytest.approx(1.0, abs=1e-5)
