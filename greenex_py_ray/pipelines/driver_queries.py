@@ -6306,3 +6306,54 @@ ORACLE_SQL["polygon_metrics"] = f"""
 
 
 QUERIES["polygon_metrics"] = q_polygon_metrics
+
+
+def q_kmv_sample(sf_dir: str):
+    """Bottom-k (KMV) distinct hash sample of the corpus token stream
+    (stages/sketch.kmv_bottomk, k=64) — min-merge mergeable sketch:
+    uniform distinct sample + cardinality estimator in one table."""
+    from ..stages.sketch import kmv_bottomk
+    from ..stages.text import _ws_token_lists
+
+    ds = dt.read_table(sf_dir, "documents", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, nonempty = _ws_token_lists(col)
+        low = pc.utf8_lower(flat).filter(pa.array(nonempty))
+        return pa.table({"tok": low})
+
+    stream = ds.map_batches(toks, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return kmv_bottomk(stream, "tok", k=64)
+
+
+ORACLE_SQL["kmv_sample"] = r"""
+    WITH toks AS (
+      SELECT DISTINCT
+        unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+      SELECT tok, list_reduce(
+        list_prepend(1469598103934665603::HUGEINT,
+          list_transform(regexp_extract_all(tok, '.'),
+                         c -> ascii(c)::HUGEINT)),
+        (a, b) -> (a * 1000003 + b)
+                  % 18446744073709551616::HUGEINT) AS th
+      FROM toks WHERE tok <> ''
+    ),
+    mx AS (SELECT tok, (((th * 2654435769::HUGEINT)
+                    % 4294967296::HUGEINT) * 4294967296::HUGEINT
+                   + th * 2135587861::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS mh FROM h)
+    SELECT CAST(mh - 9223372036854775808::HUGEINT AS BIGINT) AS h, tok
+    FROM mx ORDER BY h LIMIT 64
+"""
+
+
+QUERIES["kmv_sample"] = q_kmv_sample

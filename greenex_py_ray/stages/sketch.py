@@ -227,3 +227,61 @@ def bloom_probe(bits: set[int], keys_hash: np.ndarray, mbits: int = 1024,
     isin = np.isin(pos, np.fromiter(bits, dtype=np.int64,
                                     count=len(bits)))
     return isin.all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k hash sample (mergeable distinct-sample + cardinality)
+# ---------------------------------------------------------------------------
+
+def kmv_bottomk(ds: "ray.data.Dataset", col: str,
+                k: int = 64) -> "ray.data.Dataset":
+    """Bottom-k distinct sample: the k smallest φ-mixed 64-bit hashes
+    of a string column, with their values.
+
+    The third mergeable sketch shape (after max-merge HLL and sum-merge
+    CMS): min-merge.  Each batch collapses to its local bottom-k
+    DISTINCT (hash, value) rows, partials union and re-truncate — the
+    global result is order-independent because bottom-k of a union is
+    bottom-k of partial bottom-ks.  The sample is simultaneously a
+    uniform distinct-value sample AND a KMV cardinality estimator
+    (``kmv_estimate``: (k−1)/max_normalized_hash).  Hashes are the
+    HUGEINT-replayable corpus polynomial hash × φ, compared as
+    UNSIGNED 64-bit (stored as int64 offset by −2^63 so SQL ORDER BY
+    matches numpy uint64 order).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        h = hash_string_array(c)
+        with np.errstate(over="ignore"):
+            mixed = h.astype(np.uint64) * _PHI64
+        # signed-offset representation keeps unsigned order under int64
+        signed = (mixed - np.uint64(1 << 63)).view(np.int64)
+        vals = c.to_pandas().to_numpy()
+        uniq, idx = np.unique(signed, return_index=True)
+        take = min(k, len(uniq))
+        return pa.table({"h": pa.array(uniq[:take]),
+                         col: pa.array(vals[idx[:take]])})
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        h = tbl.column("h").to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(h, return_index=True)
+        take = min(k, len(uniq))
+        return pa.table({"h": pa.array(uniq[:take]),
+                         col: tbl.column(col).take(pa.array(idx[:take]))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return part.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+def kmv_estimate(sample_h: np.ndarray, k: int = 64) -> float:
+    """KMV distinct-count estimate from the bottom-k signed hashes:
+    (k−1) / U(k) with U(k) = the k-th smallest hash mapped to (0,1]."""
+    if len(sample_h) < k:
+        return float(len(sample_h))      # saw everything
+    u = (sample_h.astype(np.int64)[k - 1].astype(np.float64)
+         + 2.0 ** 63) / 2.0 ** 64
+    return (k - 1) / u

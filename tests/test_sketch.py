@@ -113,3 +113,29 @@ def test_bloom_no_false_negatives_and_fpr(ray_session):
     # positions are stable + in range
     pos = bloom_positions(hm)
     assert ((pos >= 0) & (pos < 1024)).all()
+
+
+def test_kmv_bottomk_and_estimate(ray_session):
+    import ray.data as rd
+
+    from greenex_py_ray.stages.sketch import kmv_bottomk, kmv_estimate
+    from greenex_py_ray.stages.text import hash_string_array
+    from greenex_py_ray.stages.sketch import _PHI64
+
+    n_distinct = 5000
+    toks = [f"tok-{i % n_distinct}" for i in range(20000)]
+    ds = rd.from_arrow(pa.table({"tok": pa.array(toks)})).repartition(8)
+    out = kmv_bottomk(ds, "tok", k=64).to_pandas()
+    assert len(out) == 64
+    assert out["h"].is_monotonic_increasing
+    # matches the driver-side bottom-64 of the full distinct hash set
+    h = hash_string_array(pa.array([f"tok-{i}" for i in range(n_distinct)]))
+    mixed = (h.astype(np.uint64) * _PHI64)
+    signed = np.sort((mixed - np.uint64(1 << 63)).view(np.int64))
+    assert (out["h"].to_numpy() == signed[:64]).all()
+    est = kmv_estimate(out["h"].to_numpy(), k=64)
+    assert abs(est - n_distinct) / n_distinct < 0.35   # ~1/sqrt(63) noise
+    # under-full sample -> exact count
+    small = kmv_bottomk(rd.from_arrow(pa.table(
+        {"tok": pa.array(["a", "b", "a"])})), "tok", k=64).to_pandas()
+    assert kmv_estimate(small["h"].to_numpy(), k=64) == 2.0
