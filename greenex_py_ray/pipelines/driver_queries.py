@@ -6357,3 +6357,31 @@ ORACLE_SQL["kmv_sample"] = r"""
 
 
 QUERIES["kmv_sample"] = q_kmv_sample
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user ordered event streams
+    (stages/windows.event_transitions: hash-bucketed users, one lexsort
+    per bucket, O(|types|**2) partials into the final reduce)."""
+    from ..stages.windows import event_transitions
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["user_id", "ts", "event_type", "event_id"])
+    return event_transitions(ds)
+
+
+ORACLE_SQL["event_transitions"] = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT event_type AS from_type, nxt AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY event_type, nxt
+"""
+
+
+QUERIES["event_transitions"] = q_event_transitions

@@ -295,3 +295,45 @@ def resample_fill(ds: "ray.data.Dataset", key_col: str = "event_type",
     return (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby(key_col).map_groups(final, batch_format="pandas"))
+
+
+def event_transitions(ds: "ray.data.Dataset", user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      tie_col: str = "event_id",
+                      num_buckets: int = 64) -> "ray.data.Dataset":
+    """Markov transition counts: (from_type, to_type, n) over each
+    user's (ts, tie) -ordered event sequence.
+
+    Hash-bucketed users (the sessionize/funnel shuffle shape: one
+    bucket exchange, never per-user groups); inside a bucket ONE
+    lexsort orders every user's stream, consecutive-pair codes are
+    vectorized (pair valid where the user id repeats), and the bucket
+    collapses to O(|types|²) partial counts before the tiny final
+    groupby-sum.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = _bucketed_events(ds, user_col, ts_col, [type_col, tie_col],
+                          num_buckets)
+
+    def kernel(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        order = np.lexsort((g[tie_col].to_numpy(),
+                            g["ts_us"].to_numpy(),
+                            g[user_col].to_numpy()))
+        u = g[user_col].to_numpy()[order]
+        codes, uniq = pd.factorize(g[type_col].to_numpy()[order])
+        same = u[1:] == u[:-1]
+        a, b = codes[:-1][same], codes[1:][same]
+        k = len(uniq)
+        flat = np.bincount(a * k + b, minlength=k * k).reshape(k, k)
+        ai, bi = np.nonzero(flat)
+        return pd.DataFrame({
+            "from_type": uniq[ai], "to_type": uniq[bi],
+            "n": flat[ai, bi].astype(np.int64),
+        })
+
+    part = ev.groupby("bucket").map_groups(kernel, batch_format="pandas")
+    return part.groupby(["from_type", "to_type"]).aggregate(
+        _Sum("n", alias_name="n"))
