@@ -55,6 +55,12 @@ def cell_of(x: np.ndarray, y: np.ndarray, cell_size: float = DEFAULT_CELL_SIZE) 
 
 
 def cell_to_indices(cell: np.ndarray):
+    """Inverse of cell_id — CAVEAT: only for iy in [0, CELL_STRIDE);
+    a negative iy wraps across the stride (ix−1, iy+STRIDE).  Safe for
+    id-space arithmetic like ``neighbors`` (the linear key makes
+    re-encoded neighbor ids identical either way) but NOT for geometry
+    — derive (ix, iy) from coordinates directly there (see
+    stages/zonal.areal_cell_weights)."""
     cell = np.asarray(cell, dtype=np.int64)
     ix = cell // CELL_STRIDE
     iy = cell - ix * CELL_STRIDE

@@ -6385,3 +6385,49 @@ ORACLE_SQL["event_transitions"] = """
 
 
 QUERIES["event_transitions"] = q_event_transitions
+
+
+def q_areal_weights(sf_dir: str):
+    """Areal-interpolation weight table: exact rect∩grid-cell overlap
+    areas + fractions (stages/zonal.areal_cell_weights) — map-only
+    flat explode, no shuffle."""
+    from ..stages.zonal import areal_cell_weights
+
+    rects = ray.data.from_arrow(_rects_from_part(sf_dir))
+    return areal_cell_weights(rects, cell_size=CELL_SIZE, key_col="gs_id")
+
+
+ORACLE_SQL["areal_weights"] = f"""
+    WITH rects AS (
+      SELECT p_partkey AS gs_id,
+             {_GX} - (100.0 + (p_partkey * 13) % 400) AS x0,
+             {_GX} + (100.0 + (p_partkey * 13) % 400) AS x1,
+             {_GY} - (100.0 + (p_partkey * 29) % 500) AS y0,
+             {_GY} + (100.0 + (p_partkey * 29) % 500) AS y1
+      FROM part
+    ),
+    g AS (SELECT gs_id, x0, y0, x1, y1,
+            unnest(generate_series(CAST(floor(x0/{CELL_SIZE}) AS BIGINT),
+                                   CAST(floor(x1/{CELL_SIZE}) AS BIGINT)))
+              AS ix
+          FROM rects),
+    g2 AS (SELECT gs_id, x0, y0, x1, y1, ix,
+             unnest(generate_series(CAST(floor(y0/{CELL_SIZE}) AS BIGINT),
+                                    CAST(floor(y1/{CELL_SIZE}) AS BIGINT)))
+               AS iy
+           FROM g),
+    o AS (SELECT gs_id, ix * 1048576 + iy AS cell,
+            least(x1, ix*{CELL_SIZE} + {CELL_SIZE})
+              - greatest(x0, ix*{CELL_SIZE}) AS ox,
+            least(y1, iy*{CELL_SIZE} + {CELL_SIZE})
+              - greatest(y0, iy*{CELL_SIZE}) AS oy,
+            (x1 - x0) * (y1 - y0) AS fa
+          FROM g2)
+    SELECT gs_id, cell,
+           round(ox * oy, 6) AS overlap_area,
+           round(ox * oy / fa, 6) AS frac
+    FROM o WHERE ox * oy > 0.0
+"""
+
+
+QUERIES["areal_weights"] = q_areal_weights

@@ -834,3 +834,60 @@ class LineZonalLocal:
             self.mean_name: pa.array(np.round(mean, 3)),
             self.std_name: pa.array(np.round(std, 3)),
         }).filter(keep)
+
+
+def areal_cell_weights(rects: "ray.data.Dataset",
+                       cell_size: float = 500.0,
+                       key_col: str = "gs_id") -> "ray.data.Dataset":
+    """Areal-interpolation weights: for every (rect, grid-cell) pair the
+    exact overlap area and the fraction of the rect it covers — the
+    raster⇄vector reaggregation primitive (transfer a polygon-level
+    statistic onto the tile grid, or vice versa, by area weighting).
+
+    One flat-explode pass: ``cells.cover_bbox`` enumerates covered
+    cells vectorized, the 1-D interval overlaps multiply into exact
+    areas, nothing shuffles — output is a map-only stream of
+    O(Σ cells-per-rect) rows.  Zero-area slivers (rect edge exactly on
+    a cell line) are dropped to keep the pair set minimal.
+    """
+    from .. import cells as _cells
+
+    def explode(batch: pa.Table) -> pa.Table:
+        x0 = batch.column("x0").to_numpy(zero_copy_only=False)
+        y0 = batch.column("y0").to_numpy(zero_copy_only=False)
+        x1 = batch.column("x1").to_numpy(zero_copy_only=False)
+        y1 = batch.column("y1").to_numpy(zero_copy_only=False)
+        # enumerate (ix, iy) directly: cell_to_indices cannot decode
+        # negative iy (the linear key wraps across the stride), and
+        # rects near the world's south edge do go below y = 0
+        ix0 = np.floor(x0 / cell_size).astype(np.int64)
+        ix1 = np.floor(x1 / cell_size).astype(np.int64)
+        iy0 = np.floor(y0 / cell_size).astype(np.int64)
+        iy1 = np.floor(y1 / cell_size).astype(np.int64)
+        nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+        counts = nx * ny
+        idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        local = (np.arange(int(counts.sum()), dtype=np.int64)
+                 - np.repeat(starts, counts))
+        ny_rep = np.repeat(ny, counts)
+        ix = np.repeat(ix0, counts) + local // ny_rep
+        iy = np.repeat(iy0, counts) + local - (local // ny_rep) * ny_rep
+        cell = _cells.cell_id(ix, iy)
+        cx0, cy0 = ix * cell_size, iy * cell_size
+        ox = (np.minimum(x1[idx], cx0 + cell_size)
+              - np.maximum(x0[idx], cx0))
+        oy = (np.minimum(y1[idx], cy0 + cell_size)
+              - np.maximum(y0[idx], cy0))
+        area = ox * oy
+        keep = area > 0.0
+        full = (x1 - x0) * (y1 - y0)
+        return pa.table({
+            key_col: batch.column(key_col).take(pa.array(idx[keep])),
+            "cell": pa.array(cell[keep]),
+            "overlap_area": pa.array(np.round(area[keep], 6)),
+            "frac": pa.array(np.round(area[keep] / full[idx][keep], 6)),
+        })
+
+    return rects.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -212,3 +212,28 @@ def test_frame_sample_plan_dedup_and_spacing():
     exp = [j * nf // 8 for j in range(8)]
     assert list(one["frame_idx"]) == exp
     assert one["frame_idx"].is_monotonic_increasing
+
+
+def test_areal_cell_weights_exact_and_negative_edge():
+    from greenex_py_ray.stages.zonal import areal_cell_weights
+
+    # one rect straddling y=0 (negative iy cells) and two cell columns
+    rects = pa.table({
+        "gs_id": pa.array([7], type=pa.int64()),
+        "x0": pa.array([400.0]), "y0": pa.array([-100.0]),
+        "x1": pa.array([900.0]), "y1": pa.array([200.0]),
+    })
+    out = areal_cell_weights(ray.data.from_arrow(rects),
+                             cell_size=500.0).to_pandas()
+    # cells: ix in {0,1}, iy in {-1,0} -> 4 pairs
+    assert len(out) == 4
+    assert out["overlap_area"].sum() == pytest.approx(500.0 * 300.0)
+    assert out["frac"].sum() == pytest.approx(1.0)
+    got = {}
+    for _, r in out.iterrows():
+        got[r["cell"]] = r["overlap_area"]
+    S = 1 << 20
+    assert got[0 * S + 0] == 100.0 * 200.0   # [400,500]x[0,200]
+    assert got[1 * S + 0] == 400.0 * 200.0   # [500,900]x[0,200]
+    assert got[0 * S - 1] == 100.0 * 100.0   # [400,500]x[-100,0]
+    assert got[1 * S - 1] == 400.0 * 100.0
