@@ -6431,3 +6431,32 @@ ORACLE_SQL["areal_weights"] = f"""
 
 
 QUERIES["areal_weights"] = q_areal_weights
+
+
+CAP_PER_CELL = 5
+
+
+def q_cell_cap_sample(sf_dir: str):
+    """Hot-group downsampling: every spatial cell capped at 5 docs in
+    deterministic hash-rank order (stages/sampling.cap_per_group —
+    per-batch pre-truncation bounds the hot cell's shuffle mass)."""
+    from ..stages.sampling import cap_per_group
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    out = cap_per_group(ds.select_columns(["doc_id", "cell"]),
+                        "cell", "doc_id", CAP_PER_CELL)
+    return out.select_columns(["cell", "doc_id"])
+
+
+ORACLE_SQL["cell_cap_sample"] = f"""
+    WITH d AS (SELECT doc_id, {_CELL} AS cell FROM documents),
+    r AS (SELECT cell, doc_id,
+            row_number() OVER (
+              PARTITION BY cell
+              ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rn
+          FROM d)
+    SELECT cell, doc_id FROM r WHERE rn <= {CAP_PER_CELL}
+"""
+
+
+QUERIES["cell_cap_sample"] = q_cell_cap_sample

@@ -141,3 +141,45 @@ def mixture_sample(ds: "ray.data.Dataset", weight_of,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def cap_per_group(ds: "ray.data.Dataset", group_col: str, key_col: str,
+                  cap: int) -> "ray.data.Dataset":
+    """Cap each group at ``cap`` rows, kept in deterministic hash-rank
+    order — the hot-cell downsampler (bound a skewed spatial cell /
+    source / user at N rows without a global sort).
+
+    Per-batch partials pre-truncate each group to its local best-``cap``
+    by ``hash_rank(key)`` (so the shuffle carries ≤ cap·batches rows per
+    group, not the hot group's full mass), then one groupby-group
+    re-truncates.  Selection is a pure function of the key — resumable
+    and replayable in SQL as ``row_number() OVER (PARTITION BY group
+    ORDER BY rank, key) <= cap``.
+    """
+    def local_cap(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = batch.column(group_col).to_pandas().to_numpy()
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        r = hash_rank(k)
+        order = np.lexsort((k, r, g))
+        gs = g[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        pos = (np.arange(len(gs))
+               - np.repeat(starts, np.diff(np.r_[starts, len(gs)])))
+        keep = order[pos < cap]
+        out = batch.take(pa.array(np.sort(keep)))
+        return out.append_column(
+            "rank", pa.array(hash_rank(
+                out.column(key_col).to_numpy(zero_copy_only=False))))
+
+    def final_cap(tbl: pa.Table) -> pa.Table:
+        r = tbl.column("rank").to_numpy(zero_copy_only=False)
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, r))[:cap]
+        return tbl.take(pa.array(np.sort(order))).drop_columns(["rank"])
+
+    part = ds.map_batches(local_cap, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return part.groupby(group_col).map_groups(final_cap,
+                                              batch_format="pyarrow")

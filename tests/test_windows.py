@@ -169,3 +169,47 @@ def test_resample_fill_matches_bruteforce(ray_session):
             else:
                 assert sub.loc[u, "n_events"] == 0
                 assert sub.loc[u, "sum_q"] == 0
+
+
+def test_event_transitions_tiny(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from greenex_py_ray.stages.windows import event_transitions
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+            "2024-01-01 00:30", "2024-01-01 00:30",  # tie -> event_id order
+            "2024-01-01 05:00",
+        ]),
+        "event_type": ["a", "b", "a", "b", "a", "a"],
+        "event_id": [10, 11, 12, 21, 20, 30],
+    })
+    out = event_transitions(rd.from_pandas(df).repartition(3),
+                            num_buckets=4).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    # user1: a->b, b->a; user2 (ts tie, id 20 first): a->b; user3: none
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_cap_per_group_deterministic(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from greenex_py_ray.stages.sampling import cap_per_group, hash_rank
+
+    df = pd.DataFrame({
+        "g": np.repeat(["x", "y"], [50, 3]),
+        "k": np.arange(53, dtype=np.int64),
+    })
+    out = cap_per_group(rd.from_pandas(df).repartition(5),
+                        "g", "k", cap=4).to_pandas()
+    # hot group capped, small group untouched
+    assert len(out[out.g == "x"]) == 4
+    assert len(out[out.g == "y"]) == 3
+    # exactly the 4 smallest hash-ranks of group x, regardless of split
+    kx = np.arange(50, dtype=np.int64)
+    expect = set(kx[np.lexsort((kx, hash_rank(kx)))][:4])
+    assert set(out[out.g == "x"]["k"]) == expect
