@@ -6460,3 +6460,48 @@ ORACLE_SQL["cell_cap_sample"] = f"""
 
 
 QUERIES["cell_cap_sample"] = q_cell_cap_sample
+
+
+_IJ_BUCKET_US = 3_600_000_000  # 1 h buckets ≈ median interval span
+
+
+def q_interval_join(sf_dir: str):
+    """Large×large interval overlap join (stages/olap.interval_join):
+    even-id event intervals × odd-id event intervals via the 1-D
+    PBSM bucket shuffle — no broadcast, each pair reported once."""
+    from ..stages.olap import interval_join
+
+    ds = dt.read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def intervals(parity: int, key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            eid = b.column("event_id").to_numpy(zero_copy_only=False)
+            keep = (eid % 2) == parity
+            s = b.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)[keep]
+            dur = (eid[keep] % 1800 + 60) * 1_000_000
+            return pa.table({key: pa.array(eid[keep]),
+                             "s": pa.array(s), "e": pa.array(s + dur)})
+        return fn
+
+    left = ds.map_batches(intervals(0, "a_id"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = ds.map_batches(intervals(1, "b_id"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return interval_join(left, right, _IJ_BUCKET_US,
+                         left_key="a_id", right_key="b_id")
+
+
+ORACLE_SQL["interval_join"] = """
+    WITH iv AS (SELECT event_id,
+                  epoch_us(ts) AS s,
+                  epoch_us(ts) + ((event_id % 1800) + 60) * 1000000 AS e
+                FROM events)
+    SELECT a.event_id AS a_id, b.event_id AS b_id
+    FROM iv a JOIN iv b
+      ON a.event_id % 2 = 0 AND b.event_id % 2 = 1
+     AND a.s <= b.e AND a.e >= b.s
+"""
+
+
+QUERIES["interval_join"] = q_interval_join

@@ -263,3 +263,75 @@ def cube_sum(ds: "ray.data.Dataset", keys: list[str], value_col: str,
             piece = cur.map_batches(pad, batch_format="pyarrow")
             out = piece if out is None else out.union(piece)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Interval join (BOTH sides large) — 1-D PBSM bucket shuffle
+# ---------------------------------------------------------------------------
+
+def interval_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                  bucket_us: int, left_key: str = "a_id",
+                  right_key: str = "b_id",
+                  cols=("s", "e")) -> "ray.data.Dataset":
+    """Overlap-join two LARGE interval sets: ``[s,e]`` pairs meeting in
+    time buckets, each overlapping pair reported only from the bucket
+    containing ``max(s_left, s_right)`` — the 1-D ownership rule of
+    :func:`~greenex_py_ray.stages.spatial_join.cell_box_join`, so no
+    distinct pass and no broadcast of either side.
+
+    Shuffle payload = Σ buckets-covered per interval (span / bucket_us,
+    pick ``bucket_us`` near the median interval length); within a
+    bucket the overlap test is one (n_left × n_right) vectorized
+    predicate.  Emits (left_key, right_key) pairs.
+    """
+    s_col, e_col = cols
+
+    def explode(side: int, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = batch.column(s_col).to_numpy(zero_copy_only=False)
+            e = batch.column(e_col).to_numpy(zero_copy_only=False)
+            b0, b1 = s // bucket_us, e // bucket_us
+            counts = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            local = (np.arange(int(counts.sum()), dtype=np.int64)
+                     - np.repeat(starts, counts))
+            bucket = np.repeat(b0, counts) + local
+            return pa.table({
+                "key": batch.column(key).take(pa.array(idx)),
+                "bucket": pa.array(bucket),
+                "side": pa.array(np.full(len(idx), side, dtype=np.int8)),
+                "s": pa.array(s[idx]), "e": pa.array(e[idx]),
+            })
+        return fn
+
+    lt = left.map_batches(explode(0, left_key), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rt = right.map_batches(explode(1, right_key), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    u = lt.union(rt)
+
+    def join_group(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        li, ri = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
+        empty = pa.table({left_key: pa.array([], pa.int64()),
+                          right_key: pa.array([], pa.int64())})
+        if len(li) == 0 or len(ri) == 0:
+            return empty
+        bucket = int(tbl.column("bucket")[0].as_py())
+        s = tbl.column("s").to_numpy(zero_copy_only=False)
+        e = tbl.column("e").to_numpy(zero_copy_only=False)
+        hit = ((s[li][:, None] <= e[ri][None, :])
+               & (e[li][:, None] >= s[ri][None, :]))
+        ai, bj = np.nonzero(hit)
+        if len(ai) == 0:
+            return empty
+        own = np.maximum(s[li][ai], s[ri][bj]) // bucket_us
+        keep = own == bucket
+        return pa.table({
+            left_key: tbl.column("key").take(pa.array(li[ai[keep]])),
+            right_key: tbl.column("key").take(pa.array(ri[bj[keep]])),
+        })
+
+    return u.groupby("bucket").map_groups(join_group,
+                                          batch_format="pyarrow")

@@ -237,3 +237,26 @@ def test_areal_cell_weights_exact_and_negative_edge():
     assert got[1 * S + 0] == 400.0 * 200.0   # [500,900]x[0,200]
     assert got[0 * S - 1] == 100.0 * 100.0   # [400,500]x[-100,0]
     assert got[1 * S - 1] == 400.0 * 100.0
+
+
+def test_interval_join_bruteforce():
+    from greenex_py_ray.stages.olap import interval_join
+
+    rng = np.random.RandomState(4)
+    na, nb = 120, 90
+    sa = rng.randint(0, 100_000, na).astype(np.int64)
+    ea = sa + rng.randint(1, 5000, na)
+    sb = rng.randint(0, 100_000, nb).astype(np.int64)
+    eb = sb + rng.randint(1, 5000, nb)
+    left = ray.data.from_arrow(pa.table({
+        "a_id": pa.array(np.arange(na, dtype=np.int64)),
+        "s": pa.array(sa), "e": pa.array(ea)})).repartition(3)
+    right = ray.data.from_arrow(pa.table({
+        "b_id": pa.array(np.arange(nb, dtype=np.int64)),
+        "s": pa.array(sb), "e": pa.array(eb)})).repartition(2)
+    out = interval_join(left, right, bucket_us=2048).to_pandas()
+    got = set(zip(out["a_id"], out["b_id"]))
+    exp = {(i, j) for i in range(na) for j in range(nb)
+           if sa[i] <= eb[j] and ea[i] >= sb[j]}
+    assert got == exp
+    assert len(out) == len(got)   # ownership rule: each pair once
