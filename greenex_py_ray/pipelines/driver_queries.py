@@ -6505,3 +6505,31 @@ ORACLE_SQL["interval_join"] = """
 
 
 QUERIES["interval_join"] = q_interval_join
+
+
+def q_price_rank_ntile(sf_dir: str):
+    """Exact global row_number + NTILE(10) over (price cents, orderkey)
+    WITHOUT a global sort (stages/quantiles.global_rank_ntile: distinct-
+    value histogram pass → broadcast rank bases → per-value local rank)."""
+    from ..stages.quantiles import global_rank_ntile
+
+    ds = dt.read_table(sf_dir, "orders",
+                       columns=["o_orderkey", "o_totalprice"])
+    return global_rank_ntile(ds, "o_totalprice", "o_orderkey",
+                             tiles=10, scale=100.0)
+
+
+ORACLE_SQL["price_rank_ntile"] = """
+    WITH q AS (SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+               FROM orders)
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                AS BIGINT) AS rank,
+           CAST(ntile(10) OVER (ORDER BY cents, o_orderkey)
+                AS BIGINT) AS tile
+    FROM q
+"""
+
+
+QUERIES["price_rank_ntile"] = q_price_rank_ntile

@@ -202,3 +202,66 @@ def group_winsorize(ds: "ray.data.Dataset", group_col: str, col: str,
                            zero_copy_batch=True)
             .groupby([group_col, "v"]).aggregate(Sum("c", alias_name="c"))
             .groupby(group_col).map_groups(final, batch_format="pandas"))
+
+
+def global_rank_ntile(ds: "ray.data.Dataset", col: str, key_col: str,
+                      tiles: int = 10,
+                      scale: float = 100.0) -> "ray.data.Dataset":
+    """Exact global ``row_number()`` + ``NTILE(tiles)`` ordered by
+    (quantized value, key) — WITHOUT a global sort.
+
+    Two passes: (1) per-batch (value, count) partials reduce to the
+    distinct-value histogram, whose sorted cumulative sums broadcast as
+    the rank base per value (driver state is O(#distinct values) —
+    bounded by the value domain, not the row count); (2) a
+    groupby(value) pass ranks each value's keys locally and adds the
+    broadcast base.  NTILE uses SQL's exact fill rule (first ``n % t``
+    tiles get the extra row).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        q = np.round(v * scale, 0).astype(np.int64)
+        uniq, cnt = np.unique(q, return_counts=True)
+        return pa.table({"q": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = (ds.map_batches(counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("q").aggregate(_Sum("n", alias_name="n"))
+            .to_pandas().sort_values("q"))
+    qs = hist["q"].to_numpy()
+    base = np.concatenate(([0], np.cumsum(hist["n"].to_numpy())[:-1]))
+    n_total = int(hist["n"].sum())
+    ref = _ray.put({"qs": qs, "base": base})
+    per, rem = divmod(n_total, tiles)
+
+    def add_q(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "q": pa.array(np.round(v * scale, 0).astype(np.int64)),
+        })
+
+    def rank_group(tbl: pa.Table) -> pa.Table:
+        st = _ray.get(ref)
+        qv = int(tbl.column("q")[0].as_py())
+        b = int(st["base"][np.searchsorted(st["qs"], qv)])
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        r0 = np.empty(len(keys), dtype=np.int64)  # 0-based global rank
+        r0[order] = b + np.arange(len(keys), dtype=np.int64)
+        cut = (per + 1) * rem
+        tile = np.where(r0 < cut, r0 // (per + 1),
+                        rem + (r0 - cut) // per if per else rem)
+        return pa.table({
+            key_col: tbl.column(key_col),
+            "rank": pa.array(r0 + 1),
+            "tile": pa.array(tile.astype(np.int64) + 1),
+        })
+
+    proj = ds.map_batches(add_q, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return proj.groupby("q").map_groups(rank_group, batch_format="pyarrow")

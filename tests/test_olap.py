@@ -260,3 +260,18 @@ def test_interval_join_bruteforce():
            if sa[i] <= eb[j] and ea[i] >= sb[j]}
     assert got == exp
     assert len(out) == len(got)   # ownership rule: each pair once
+
+
+def test_global_rank_ntile_uneven():
+    from greenex_py_ray.stages.quantiles import global_rank_ntile
+
+    # n=13, tiles=5 -> first 3 tiles get 3 rows, last 2 get 2 (SQL NTILE)
+    df = pd.DataFrame({"k": np.arange(13, dtype=np.int64),
+                       "v": np.repeat([1.0, 2.0, 3.0], [5, 5, 3])})
+    out = global_rank_ntile(ray.data.from_pandas(df).repartition(4),
+                            "v", "k", tiles=5).to_pandas()
+    out = out.sort_values("rank")
+    assert list(out["rank"]) == list(range(1, 14))
+    assert list(out["k"]) == list(range(13))      # ties broken by key
+    sizes = out.groupby("tile").size()
+    assert list(sizes) == [3, 3, 3, 2, 2]
