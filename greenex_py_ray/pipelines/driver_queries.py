@@ -6533,3 +6533,57 @@ ORACLE_SQL["price_rank_ntile"] = """
 
 
 QUERIES["price_rank_ntile"] = q_price_rank_ntile
+
+
+PMI_K, PMI_MIN = 20, 5
+
+
+def q_pmi_topk(sf_dir: str):
+    """Top-20 collocations by pointwise mutual information
+    (stages/text.pmi_topk: partial-combined unigram+bigram counts, two
+    native hash joins, no driver vocabulary)."""
+    from ..stages.text import pmi_topk
+
+    ds = dt.read_table(sf_dir, "documents", columns=["text"])
+    return pmi_topk(ds, k=PMI_K, min_count=PMI_MIN)
+
+
+ORACLE_SQL["pmi_topk"] = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+             generate_subscripts(
+               string_split_regex(lower(trim(text)), '\s+'), 1) AS i
+      FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS uc FROM toks
+            WHERE tok <> '' GROUP BY tok),
+    bi AS (
+      SELECT a.tok || ' ' || b.tok AS bigram, a.tok AS ta, b.tok AS tb,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      WHERE a.tok <> '' AND b.tok <> ''
+      GROUP BY 1, 2, 3 HAVING count(*) >= {PMI_MIN}
+    ),
+    tot AS (SELECT (SELECT CAST(sum(uc) AS BIGINT) FROM uni) AS nu,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM bi) AS nb),
+    s AS (
+      SELECT bi.bigram, bi.c,
+             round(ln((CAST(bi.c AS DOUBLE) * CAST(tot.nu AS DOUBLE)
+                       * CAST(tot.nu AS DOUBLE))
+                      / (CAST(tot.nb AS DOUBLE) * CAST(ua.uc AS DOUBLE)
+                         * CAST(ub.uc AS DOUBLE))), 6) AS pmi
+      FROM bi, tot
+      JOIN uni ua ON ua.tok = bi.ta
+      JOIN uni ub ON ub.tok = bi.tb
+    ),
+    r AS (SELECT bigram, c, pmi,
+            row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
+          FROM s)
+    SELECT bigram, c, pmi, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {PMI_K}
+"""
+
+
+QUERIES["pmi_topk"] = q_pmi_topk

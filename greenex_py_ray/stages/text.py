@@ -427,3 +427,78 @@ def build_postings(ds: "ray.data.Dataset", min_df: int = 1,
                           zero_copy_batch=True)
     return part.groupby("__bucket").map_groups(assemble,
                                                batch_format="pandas")
+
+
+def pmi_topk(ds: "ray.data.Dataset", k: int = 20, min_count: int = 5,
+             text_col: str = "text") -> "ray.data.Dataset":
+    """Top-k collocations by pointwise mutual information:
+    ``pmi = ln(c_ab·Nu² / (Nb·c_a·c_b))`` over corpus bigram/unigram
+    counts, ties by bigram string.
+
+    Scale shape: unigram and bigram counts are both partial-combined
+    per batch before their groupby reduces; the PMI join runs as two
+    native hash joins of the (min-count-filtered) bigram table against
+    the unigram table — no driver-side vocabulary, no broadcast of an
+    unbounded count map.  The two scalar totals (Nu, Nb) are tiny
+    aggregate results.
+    """
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Sum
+
+    from .topk import topk_per_group
+
+    def unigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, codes, uniq = explode_words(batch[text_col])
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({"tok": pd.Series(uniq, dtype=object),
+                             "uc": cnt})
+
+    uni = (ds.map_batches(unigram_partial, batch_format="pandas")
+           .groupby("tok").aggregate(Sum("uc", alias_name="uc")))
+    bi = (ds.map_batches(
+        lambda b: bigram_counts_partial(b, text_col),
+        batch_format="pandas")
+        .groupby("bigram").aggregate(Sum("c", alias_name="c"))
+        .filter(expr=f"c >= {min_count}"))
+
+    nu = int(uni.aggregate(Sum("uc", alias_name="s"))["s"])
+    nb_row = bi.aggregate(Sum("c", alias_name="s"))["s"]
+    nb = int(nb_row) if nb_row is not None else 0
+
+    def split(b: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(b.column("bigram"), " ")
+        flat = parts.combine_chunks().flatten() \
+            if isinstance(parts, _pa.ChunkedArray) else parts.flatten()
+        a = flat.take(_pa.array(np.arange(0, 2 * b.num_rows, 2)))
+        bb = flat.take(_pa.array(np.arange(1, 2 * b.num_rows, 2)))
+        return pa.table({"bigram": b.column("bigram"),
+                         "c": b.column("c"), "a": a, "b": bb})
+
+    pairs = bi.map_batches(split, batch_format="pyarrow")
+    j1 = pairs.join(uni, "inner", 16, on=("a",), right_on=("tok",))
+    # the native join drops the right key column; only uc needs renaming
+    j1 = j1.map_batches(lambda t: t.rename_columns(
+        [{"uc": "ca"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    j2 = j1.join(uni, "inner", 16, on=("b",), right_on=("tok",))
+
+    def score(t: _pa.Table) -> _pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t.column("uc").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((c * float(nu) * float(nu))
+                     / (float(nb) * ca * cb))
+        out = pa.table({
+            "bigram": t.column("bigram"),
+            "c": t.column("c"),
+            "pmi": pa.array(np.round(pmi, 6)),
+            "g": pa.array(np.zeros(t.num_rows, np.int64)),
+        })
+        return out
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    out = topk_per_group(scored, "g", "pmi", k, "bigram")
+    return out.select_columns(["bigram", "c", "pmi", "rank"])
