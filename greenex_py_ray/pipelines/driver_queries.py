@@ -6587,3 +6587,31 @@ ORACLE_SQL["pmi_topk"] = rf"""
 
 
 QUERIES["pmi_topk"] = q_pmi_topk
+
+
+WSAMPLE_K = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """Price-weighted order sample (stages/sampling.weighted_sample —
+    deterministic Efraimidis–Spirakis, local top-k partials)."""
+    from ..stages.sampling import weighted_sample
+
+    ds = dt.read_table(sf_dir, "orders",
+                       columns=["o_orderkey", "o_totalprice"])
+    return weighted_sample(ds, "o_orderkey", "o_totalprice", WSAMPLE_K)
+
+
+ORACLE_SQL["weighted_sample"] = f"""
+    WITH s AS (
+      SELECT o_orderkey,
+             ln((CAST((o_orderkey * 48271) % 2147483647 AS DOUBLE) + 1.0)
+                / 2147483648.0) / o_totalprice AS raw
+      FROM orders
+    )
+    SELECT o_orderkey, round(raw * 1000000.0, 6) AS score_e6
+    FROM s ORDER BY raw DESC, o_orderkey LIMIT {WSAMPLE_K}
+"""
+
+
+QUERIES["weighted_sample"] = q_weighted_sample

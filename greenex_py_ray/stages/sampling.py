@@ -183,3 +183,43 @@ def cap_per_group(ds: "ray.data.Dataset", group_col: str, key_col: str,
                           zero_copy_batch=True)
     return part.groupby(group_col).map_groups(final_cap,
                                               batch_format="pyarrow")
+
+
+def weighted_sample(ds: "ray.data.Dataset", key_col: str, weight_col: str,
+                    k: int) -> "ray.data.Dataset":
+    """Weight-proportional sample of ``k`` rows without replacement —
+    Efraimidis–Spirakis A-Res with a DETERMINISTIC uniform: each row
+    scores ``ln(u)/w`` with ``u = (Lehmer(key)+1)/(MOD+1)`` and the k
+    largest scores win, so inclusion odds follow the weights while the
+    selection stays a pure function of the keys (resumable, replayable
+    in SQL as an ORDER BY ... LIMIT k).
+
+    Per-batch partials keep their local top-k only (the classic
+    bounded-sliver reduce), then one tiny final re-truncate.
+    """
+    def score_of(keys: np.ndarray, w: np.ndarray) -> np.ndarray:
+        u = (hash_rank(keys).astype(np.float64) + 1.0) / float(_MOD + 1)
+        return np.log(u) / w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        s = score_of(keys, w.astype(np.float64))
+        order = np.lexsort((keys, -s))[:k]
+        return pa.table({key_col: pa.array(keys[order]),
+                         "score": pa.array(s[order])})
+
+    def final(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        s = tbl.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -s))[:k]
+        # scores are O(1/weight): scale to micro-units before rounding
+        # so the output column keeps its resolution
+        return pa.table({key_col: pa.array(keys[order]),
+                         "score_e6": pa.array(
+                             np.round(s[order] * 1e6, 6))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return part.repartition(1).map_batches(final, batch_format="pyarrow",
+                                           batch_size=None)

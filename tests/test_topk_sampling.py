@@ -393,3 +393,27 @@ def test_group_winsorize_matches_bruteforce(ray_session):
         assert r["n_hi"] == (v > hi).sum()
     # outliers actually got clipped
     assert (got["n_hi"] > 0).any()
+
+
+def test_weighted_sample_bias(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from greenex_py_ray.stages.sampling import weighted_sample
+
+    # two strata: heavy weights should dominate the sample
+    n = 4000
+    df = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "w": np.where(np.arange(n) < n // 2, 100.0, 1.0),
+    })
+    out = weighted_sample(rd.from_pandas(df).repartition(8),
+                          "k", "w", k=200).to_pandas()
+    assert len(out) == 200
+    assert not out["k"].duplicated().any()
+    heavy = (out["k"] < n // 2).mean()
+    assert heavy > 0.85          # 100:1 odds -> heavies dominate
+    # determinism: same input, different partitioning -> same set
+    out2 = weighted_sample(rd.from_pandas(df).repartition(3),
+                           "k", "w", k=200).to_pandas()
+    assert set(out["k"]) == set(out2["k"])
