@@ -6615,3 +6615,41 @@ ORACLE_SQL["weighted_sample"] = f"""
 
 
 QUERIES["weighted_sample"] = q_weighted_sample
+
+
+ZSCAN_BBOX = (4000.0, 6000.0, 9000.0, 11000.0)
+
+
+def q_zorder_pruned_scan(sf_dir: str):
+    """BBox scan over the z-order-partitioned layout (sources/layout):
+    only z-blocks the query's cells touch are read (file pruning),
+    exact predicate refined per batch."""
+    from ..sources.layout import ensure_zorder_layout, zorder_bbox_scan
+
+    root = ensure_zorder_layout(sf_dir, cell_size=CELL_SIZE)
+    x0, y0, x1, y1 = ZSCAN_BBOX
+    out = zorder_bbox_scan(root, x0, y0, x1, y1, cell_size=CELL_SIZE)
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "x": pa.array(np.round(
+                b.column("x").to_numpy(zero_copy_only=False), 6)),
+            "y": pa.array(np.round(
+                b.column("y").to_numpy(zero_copy_only=False), 6)),
+        })
+
+    return out.map_batches(rnd, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+ORACLE_SQL["zorder_pruned_scan"] = f"""
+    WITH d AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents)
+    SELECT doc_id, round(x, 6) AS x, round(y, 6) AS y
+    FROM d
+    WHERE x >= {ZSCAN_BBOX[0]} AND x <= {ZSCAN_BBOX[2]}
+      AND y >= {ZSCAN_BBOX[1]} AND y <= {ZSCAN_BBOX[3]}
+"""
+
+
+QUERIES["zorder_pruned_scan"] = q_zorder_pruned_scan

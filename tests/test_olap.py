@@ -275,3 +275,33 @@ def test_global_rank_ntile_uneven():
     assert list(out["k"]) == list(range(13))      # ties broken by key
     sizes = out.groupby("tile").size()
     assert list(sizes) == [3, 3, 3, 2, 2]
+
+
+def test_zorder_layout_prunes_files(tmp_path, ray_session):
+    import os
+
+    from greenex_py_ray.sources.layout import (
+        ensure_zorder_layout,
+        zorder_bbox_scan,
+    )
+
+    root = ensure_zorder_layout("/root/testdata/sf0.001", cell_size=500.0)
+    total = len([f for f in os.listdir(root) if f.endswith(".parquet")])
+    # a small bbox touches far fewer blocks than exist
+    out = zorder_bbox_scan(root, 4000, 6000, 9000, 11000,
+                           cell_size=500.0).to_pandas()
+    ix = np.arange(4000 // 500, 9000 // 500 + 1)
+    iy = np.arange(6000 // 500, 11000 // 500 + 1)
+    from greenex_py_ray import cells
+    gx, gy = np.meshgrid(ix, iy, indexing="ij")
+    blocks = np.unique((cells.zorder(gx.ravel(), gy.ravel())
+                        >> np.uint64(4)).astype(np.int64))
+    assert len(blocks) < total          # genuinely pruned
+    # exact result parity with a full scan + filter
+    import pyarrow.parquet as pq
+    from greenex_py_ray.sources import driver_tables as dt
+    k = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id"]).column("doc_id").to_numpy()
+    x, y = dt.derive_xy(k.astype(np.int64))
+    m = (x >= 4000) & (x <= 9000) & (y >= 6000) & (y <= 11000)
+    assert set(out["doc_id"]) == set(k[m])
