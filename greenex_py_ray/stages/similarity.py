@@ -669,3 +669,130 @@ def pca_components(ds: "ray.data.Dataset", n_components: int = 2,
         comps.append(v)
         eigs.append(float(w[c]))
     return np.asarray(comps), np.asarray(eigs)
+
+
+def lsh_build(ds: "ray.data.Dataset", dim: int, out_dir: str,
+              n_planes: int = 32, n_bands: int = 4,
+              key_col: str = "vec_id", vec_col: str = "embedding",
+              overwrite: bool = False) -> str:
+    """Persist the LSH posting layout: every vector's (band, code)
+    postings written as hive-partitioned parquet (one directory per
+    ``lsh_bucket = band * 2^bits + code``).  The build-once/query-many
+    split for :func:`lsh_topk` — the one-shot form re-hashes the corpus
+    per call and measured SLOWER than a brute scan at 1M × 64
+    (BASELINE.md); against the persisted postings a query opens only
+    its n_bands bucket directories."""
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(out_dir) and _os.listdir(out_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} is not empty — pass overwrite=True")
+        _shutil.rmtree(out_dir)
+    planes = lsh_planes(dim, n_planes)
+    per = n_planes // n_bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        v = _to_matrix(batch.column(vec_col), dim)
+        eq = np.round(v * LSH_QUANT).astype(np.int64)
+        codes = _band_codes(eq, planes, n_bands)
+        n = len(eq)
+        rep = np.repeat(np.arange(n), n_bands)
+        band = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        bucket = band * (1 << per) + codes[rep, band]
+        return pa.table({
+            key_col: batch.column(key_col).take(pa.array(rep)),
+            "lsh_bucket": pa.array(bucket),
+            "eq": pa.array(list(eq[rep]), type=pa.list_(pa.int64())),
+        })
+
+    posts = ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    posts.write_parquet(out_dir, partition_cols=["lsh_bucket"])
+    return out_dir
+
+
+def lsh_query_index(index_dir: str, queries: dict, k: int, dim: int,
+                    n_planes: int = 32, n_bands: int = 4,
+                    key_col: str = "vec_id") -> "ray.data.Dataset":
+    """Top-k per query against a persisted :func:`lsh_build` layout:
+    open ONLY the query's n_bands bucket directories, dedup candidate
+    keys, exact quantized-cosine re-rank."""
+    import glob as _glob
+    import os as _os
+
+    if not _os.path.isdir(index_dir):
+        raise FileNotFoundError(f"LSH index dir {index_dir} missing — "
+                                "run lsh_build first")
+    planes = lsh_planes(dim, n_planes)
+    per = n_planes // n_bands
+    qv = np.asarray(queries["vectors"], dtype=np.float64)
+    qids = np.asarray(queries["query_id"], dtype=np.int64)
+    qq = np.round(qv * LSH_QUANT).astype(np.int64)
+    qcodes = _band_codes(qq, planes, n_bands)
+    buckets = np.unique(
+        (np.arange(n_bands, dtype=np.int64)[None, :] * (1 << per)
+         + qcodes).ravel())
+    paths = []
+    for b in buckets.tolist():
+        d = _os.path.join(index_dir, f"lsh_bucket={b}")
+        if _os.path.isdir(d):
+            paths.extend(sorted(_glob.glob(_os.path.join(d, "*.parquet"))))
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      key_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not paths:
+        return ray.data.from_arrow(empty)
+    qref = ray.put({"qids": qids, "qq": qq,
+                    "qbuckets": {int(b): np.flatnonzero(
+                        (np.arange(n_bands)[None, :] * (1 << per)
+                         + qcodes == b).any(1)).astype(np.int64)
+                        for b in buckets.tolist()}})
+    ds = ray.data.read_parquet(paths)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        if batch.num_rows == 0:
+            return empty
+        q = ray.get(qref)
+        bcol = batch.column("lsh_bucket")
+        if not pa.types.is_integer(bcol.type):
+            bcol = _pc.cast(bcol, pa.int64())
+        bks = bcol.to_numpy(zero_copy_only=False)
+        eq = np.asarray(batch.column("eq").combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False)
+                        ).reshape(batch.num_rows, dim).astype(np.float64)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        outs = []
+        for b in np.unique(bks):
+            qsel = q["qbuckets"].get(int(b))
+            if qsel is None or len(qsel) == 0:
+                continue
+            rows = np.flatnonzero(bks == b)
+            qm = q["qq"][qsel].astype(np.float64)
+            sub = eq[rows]
+            sim = (sub @ qm.T) / (np.linalg.norm(sub, axis=1)[:, None]
+                                  * np.linalg.norm(qm, axis=1)[None, :])
+            vi, qi = np.nonzero(np.ones_like(sim, dtype=bool))
+            outs.append(pa.table({
+                "query_id": pa.array(q["qids"][qsel][qi]),
+                key_col: pa.array(keys[rows][vi]),
+                "score": pa.array(np.round(sim[vi, qi], 6)),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+    cand = ds.map_batches(score, batch_format="pyarrow")
+
+    def final(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = tbl.to_pandas().drop_duplicates(["query_id", key_col])
+        df = df.sort_values(["query_id", "score", key_col],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cand.repartition(1).map_batches(final, batch_format="pyarrow",
+                                           batch_size=None)

@@ -492,3 +492,29 @@ def test_pca_components_match_numpy(sf_dir):
             u = -u
         assert eigs[c] == pytest.approx(w[order[c]], rel=1e-6)
         assert np.abs(comps[c] @ u) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_index_build_query_matches_oneshot(tmp_path, sf_dir):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    V = emb.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).reshape(-1, 64).astype(np.float64)
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    queries = {"query_id": [int(ids[0]), int(ids[2])],
+               "vectors": V[[0, 2]]}
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "lsh_idx")
+    similarity.lsh_build(ds, 64, idx, n_planes=16, n_bands=4)
+    got = similarity.lsh_query_index(idx, queries, 10, 64,
+                                     n_planes=16, n_bands=4).to_pandas()
+    # persisted-postings result == one-shot bucket-shuffle result
+    ref = similarity.lsh_topk(ds, queries, 10, 64,
+                              n_planes=16, n_bands=4).to_pandas()
+    for q in queries["query_id"]:
+        g = got[got.query_id == q].reset_index(drop=True)
+        r = ref[ref.query_id == q].reset_index(drop=True)
+        assert list(g["vec_id"]) == list(r["vec_id"])
+        assert np.allclose(g["score"], r["score"])
+    # rebuild guard
+    with pytest.raises(FileExistsError):
+        similarity.lsh_build(ds, 64, idx, n_planes=16, n_bands=4)
