@@ -6653,3 +6653,42 @@ ORACLE_SQL["zorder_pruned_scan"] = f"""
 
 
 QUERIES["zorder_pruned_scan"] = q_zorder_pruned_scan
+
+
+def q_lang_drift(sf_dir: str):
+    """Per-source chi-square drift of the language mix vs the corpus
+    marginal (stages/composite.chi_square_drift — one contingency
+    shuffle, closed-form χ² on the tiny table)."""
+    from ..stages.composite import chi_square_drift
+
+    ds = dt.read_table(sf_dir, "documents", columns=["source", "lang"])
+    return chi_square_drift(ds, "source", "lang")
+
+
+ORACLE_SQL["lang_drift"] = """
+    WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY source, lang),
+    rt AS (SELECT source, CAST(sum(n) AS BIGINT) AS r
+           FROM c GROUP BY source),
+    ct AS (SELECT lang, CAST(sum(n) AS BIGINT) AS col
+           FROM c GROUP BY lang),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+    grid AS (SELECT rt.source, ct.lang, rt.r, ct.col
+             FROM rt CROSS JOIN ct),
+    j AS (SELECT g.source, g.r, g.col,
+            CAST(COALESCE(c.n, 0) AS DOUBLE) AS o
+          FROM grid g LEFT JOIN c
+            ON c.source = g.source AND c.lang = g.lang),
+    s AS (SELECT j.source, j.r,
+            pow(j.o - CAST(j.r AS DOUBLE) * CAST(j.col AS DOUBLE)
+                      / CAST(tot.nn AS DOUBLE), 2)
+              / (CAST(j.r AS DOUBLE) * CAST(j.col AS DOUBLE)
+                 / CAST(tot.nn AS DOUBLE)) AS term
+          FROM j, tot)
+    SELECT source, CAST(any_value(r) AS BIGINT) AS n_docs,
+           round(sum(term), 6) AS chi2
+    FROM s GROUP BY source
+"""
+
+
+QUERIES["lang_drift"] = q_lang_drift

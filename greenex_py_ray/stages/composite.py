@@ -68,3 +68,47 @@ def max_composite_stats(tiles: "ray.data.Dataset", n_dates: int,
                              zero_copy_batch=True)
     return part.groupby("__bucket").map_groups(reduce_bucket,
                                                batch_format="pandas")
+
+
+def chi_square_drift(ds: "ray.data.Dataset", group_col: str,
+                     cat_col: str) -> "ray.data.Dataset":
+    """Per-group chi-square drift of a categorical distribution vs the
+    corpus-wide marginal — the per-source data-quality alarm (did one
+    source's language mix shift?).
+
+    One shuffle: per-batch (group, category, n) partials reduce to the
+    contingency table (O(groups × categories) rows); marginals and the
+    χ² = Σ (o − e)²/e closed form run on that tiny table driver-side
+    (expected counts e = row·col/N as exact integer products over
+    doubles, terms summed in category order so the float result is
+    reproducible).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, cat_col]).to_pandas()
+        g = df.groupby([group_col, cat_col], sort=False).size()
+        g = g.reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cont = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([group_col, cat_col])
+            .aggregate(_Sum("n", alias_name="n"))).to_pandas()
+
+    piv = cont.pivot_table(index=group_col, columns=cat_col, values="n",
+                           fill_value=0, aggfunc="sum").sort_index()
+    piv = piv[sorted(piv.columns)]
+    O = piv.to_numpy(dtype=np.float64)
+    rt = O.sum(axis=1, keepdims=True)
+    ct = O.sum(axis=0, keepdims=True)
+    N = O.sum()
+    E = rt * ct / N
+    chi2 = np.where(E > 0, (O - E) ** 2 / E, 0.0).sum(axis=1)
+    out = pd.DataFrame({group_col: piv.index.to_numpy(),
+                        "n_docs": rt.ravel().astype(np.int64),
+                        "chi2": np.round(chi2, 6)})
+    return pa.Table.from_pandas(out, preserve_index=False)
