@@ -6692,3 +6692,70 @@ ORACLE_SQL["lang_drift"] = """
 
 
 QUERIES["lang_drift"] = q_lang_drift
+
+
+KM_K, KM_ITERS = 8, 2
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Distributed Lloyd k-means assignments after 2 rounds
+    (stages/similarity.kmeans_assign_iterations — integer per-cluster
+    sufficient statistics, O(k·dim) shuffle payload per batch)."""
+    ds = dt.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = similarity.fixed_random_centroids(EMB_DIM, KM_K)
+    out, _ = similarity.kmeans_assign_iterations(
+        ds, cents, EMB_DIM, iters=KM_ITERS)
+    return out
+
+
+def _kmeans_sql() -> str:
+    C = similarity.fixed_random_centroids(EMB_DIM, KM_K) * 1e4
+    rows = ",\n          ".join(
+        "({}, [{}], {!r})".format(
+            c, ", ".join(repr(float(v)) for v in C[c]),
+            float((C[c] * C[c]).sum()))
+        for c in range(KM_K))
+    return f"""
+        WITH cents0(cid, c, cn) AS (VALUES {rows}),
+        e AS (SELECT vec_id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> round(x * 10000.0)) AS eq
+              FROM embeddings),
+        d0 AS (SELECT e.vec_id, e.eq, cents0.cid,
+                 -2.0 * list_dot_product(e.eq, cents0.c) + cents0.cn AS dist
+               FROM e CROSS JOIN cents0),
+        a0 AS (SELECT vec_id, eq, cid AS cl FROM (
+                 SELECT vec_id, eq, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cid ASC) AS rn
+                 FROM d0) WHERE rn = 1),
+        flat AS (SELECT a0.cl, u.d - 1 AS d, u.x
+                 FROM a0, LATERAL (
+                   SELECT generate_subscripts(a0.eq, 1) AS d,
+                          unnest(a0.eq) AS x) u),
+        s1 AS (SELECT cl, d, sum(x) AS s, count(*) AS n
+               FROM flat GROUP BY cl, d),
+        c1 AS (SELECT cl AS cid,
+                 list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      ORDER BY d) AS c
+               FROM s1 GROUP BY cl),
+        c1n AS (SELECT cid, c, list_dot_product(c, c) AS cn FROM c1),
+        -- clusters that lost every vector keep their seed centroid
+        call AS (SELECT cents0.cid,
+                   COALESCE(c1n.c, cents0.c) AS c,
+                   COALESCE(c1n.cn, cents0.cn) AS cn
+                 FROM cents0 LEFT JOIN c1n ON c1n.cid = cents0.cid),
+        d1 AS (SELECT e.vec_id, call.cid,
+                 -2.0 * list_dot_product(e.eq, call.c) + call.cn AS dist
+               FROM e CROSS JOIN call),
+        a1 AS (SELECT vec_id, cid AS cluster FROM (
+                 SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cid ASC) AS rn
+                 FROM d1) WHERE rn = 1)
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a1
+    """
+
+
+ORACLE_SQL["kmeans_assign"] = _kmeans_sql()
+QUERIES["kmeans_assign"] = q_kmeans_assign

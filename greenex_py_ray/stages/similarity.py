@@ -796,3 +796,78 @@ def lsh_query_index(index_dir: str, queries: dict, k: int, dim: int,
 
     return cand.repartition(1).map_batches(final, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def kmeans_assign_iterations(ds: "ray.data.Dataset", centroids0: np.ndarray,
+                             dim: int, iters: int = 2,
+                             q_scale: float = 1e4,
+                             key_col: str = "vec_id",
+                             vec_col: str = "embedding"):
+    """Distributed Lloyd k-means, exact enough to value-gate: vectors
+    quantize to int64 once, every centroid update is an INTEGER
+    per-cluster (n, Σq per dim) reduce (O(k·d) shuffle payload per
+    batch), and new centroids are the single double division Σq/n — so
+    any SQL replay of the same expressions lands on identical
+    assignments.  Distances use the ``-2·q·c + ‖c‖²`` form with
+    first-index tie-break (same as IVFAssign).
+
+    Returns (assignments Dataset (key, cluster) after ``iters``
+    assignment rounds, final centroids ndarray in quantized units).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    C = np.asarray(centroids0, dtype=np.float64) * q_scale
+    k = len(C)
+
+    def assign_of(Ccur: np.ndarray):
+        cref = ray.put(Ccur)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            Cl = ray.get(cref)
+            v = _to_matrix(batch.column(vec_col), dim)
+            eq = np.round(v * q_scale).astype(np.int64).astype(np.float64)
+            d = -2.0 * (eq @ Cl.T) + (Cl * Cl).sum(1)[None, :]
+            cl = np.argmin(d, axis=1).astype(np.int64)  # first-index tie
+            return pa.table({key_col: batch.column(key_col),
+                             "cluster": pa.array(cl)})
+        return fn
+
+    for it in range(iters - 1):
+        assigned = ds.map_batches(assign_of(C), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        # integer sufficient statistics for the update
+        cref = ray.put(C)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            Cl = ray.get(cref)
+            v = _to_matrix(batch.column(vec_col), dim)
+            eqf = np.round(v * q_scale).astype(np.int64)
+            d = (-2.0 * (eqf.astype(np.float64) @ Cl.T)
+                 + (Cl * Cl).sum(1)[None, :])
+            cl = np.argmin(d, axis=1)
+            n = np.bincount(cl, minlength=k).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, cl, eqf)
+            cid = np.repeat(np.arange(k, dtype=np.int64), dim)
+            dd = np.tile(np.arange(dim, dtype=np.int64), k)
+            return pa.table({"cluster": pa.array(cid), "d": pa.array(dd),
+                             "s": pa.array(sums.ravel()),
+                             "n": pa.array(np.repeat(n, dim))})
+
+        agg = (ds.map_batches(stats, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(["cluster", "d"])
+               .aggregate(_Sum("s", alias_name="s"),
+                          _Sum("n", alias_name="n"))).to_pandas()
+        Cn = C.copy()
+        for cid in range(k):
+            sub = agg[agg.cluster == cid].sort_values("d")
+            if len(sub) and int(sub["n"].iloc[0]) > 0:
+                # per-(cluster, d) partials: s and n accumulate the
+                # SAME batch set, so Σq/n is the exact mean per dim
+                Cn[cid] = (sub["s"].to_numpy(dtype=np.float64)
+                           / sub["n"].to_numpy(dtype=np.float64))
+        C = Cn
+    out = ds.map_batches(assign_of(C), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out, C

@@ -518,3 +518,26 @@ def test_lsh_index_build_query_matches_oneshot(tmp_path, sf_dir):
     # rebuild guard
     with pytest.raises(FileExistsError):
         similarity.lsh_build(ds, 64, idx, n_planes=16, n_bands=4)
+
+
+def test_kmeans_iterations_converge_on_clusters(ray_session):
+    rng = np.random.RandomState(6)
+    centers = rng.normal(size=(4, 64)) * 5.0
+    V = np.vstack([c + rng.normal(scale=0.1, size=(50, 64))
+                   for c in centers])
+    tbl = pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "embedding": pa.array(list(V.astype(np.float32)),
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(4)
+    # seed one point per true cluster (random seeds can collapse two
+    # clusters into one id -- ordinary Lloyd local optimum)
+    seeds = V[[0, 50, 100, 150]]
+    out, C = similarity.kmeans_assign_iterations(ds, seeds, 64, iters=3)
+    df = out.to_pandas().sort_values("vec_id")
+    labels = df["cluster"].to_numpy()
+    # after updates, each true cluster maps to exactly one k-means id
+    for g in range(4):
+        blk = labels[g * 50:(g + 1) * 50]
+        assert (blk == blk[0]).all()
+    assert len(set(labels[::50])) == 4
+    assert C.shape == (4, 64)
