@@ -6759,3 +6759,47 @@ def _kmeans_sql() -> str:
 
 ORACLE_SQL["kmeans_assign"] = _kmeans_sql()
 QUERIES["kmeans_assign"] = q_kmeans_assign
+
+
+DUPWIN_W = 8
+
+
+def q_dup_windows(sf_dir: str):
+    """ExactSubstr-style duplicate-window dedup flags
+    (stages/scrub.dup_window_flags — sliding width-token window hashes,
+    distinct-(window, doc) partials before the one O(distinct windows)
+    shuffle, dup set broadcast below ``max_broadcast`` else a
+    hash-bucketed semi join)."""
+    from ..stages.scrub import dup_window_flags
+
+    ds = dt.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_window_flags(ds, width=DUPWIN_W)
+
+
+# The oracle groups window STRINGS where the engine groups 64-bit window
+# hashes, so the hash path is value-verified end-to-end (same pattern as
+# the line_dedup gate).
+ORACLE_SQL["dup_windows"] = f"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    w AS (SELECT doc_id, unnest(range(1, len(toks) - {DUPWIN_W} + 2)) AS i,
+                 toks
+          FROM t WHERE len(toks) >= {DUPWIN_W}),
+    ws AS (SELECT doc_id, array_to_string(toks[i:i+{DUPWIN_W - 1}], ' ') AS win
+           FROM w),
+    dup AS (SELECT win FROM ws GROUP BY win
+            HAVING count(DISTINCT doc_id) >= 2),
+    nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+           FROM ws WHERE win IN (SELECT win FROM dup) GROUP BY doc_id),
+    nw AS (SELECT doc_id,
+                  CAST(greatest(len(toks) - {DUPWIN_W} + 1, 0) AS BIGINT)
+                    AS n_windows
+           FROM t)
+    SELECT nw.doc_id, nw.n_windows,
+           coalesce(nd.n_dup, 0) AS n_dup,
+           coalesce(nd.n_dup, 0) = 0 AS keep
+    FROM nw LEFT JOIN nd USING (doc_id)
+"""
+
+
+QUERIES["dup_windows"] = q_dup_windows

@@ -296,3 +296,194 @@ def filter_chain_batch(batch: pa.Table, min_tokens: int = 15,
         "reasons": pa.array(reasons),
         "keep": pa.array(reasons == 0),
     })
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate windows (ExactSubstr-style dedup)
+# ---------------------------------------------------------------------------
+
+def _window_structure(col, width: int):
+    """Sliding ``width``-token window hashes over every document in an
+    Arrow string column.
+
+    Tokenizes (``lower(trim(text))`` split on a single space — the SQL
+    oracle's ``string_split`` twin), hashes every token with the
+    engine-wide 64-bit polynomial family, then rolls a Horner combine
+    across each ``width``-token window — one numpy pass per window slot,
+    no per-row Python.  A window is valid only when it lies entirely
+    inside one document (start/end token share a parent row).
+
+    Returns ``(win_hash uint64[n_win], win_parent int64[n_win],
+    n_windows_per_doc int64[n_docs])``.
+    """
+    from .text import FP_BASE, hash_string_array
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    norm = pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(col, "")))
+    tok = pc.split_pattern(norm, " ")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    loff = np.asarray(tok.offsets, dtype=np.int64)
+    counts = np.diff(loff)
+    n_docs = len(counts)
+    total = int(loff[-1] - loff[0])
+    h_tok = hash_string_array(tok.values)
+    parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    n_slots = total - width + 1
+    if n_slots <= 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.zeros(n_docs, np.int64))
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        acc = h_tok[:n_slots].copy()
+        for j in range(1, width):
+            acc = acc * FP_BASE + h_tok[j:j + n_slots]
+    valid = parent[:n_slots] == parent[width - 1:width - 1 + n_slots]
+    win_parent = parent[:n_slots][valid]
+    n_win = np.bincount(win_parent, minlength=n_docs).astype(np.int64)
+    return acc[valid], win_parent, n_win
+
+
+def window_freq_partial(batch: pa.Table, width: int,
+                        text_col: str = "text") -> pa.Table:
+    """Pass-1 partial: distinct-document count per window hash within
+    this batch (rows never split across batches, so per-batch distinct
+    counts sum to the corpus distinct-doc count)."""
+    wh, wp, _ = _window_structure(batch.column(text_col), width)
+    order = np.lexsort((wp, wh))
+    hs, ps = wh[order], wp[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+    uh, cnt = np.unique(hs[first], return_counts=True)
+    return pa.table({"wh": pa.array(uh.view(np.int64)),
+                     "n": pa.array(cnt.astype(np.int64))})
+
+
+class DupWindowFlag:
+    """Pass-2 actor (broadcast path): per document, count window
+    positions whose hash is in the duplicated-window set."""
+
+    def __init__(self, dup_ref, width: int, key_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray as _ray
+
+        d = _ray.get(dup_ref) if isinstance(dup_ref, _ray.ObjectRef) else dup_ref
+        self.dup = np.sort(np.asarray(d, dtype=np.uint64))
+        self.width = width
+        self.key_col = key_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wh, wp, n_win = _window_structure(batch.column(self.text_col),
+                                          self.width)
+        if len(self.dup) and len(wh):
+            idx = np.searchsorted(self.dup, wh)
+            np.clip(idx, 0, len(self.dup) - 1, out=idx)
+            member = self.dup[idx] == wh
+        else:
+            member = np.zeros(len(wh), dtype=bool)
+        n_dup = np.bincount(wp[member], minlength=len(batch)).astype(np.int64)
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "n_windows": pa.array(n_win),
+            "n_dup": pa.array(n_dup),
+            "keep": pa.array(n_dup == 0),
+        })
+
+
+def dup_window_flags(ds: "ray.data.Dataset", width: int = 8,
+                     min_docs: int = 2, key_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_broadcast: int = 2_000_000,
+                     num_partitions: int = 16,
+                     concurrency=(1, 8)) -> "ray.data.Dataset":
+    """ExactSubstr-style duplicate-window detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    sliding run of ``width`` tokens that appears in ``>= min_docs``
+    distinct documents corpus-wide marks its positions as duplicated;
+    per document we report how many of its windows are duplicated and a
+    ``keep`` flag (no duplicated window at all).
+
+    Differs from :func:`line_dedup` (C4 fixed-stride lines) in being a
+    *sliding* window — the reference operator for exact substring
+    training-data dedup.
+
+    Scale shape: pass 1 collapses each batch to distinct (window, doc)
+    partials before the single O(distinct windows) groupby.  The
+    duplicated-window set is delivered two ways: broadcast via
+    ``ray.put`` when it fits (``<= max_broadcast`` keys — 16 MB/M keys),
+    else a hash-bucketed ``left_semi`` join of per-doc window partials
+    against the dup-key table, followed by an O(docs) count join — no
+    driver text materialization on either path."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    freq = (ds.map_batches(
+                lambda b: window_freq_partial(b, width, text_col),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("wh").aggregate(Sum("n", alias_name="n")))
+    dup_keys = freq.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), min_docs))
+                   .select(["wh"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n_dup_keys = dup_keys.count()
+
+    if n_dup_keys <= max_broadcast:
+        dup = (dup_keys.to_pandas()["wh"].to_numpy(dtype=np.int64)
+               .view(np.uint64) if n_dup_keys else
+               np.empty(0, np.uint64))
+        ref = _ray.put(dup)
+        return ds.map_batches(
+            DupWindowFlag,
+            fn_constructor_kwargs=dict(dup_ref=ref, width=width,
+                                       key_col=key_col, text_col=text_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, num_cpus=0.5,
+        )
+
+    # Scale path: ship per-doc window partials through a semi join on
+    # the window hash instead of broadcasting the dup set.
+    def win_partial(batch: pa.Table) -> pa.Table:
+        wh, wp, _ = _window_structure(batch.column(text_col), width)
+        order = np.lexsort((wp, wh))
+        hs, ps = wh[order], wp[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+        starts = np.flatnonzero(first)
+        k = np.diff(np.append(starts, len(hs)))
+        doc_ids = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "wh": pa.array(hs[starts].view(np.int64)),
+            key_col: pa.array(doc_ids[ps[starts]]),
+            "k": pa.array(k.astype(np.int64)),
+        })
+
+    def base_counts(batch: pa.Table) -> pa.Table:
+        _, _, n_win = _window_structure(batch.column(text_col), width)
+        return pa.table({key_col: batch.column(key_col),
+                         "n_windows": pa.array(n_win)})
+
+    hits = (ds.map_batches(win_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .join(dup_keys, join_type="left_semi",
+                  num_partitions=num_partitions, on=("wh",),
+                  right_on=("wh",))
+            .groupby(key_col).aggregate(Sum("k", alias_name="n_dup")))
+    base = ds.map_batches(base_counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = base.join(hits, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=(key_col,), right_on=(key_col,))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = pc.fill_null(batch.column("n_dup"), 0)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_windows": batch.column("n_windows"),
+            "n_dup": nd,
+            "keep": pc.equal(nd, 0),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

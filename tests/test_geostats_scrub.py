@@ -353,3 +353,49 @@ def test_gi_star_matches_bruteforce(ray_session):
     # the two blob centres are hot (gi* strongly positive)
     hot = got["gi_star"].max()
     assert hot > 3.0
+
+
+def test_dup_window_flags_paths_agree_and_oracle():
+    """Broadcast and semi-join delivery paths produce identical per-doc
+    duplicate-window counts, matching a brute-force python oracle;
+    short/empty docs get zero windows."""
+    from greenex_py_ray.stages.scrub import dup_window_flags
+
+    docs = [
+        "a b c d e f",         # shares the full 4-window run with doc 2
+        "x y z a b c d e f",   # contains doc 0's windows
+        "p q r s t u v w",     # unique
+        "a b",                 # shorter than width -> 0 windows
+        "",                    # empty -> 0 windows
+        "p q r s t u v w",     # exact copy of doc 2
+    ]
+    width = 4
+    tbl = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ds = ray.data.from_arrow(tbl)
+
+    out_b = (dup_window_flags(ds, width=width).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    out_j = (dup_window_flags(ray.data.from_arrow(tbl), width=width,
+                              max_broadcast=0, num_partitions=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out_b, out_j[out_b.columns])
+
+    # brute-force oracle
+    from collections import Counter
+    wins = []
+    for i, t in enumerate(docs):
+        toks = t.lower().strip().split(" ")
+        wins.append([" ".join(toks[j:j + width])
+                     for j in range(max(len(toks) - width + 1, 0))])
+    docfreq = Counter()
+    for i, ws in enumerate(wins):
+        for w in set(ws):
+            docfreq[w] += 1
+    exp_nwin = [len(ws) for ws in wins]
+    exp_ndup = [sum(1 for w in ws if docfreq[w] >= 2) for ws in wins]
+
+    assert out_b["n_windows"].tolist() == exp_nwin
+    assert out_b["n_dup"].tolist() == exp_ndup
+    assert out_b["keep"].tolist() == [n == 0 for n in exp_ndup]
+    # docs 0,1 overlap; 2 and 5 are exact copies; 3,4 have no windows
+    assert out_b["keep"].tolist() == [False, False, False, True, True, False]
