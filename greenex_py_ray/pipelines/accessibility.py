@@ -101,3 +101,33 @@ def network_distance_greenspace(
         batch_format="pyarrow", batch_size=512,
         **heavy_pool(concurrency),
     )
+
+
+def od_cost_matrix(
+    poi: "ray.data.Dataset",
+    nodes: "pa.Table",
+    edges: "pa.Table",
+    cutoff: float = 500.0,
+    dest_mod: int | None = 16,
+    dest_ids=None,
+    key_col: str = "doc_id",
+    concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """Many-to-many origin→destination network cost matrix: one row per
+    (PoI, destination node) pair within ``cutoff`` network metres, cost
+    = snap penalty + shortest-path length (the reference's one-to-one
+    shortest-distance semantics, applied as an OD matrix)."""
+    import ray as _ray
+
+    from ..stages.netaccess import ODMatrix
+
+    return poi.map_batches(
+        ODMatrix,
+        fn_constructor_kwargs=dict(
+            nodes_ref=_ray.put(nodes), edges_ref=_ray.put(edges),
+            cutoff=cutoff, dest_mod=dest_mod, dest_ids=dest_ids,
+            key_col=key_col,
+        ),
+        batch_format="pyarrow", batch_size=256,
+        **heavy_pool(concurrency),
+    )

@@ -2509,6 +2509,13 @@ def _viewshed_tables(radius_px: int = 25, res: float = 10.0):
     return ",".join(rays), ",".join(wgt)
 
 
+#: OD cost-matrix gate shape: origins, network-metre cutoff and the
+#: deterministic destination subset (node_id % mod == 0).
+OD_POIS = 150
+OD_CUTOFF = 400.0
+OD_DEST_MOD = 16
+
+
 def world_oracle_sql() -> dict[str, str]:
     """Oracles for the synthetic-world gates: DuckDB reads the SAME
     world parquet the Ray side reads (created here if absent), extracts
@@ -2655,6 +2662,47 @@ def world_oracle_sql() -> dict[str, str]:
                     ELSE {target} END AS distance_to_greenspace,
                coalesce(b.b <= {target}, FALSE) AS greenspace_within_target
         FROM docs d LEFT JOIN best b USING (doc_id)
+    """
+
+    # --- OD cost matrix: same bounded-walk Dijkstra prefix, but one
+    # row per (origin, destination node) pair within the cutoff;
+    # destinations = node_id % OD_DEST_MOD == 0, cost = snap + network
+    # distance (the min over identical left-to-right path sums, so the
+    # doubles agree bit-for-bit with the engine's Dijkstra) ------------
+    od_sql = f"""
+        WITH RECURSIVE {wdocs(OD_POIS)},
+        nodes AS (SELECT node_id, x, y FROM read_parquet({nodes_pq})),
+        eboth AS (
+          SELECT u, v, length FROM read_parquet({edges_pq})
+          UNION ALL
+          SELECT v, u, length FROM read_parquet({edges_pq})
+        ),
+        nn AS (
+          SELECT doc_id, node_id AS src, snap FROM (
+            SELECT d.doc_id, n.node_id,
+                   sqrt((d.x - n.x) * (d.x - n.x)
+                        + (d.y - n.y) * (d.y - n.y)) AS snap,
+                   row_number() OVER (
+                     PARTITION BY d.doc_id
+                     ORDER BY (d.x - n.x) * (d.x - n.x)
+                            + (d.y - n.y) * (d.y - n.y) ASC, n.node_id ASC
+                   ) AS rn
+            FROM docs d CROSS JOIN nodes n) WHERE rn = 1
+        ),
+        srcs AS (SELECT DISTINCT src FROM nn),
+        walk(src, node, dist) AS (
+          SELECT src, src, CAST(0.0 AS DOUBLE) FROM srcs
+          UNION
+          SELECT w.src, e.v, w.dist + e.length
+          FROM walk w JOIN eboth e ON e.u = w.node
+          WHERE w.dist + e.length <= {OD_CUTOFF}
+        ),
+        reach AS (SELECT src, node, min(dist) AS nd
+                  FROM walk GROUP BY src, node)
+        SELECT nn.doc_id, r.node AS dest_node,
+               round(r.nd + nn.snap, 3) AS cost
+        FROM nn JOIN reach r ON r.src = nn.src
+        WHERE r.node % {OD_DEST_MOD} = 0
     """
 
     # --- streetview GVI: sample → dedup → semi-join → nearest image →
@@ -3366,6 +3414,7 @@ def world_oracle_sql() -> dict[str, str]:
         "dissolve_min_area":
             f"SELECT * FROM ({dissolve_sql}) WHERE area >= 400000",
         "network_distance": network_sql,
+        "od_matrix": od_sql,
         "streetview_gvi": streetview_sql,
         "viewshed_gvi": viewshed_sql,
         "isochrone_ndvi": iso_sql,
@@ -3542,6 +3591,20 @@ def q_network_distance(sf_dir: str):
     return apipe.network_distance_greenspace(
         poi, pq.read_table(w["network_nodes"]), pq.read_table(w["network_edges"]),
         pq.read_table(w["greenspace"]), target_dist=600.0, concurrency=None,
+    )
+
+
+def q_od_matrix(sf_dir: str):
+    """Many-to-many OD network cost matrix
+    (stages/netaccess.ODMatrix — per-actor CSR graph, one bounded
+    Dijkstra per origin, destinations a deterministic node subset)."""
+    from . import accessibility as apipe
+
+    poi, w = _world_poi(limit=OD_POIS)
+    return apipe.od_cost_matrix(
+        poi, pq.read_table(w["network_nodes"]),
+        pq.read_table(w["network_edges"]),
+        cutoff=OD_CUTOFF, dest_mod=OD_DEST_MOD, concurrency=None,
     )
 
 
@@ -5733,6 +5796,7 @@ QUERIES = {
     "canopy_pct": q_canopy_pct,
     "greenspace_pct": q_greenspace_pct,
     "network_distance": q_network_distance,
+    "od_matrix": q_od_matrix,
     "isochrone_ndvi": q_isochrone_ndvi,
     "isochrone_landcover": q_isochrone_landcover,
     "isochrone_greenspace": q_isochrone_greenspace,

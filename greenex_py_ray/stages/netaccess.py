@@ -414,3 +414,72 @@ class IsochroneCoverage(_IsochroneAoI):
             col = pa.array(pct, pa.float64(), mask=~np.isfinite(pct))
         return pa.table({self.key_col: batch.column(self.key_col),
                          self.name: col})
+
+
+class ODMatrix:
+    """map_batches actor: origin→destination network cost matrix.
+
+    Per origin: snap to the nearest network node
+    (``ox.distance.nearest_nodes`` semantics), one cutoff-bounded
+    Dijkstra, then emit a row per DESTINATION node reached within
+    ``cutoff`` network metres — total cost = snap penalty + network
+    distance (the reference's ``penalty_home`` convention,
+    accessibility.py:255-273, applied many-to-many).
+
+    Destinations are a deterministic node subset
+    (``node_id % dest_mod == 0``) or an explicit id array — at fleet
+    scale the destination set (facilities) is tiny next to the node
+    table, so it rides inside the broadcast graph state; origins
+    parallelize across the actor pool.
+    """
+
+    def __init__(self, nodes_ref, edges_ref, cutoff: float,
+                 dest_mod: int | None = None, dest_ids=None,
+                 key_col: str = "doc_id"):
+        self.graph = _graph_from_tables(_resolve(nodes_ref),
+                                        _resolve(edges_ref))
+        g = self.graph
+        if dest_ids is not None:
+            dest = np.sort(np.asarray(dest_ids, dtype=np.int64))
+            self.dest_pos = np.flatnonzero(
+                np.isin(g.node_id, dest, assume_unique=False))
+        elif dest_mod is not None:
+            self.dest_pos = np.flatnonzero(g.node_id % dest_mod == 0)
+        else:
+            raise ValueError("ODMatrix needs dest_mod or dest_ids")
+        self.is_dest = np.zeros(len(g.node_id), dtype=bool)
+        self.is_dest[self.dest_pos] = True
+        self.cutoff = float(cutoff)
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        keys = batch.column(self.key_col)
+        g = self.graph
+        out_key, out_dest, out_cost = [], [], []
+        pos_all, snap_all = g.nearest_node(x, y)
+        for i in range(len(x)):
+            reach = g.dijkstra(int(pos_all[i]), cutoff=self.cutoff)
+            if not reach:
+                continue
+            ego = np.fromiter(reach.keys(), dtype=np.int64, count=len(reach))
+            ego_d = np.fromiter(reach.values(), dtype=np.float64,
+                                count=len(reach))
+            m = self.is_dest[ego]
+            if not m.any():
+                continue
+            dpos, dd = ego[m], ego_d[m]
+            out_key.append(np.full(len(dpos), i, dtype=np.int64))
+            out_dest.append(g.node_id[dpos])
+            out_cost.append(np.round(dd + float(snap_all[i]), 3))
+        if not out_key:
+            return pa.table({self.key_col: keys.slice(0, 0),
+                             "dest_node": pa.array([], pa.int64()),
+                             "cost": pa.array([], pa.float64())})
+        ki = np.concatenate(out_key)
+        return pa.table({
+            self.key_col: keys.take(pa.array(ki)),
+            "dest_node": pa.array(np.concatenate(out_dest)),
+            "cost": pa.array(np.concatenate(out_cost)),
+        })

@@ -399,3 +399,41 @@ def test_dissolve_distributed_matches_driver(world):
         assert abs(row["area"] - a) < 1e-6
         assert abs(row["centroid_x"] - cx) < 1e-6
         assert abs(row["centroid_y"] - cy) < 1e-6
+
+
+def test_od_matrix_line_graph():
+    """ODMatrix on a 5-node line graph: costs are snap + hop sums,
+    cutoff prunes far destinations, dest subset honors dest_mod."""
+    from greenex_py_ray.stages.netaccess import ODMatrix
+
+    # nodes 0..4 at x = 0, 100, 200, 300, 400 (ids 10,11,12,13,14)
+    nodes = pa.table({"node_id": [10, 11, 12, 13, 14],
+                      "x": [0.0, 100.0, 200.0, 300.0, 400.0],
+                      "y": [0.0] * 5})
+    edges = pa.table({"u": [10, 11, 12, 13], "v": [11, 12, 13, 14],
+                      "length": [100.0] * 4})
+    # origins snap to node 10 (origin A, snap 5) and node 12 (B, snap 0)
+    batch = pa.table({"doc_id": ["A", "B"],
+                      "x": [0.0, 200.0], "y": [5.0, 0.0]})
+    od = ODMatrix(nodes, edges, cutoff=250.0, dest_mod=2,
+                  key_col="doc_id")  # dests: even ids 10, 12, 14
+    out = od(batch).to_pandas().sort_values(
+        ["doc_id", "dest_node"]).reset_index(drop=True)
+    got = {(r.doc_id, r.dest_node): r.cost for r in out.itertuples()}
+    # A: snap 5 at node 10 → 10 (0), 12 (200); 14 is 400 > cutoff
+    # B: snap 0 at node 12 → 10 (200), 12 (0), 14 (200)
+    assert got == {("A", 10): 5.0, ("A", 12): 205.0,
+                   ("B", 10): 200.0, ("B", 12): 0.0, ("B", 14): 200.0}
+
+
+def test_od_matrix_explicit_dest_ids():
+    from greenex_py_ray.stages.netaccess import ODMatrix
+
+    nodes = pa.table({"node_id": [1, 2, 3],
+                      "x": [0.0, 50.0, 100.0], "y": [0.0, 0.0, 0.0]})
+    edges = pa.table({"u": [1, 2], "v": [2, 3], "length": [50.0, 50.0]})
+    batch = pa.table({"doc_id": ["p"], "x": [0.0], "y": [0.0]})
+    od = ODMatrix(nodes, edges, cutoff=1000.0, dest_ids=[3],
+                  key_col="doc_id")
+    out = od(batch).to_pandas()
+    assert out.dest_node.tolist() == [3] and out.cost.tolist() == [100.0]
