@@ -6867,3 +6867,49 @@ ORACLE_SQL["dup_windows"] = f"""
 
 
 QUERIES["dup_windows"] = q_dup_windows
+
+
+HULL_CELL = 2000.0
+_HULL_CELL_SQL = dt.SQL_CELL.format(k="doc_id", cs=HULL_CELL)
+
+
+def q_convex_hull(sf_dir: str):
+    """Convex hull vertex set per coarse grid cell
+    (stages/geostats.group_convex_hull — per-batch local hulls bound
+    the shuffle to O(hull size) per group per batch; final hull per
+    hash bucket)."""
+    from ..stages.geostats import group_convex_hull
+
+    ds = dt.read_docs_with_xy(sf_dir, HULL_CELL)
+    return group_convex_hull(ds, key_col="cell")
+
+
+# p is a hull point iff some edge p→q supports the group (every other
+# point on its left, cross >= 0) — the halfplane characterization over
+# floor(coord·1000) int64 micro-units, so every orientation test is
+# exact integer arithmetic in BOTH engines (float crosses flip
+# knife-edge collinear keeps between expression trees); the engine's
+# collinear-keeping monotone chain computes the same set.
+ORACLE_SQL["convex_hull"] = f"""
+    WITH d AS (
+      SELECT DISTINCT {_HULL_CELL_SQL} AS cell,
+             CAST(floor({_X} * 1000.0) AS BIGINT) AS xq,
+             CAST(floor({_Y} * 1000.0) AS BIGINT) AS yq
+      FROM documents
+    ),
+    c AS (SELECT cell, count(*) AS n FROM d GROUP BY cell),
+    hull AS (
+      SELECT d1.cell, d1.xq, d1.yq
+      FROM d d1 JOIN c ON c.cell = d1.cell
+      WHERE c.n <= 2 OR EXISTS (
+        SELECT 1 FROM d d2
+        WHERE d2.cell = d1.cell AND (d2.xq <> d1.xq OR d2.yq <> d1.yq)
+          AND NOT EXISTS (
+            SELECT 1 FROM d d3 WHERE d3.cell = d1.cell
+              AND (d2.xq - d1.xq) * (d3.yq - d1.yq)
+                - (d2.yq - d1.yq) * (d3.xq - d1.xq) < 0)))
+    SELECT cell, xq, yq FROM hull
+"""
+
+
+QUERIES["convex_hull"] = q_convex_hull

@@ -530,3 +530,112 @@ def getis_ord_gi_star(ds: "ray.data.Dataset", cell_size: float,
 
     return joined.map_batches(score, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-group convex hull
+# ---------------------------------------------------------------------------
+
+def _hull_points(x: np.ndarray, y: np.ndarray):
+    """Monotone-chain convex hull over distinct INTEGER points, KEEPING
+    collinear boundary points (pop only on strictly-right turns) — so
+    the kept set is exactly the boundary-point set of the halfplane
+    characterization the SQL oracle replays: p is on the hull iff some
+    edge p→q has every other point on its left (cross >= 0).
+
+    Integer coordinates make every orientation test EXACT (int64 cross
+    products, |coord| ≤ 2e7 ⇒ |cross| ≤ 8e14 ≪ 2^63), which is what
+    lets two independent hull algorithms (this chain, the oracle's
+    all-pairs support test) agree on degenerate collinear triples —
+    float crosses round ±1e-10 differently per expression tree and
+    flip knife-edge keeps (observed on the hash-lattice world).
+
+    Returns (hx, hy) of the hull point SET (unordered semantics)."""
+    pts = np.unique(np.stack([x, y], axis=1), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts[:, 0], pts[:, 1]
+
+    def chain(p):
+        out = []
+        for i in range(len(p)):
+            while len(out) >= 2:
+                ox, oy = p[out[-2]]
+                ax, ay = p[out[-1]]
+                bx, by = p[i]
+                if (ax - ox) * (by - oy) - (ay - oy) * (bx - ox) < 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = chain(pts)
+    upper = chain(pts[::-1])
+    keep = np.zeros(n, dtype=bool)
+    keep[np.asarray(lower)] = True
+    keep[n - 1 - np.asarray(upper)] = True
+    return pts[keep, 0], pts[keep, 1]
+
+
+def group_convex_hull(ds: "ray.data.Dataset", key_col: str = "cell",
+                      x_col: str = "x", y_col: str = "y",
+                      scale: float = 1000.0,
+                      num_buckets: int = 32) -> "ray.data.Dataset":
+    """Convex hull vertex set per group, over ``floor(coord * scale)``
+    integer micro-unit coordinates (exact orientation tests — see
+    :func:`_hull_points`).  Output columns ``xq``/``yq`` are the
+    quantized int64 coordinates.
+
+    Scale shape: ``hull(A ∪ B) = hull(hull(A) ∪ hull(B))``, so each
+    batch collapses every group to its LOCAL hull before the shuffle —
+    the payload per (group, batch) is O(hull size), not O(points) —
+    then a hash-bucketed ``map_groups`` computes the final hull per
+    group.  Collinear boundary points are kept (see
+    :func:`_hull_points`), so partial hulls are supersets of the final
+    hull's support and the two-level combine is exact."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        x = np.floor(batch.column(x_col).to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        y = np.floor(batch.column(y_col).to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, x, y = k[order], x[order], y[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        ko, xo, yo = [], [], []
+        for s, e in zip(starts, ends):
+            hx, hy = _hull_points(x[s:e], y[s:e])
+            ko.append(np.full(len(hx), k[s]))
+            xo.append(hx)
+            yo.append(hy)
+        return pa.table({
+            key_col: pa.array(np.concatenate(ko) if ko else
+                              np.empty(0, k.dtype)),
+            "xq": pa.array(np.concatenate(xo) if xo else
+                           np.empty(0, np.int64)),
+            "yq": pa.array(np.concatenate(yo) if yo else
+                           np.empty(0, np.int64)),
+            "bucket": pa.array(
+                (np.concatenate(ko).astype(np.int64) % num_buckets)
+                if ko else np.empty(0, np.int64)),
+        })
+
+    def final(grp: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in grp.groupby(key_col, sort=False):
+            hx, hy = _hull_points(g["xq"].to_numpy(),
+                                  g["yq"].to_numpy())
+            out.append(pd.DataFrame({
+                key_col: np.full(len(hx), key),
+                "xq": hx, "yq": hy,
+            }))
+        return (pd.concat(out, ignore_index=True) if out else
+                pd.DataFrame({key_col: [], "xq": [], "yq": []}))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(final, batch_format="pandas"))

@@ -399,3 +399,41 @@ def test_dup_window_flags_paths_agree_and_oracle():
     assert out_b["keep"].tolist() == [n == 0 for n in exp_ndup]
     # docs 0,1 overlap; 2 and 5 are exact copies; 3,4 have no windows
     assert out_b["keep"].tolist() == [False, False, False, True, True, False]
+
+
+def test_group_convex_hull():
+    """Hull keeps vertices + collinear boundary points, drops interior;
+    1/2-point groups pass through; multi-batch partial combine exact."""
+    from greenex_py_ray.stages.geostats import _hull_points, group_convex_hull
+
+    # unit square + edge midpoint + interior point (integer coords)
+    xs = np.array([0, 4, 4, 0, 2, 2], dtype=np.int64)
+    ys = np.array([0, 0, 4, 4, 0, 2], dtype=np.int64)
+    hx, hy = _hull_points(xs, ys)
+    got = set(zip(hx.tolist(), hy.tolist()))
+    assert got == {(0, 0), (4, 0), (4, 4), (0, 4), (2, 0)}  # (2,2) interior
+
+    # all collinear -> everything on the hull
+    hx, hy = _hull_points(np.array([0, 1, 2, 3]), np.array([0, 1, 2, 3]))
+    assert len(hx) == 4
+
+    # distributed: group 1 = scaled square (micro-units), group 2 = pair
+    n = 40
+    rng = np.random.default_rng(7)
+    px = np.concatenate([rng.uniform(0, 1, n), [0, 0, 1, 1], [5.0, 6.0]])
+    py = np.concatenate([rng.uniform(0, 1, n), [0, 1, 0, 1], [5.0, 6.0]])
+    key = np.array([1] * (n + 4) + [2, 2], dtype=np.int64)
+    tbl = pa.table({"cell": key, "x": px, "y": py})
+    ds = ray.data.from_arrow(tbl).repartition(5)  # force multi-batch partials
+    out = group_convex_hull(ds, key_col="cell").to_pandas()
+    g2 = out[out.cell == 2]
+    assert set(zip(g2.xq, g2.yq)) == {(5000, 5000), (6000, 6000)}
+
+    g1 = set(zip(out[out.cell == 1].xq, out[out.cell == 1].yq))
+    # single-process oracle over all group-1 points at once
+    ox, oy = _hull_points(np.floor(px[:n + 4] * 1000).astype(np.int64),
+                          np.floor(py[:n + 4] * 1000).astype(np.int64))
+    assert g1 == set(zip(ox.tolist(), oy.tolist()))
+    # the 4 square corners are certainly on the hull
+    for c in [(0, 0), (0, 1000), (1000, 0), (1000, 1000)]:
+        assert c in g1
