@@ -6913,3 +6913,39 @@ ORACLE_SQL["convex_hull"] = f"""
 
 
 QUERIES["convex_hull"] = q_convex_hull
+
+
+def q_hillshade(sf_dir: str):
+    """Hillshade from the quantized raster gradient
+    (stages/terrain.hillshade_batch — trig-free normal·light dot over
+    the int64 nano-unit gx_q/gy_q, constants precomputed once)."""
+    from ..stages.terrain import hillshade_batch, point_gradient
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    out = point_gradient(ds.select_columns(["doc_id", "x", "y"]),
+                         _world_tiles_root(), band="ndvi",
+                         res=synth.RASTER_RES, concurrency=(1, 4))
+    out = out.map_batches(hillshade_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return out.select_columns(["doc_id", "hs_q"])
+
+
+def _hillshade_oracle_sql() -> str:
+    from ..stages.terrain import HS_COSZ, HS_LX, HS_LY
+
+    gx = "(CAST(gx_q AS DOUBLE) / 1000000000.0)"
+    gy = "(CAST(gy_q AS DOUBLE) / 1000000000.0)"
+    shade = (f"(({HS_COSZ!r} - {gx} * {HS_LX!r} - {gy} * {HS_LY!r})"
+             f" / sqrt(1.0 + {gx} * {gx} + {gy} * {gy}))")
+    return f"""
+    WITH s AS ({_slope_oracle_sql()})
+    SELECT doc_id,
+           CASE WHEN gx_q IS NOT NULL THEN
+             CAST(round(greatest({shade}, 0.0) * 1000000000.0, 0)
+                  AS BIGINT) END AS hs_q
+    FROM s
+    """
+
+
+ORACLE_SQL["hillshade"] = _hillshade_oracle_sql()
+QUERIES["hillshade"] = q_hillshade

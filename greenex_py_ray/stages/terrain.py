@@ -101,3 +101,40 @@ def point_gradient(ds: "ray.data.Dataset", tile_root: str,
         fn_constructor_kwargs=dict(tile_root=tile_root, band=band, res=res),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
     )
+
+
+#: Hillshade light direction (GDAL defaults: azimuth 315°, altitude 45°)
+#: precomputed once as double literals so BOTH engines consume the
+#: identical constants — the shade expression then needs no trig at
+#: all: shade = (cosZ - gx·lx - gy·ly) / sqrt(1 + gx² + gy²), the dot
+#: product of the unnormalized surface normal (-gx, -gy, 1) with the
+#: light vector (lx, ly, cosZ).
+import math as _math
+
+HS_AZIMUTH_DEG = 315.0
+HS_ALTITUDE_DEG = 45.0
+HS_COSZ = _math.cos(_math.radians(90.0 - HS_ALTITUDE_DEG))
+_sinz = _math.sin(_math.radians(90.0 - HS_ALTITUDE_DEG))
+HS_LX = _sinz * _math.sin(_math.radians(HS_AZIMUTH_DEG))
+HS_LY = _sinz * _math.cos(_math.radians(HS_AZIMUTH_DEG))
+
+
+def hillshade_batch(batch: pa.Table) -> pa.Table:
+    """Horn-style hillshade from the int64 nano-unit gradient columns
+    (``gx_q``/``gy_q`` of :class:`PointGradient`) — reading the
+    QUANTIZED gradients keeps the whole chain bit-deterministic: both
+    engines divide the same int64 by 1e9 and evaluate the same
+    +,*,/,sqrt tree.  Appends ``hs_q`` = round(max(shade, 0)·1e9)
+    (NULL where the gradient is NULL)."""
+    gxq = batch.column("gx_q")
+    gyq = batch.column("gy_q")
+    mask = np.asarray(pa.compute.is_null(gxq).to_numpy(
+        zero_copy_only=False))
+    gx = gxq.to_numpy(zero_copy_only=False).astype(np.float64) / GRAD_Q
+    gy = gyq.to_numpy(zero_copy_only=False).astype(np.float64) / GRAD_Q
+    gx = np.where(mask, 0.0, gx)
+    gy = np.where(mask, 0.0, gy)
+    shade = ((HS_COSZ - gx * HS_LX - gy * HS_LY)
+             / np.sqrt(1.0 + gx * gx + gy * gy))
+    hs_q = np.round(np.maximum(shade, 0.0) * GRAD_Q).astype(np.int64)
+    return batch.append_column("hs_q", pa.array(hs_q, mask=mask))

@@ -175,3 +175,27 @@ def test_broadcast_join_empty_dim(ray_session):
                           ("name",), how="left").to_pandas()
     assert len(inner) == 0
     assert len(left) == 2 and left["name"].isna().all()
+
+
+def test_hillshade_batch_flat_and_null():
+    """Flat terrain shades to cosZ; NULL gradients stay NULL; a slope
+    facing the light shades brighter than one facing away."""
+    from greenex_py_ray.stages.terrain import (GRAD_Q, HS_COSZ, HS_LX,
+                                               HS_LY, hillshade_batch)
+
+    g = int(0.2 * GRAD_Q)
+    batch = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "gx_q": pa.array([0, None, g, -g], pa.int64()),
+        "gy_q": pa.array([0, None, 0, 0], pa.int64()),
+    })
+    out = hillshade_batch(batch).to_pandas()
+    assert out.hs_q[0] == round(HS_COSZ * GRAD_Q)
+    assert np.isnan(out.hs_q[1])
+    # lx < 0: a +x-rising slope (gx > 0) faces the light (brighter),
+    # the -x-rising slope faces away; compare against direct formula
+    for i, (gx, gy) in [(2, (0.2, 0.0)), (3, (-0.2, 0.0))]:
+        exp = (HS_COSZ - gx * HS_LX - gy * HS_LY) / np.sqrt(
+            1 + gx * gx + gy * gy)
+        assert out.hs_q[i] == round(max(exp, 0.0) * GRAD_Q)
+    assert out.hs_q[2] != out.hs_q[3]
