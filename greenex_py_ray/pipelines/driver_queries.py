@@ -6949,3 +6949,35 @@ def _hillshade_oracle_sql() -> str:
 
 ORACLE_SQL["hillshade"] = _hillshade_oracle_sql()
 QUERIES["hillshade"] = q_hillshade
+
+
+EDITK = 12
+
+
+def q_edit_near_pairs(sf_dir: str):
+    """Levenshtein-distance self-join (stages/dedup.edit_near_pairs —
+    lossless |ΔL| <= k length blocking with ghost-bucket pair
+    ownership, batch-vectorized DP verify)."""
+    from ..stages.dedup import edit_near_pairs
+
+    ds = dt.read_table(sf_dir, "documents",
+                       columns=["doc_id", "text", "lang"])
+    return edit_near_pairs(ds, k=EDITK)
+
+
+ORACLE_SQL["edit_near_pairs"] = f"""
+    WITH d AS (SELECT doc_id, lang, text, length(text) AS L
+               FROM documents),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(a.text, b.text) AS dist
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.L - b.L) <= {EDITK}
+    )
+    SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+    FROM cand WHERE dist <= {EDITK}
+"""
+
+
+QUERIES["edit_near_pairs"] = q_edit_near_pairs

@@ -874,3 +874,73 @@ def edit_distance_verify_batch(batch: pa.Table, text_a: str = "text_a",
     return (batch.drop_columns([text_a, text_b])
             .append_column("lev", pa.array(lev.astype(np.int64)))
             .append_column("sim", pa.array(sim)))
+
+
+def edit_near_pairs(ds: "ray.data.Dataset", k: int = 12,
+                    key_col: str = "doc_id", text_col: str = "text",
+                    block_col: str = "lang") -> "ray.data.Dataset":
+    """String-similarity self-join: all pairs with Levenshtein distance
+    ``<= k`` (and equal ``block_col``), via LOSSLESS length blocking —
+    ``|len(a) − len(b)| <= lev(a, b)``, so bucketing lengths by width
+    ``k+1`` confines every qualifying pair to equal-or-adjacent
+    buckets.
+
+    Plan: each doc is emitted to its native ``(block, len_bucket)``
+    group and as a GHOST to the bucket below (pair ownership: the lower
+    bucket — native×native and native×ghost pairs are evaluated,
+    ghost×ghost pairs belong to the upper bucket's native set); one
+    groupby shuffle co-locates candidates; the per-group kernel filters
+    ``|ΔL| <= k`` then runs the batch-vectorized Levenshtein DP
+    (:func:`levenshtein_batch`).  A hot (block, length) group at corpus
+    scale would take a salt on a third key (e.g. a cheap content
+    prefix) — the per-group candidate count is the cost driver.
+
+    Output: ``(doc_a, doc_b, dist)`` with ``doc_a < doc_b``."""
+    import pandas as pd
+
+    width = k + 1
+
+    def expand(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        txt = batch.column(text_col)
+        blk = batch.column(block_col)
+        L = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = L // width
+        t1 = pa.table({key_col: pa.array(keys), "blk": blk,
+                       "txt": txt, "L": pa.array(L),
+                       "bucket": pa.array(b), "ghost": pa.array(
+                           np.zeros(len(L), dtype=bool))})
+        t2 = pa.table({key_col: pa.array(keys), "blk": blk,
+                       "txt": txt, "L": pa.array(L),
+                       "bucket": pa.array(b - 1), "ghost": pa.array(
+                           np.ones(len(L), dtype=bool))})
+        return pa.concat_tables([t1, t2])
+
+    def kernel(grp: pd.DataFrame) -> pd.DataFrame:
+        ids = grp[key_col].to_numpy()
+        txt = grp["txt"].to_numpy()
+        L = grp["L"].to_numpy()
+        ghost = grp["ghost"].to_numpy()
+        n = len(ids)
+        ii, jj = np.triu_indices(n, 1)
+        keep = ~(ghost[ii] & ghost[jj])           # ghost×ghost → upper bucket
+        keep &= np.abs(L[ii] - L[jj]) <= k
+        keep &= ids[ii] != ids[jj]                # a doc vs its own ghost
+        ii, jj = ii[keep], jj[keep]
+        if not len(ii):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        lev, _, _ = levenshtein_batch(txt[ii].tolist(), txt[jj].tolist())
+        ok = lev <= k
+        a = np.minimum(ids[ii[ok]], ids[jj[ok]])
+        b = np.maximum(ids[ii[ok]], ids[jj[ok]])
+        out = pd.DataFrame({"doc_a": a.astype(np.int64),
+                            "doc_b": b.astype(np.int64),
+                            "dist": lev[ok].astype(np.int64)})
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    return (ds.map_batches(expand, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["blk", "bucket"])
+            .map_groups(kernel, batch_format="pandas"))

@@ -541,3 +541,40 @@ def test_kmeans_iterations_converge_on_clusters(ray_session):
         assert (blk == blk[0]).all()
     assert len(set(labels[::50])) == 4
     assert C.shape == (4, 64)
+
+
+def test_edit_near_pairs_blocking_recall():
+    """Length blocking is lossless: pairs straddling adjacent buckets
+    are found; distances match a direct DP; k prunes; cross-block
+    (lang) pairs are never compared."""
+    from greenex_py_ray.stages.dedup import edit_near_pairs, levenshtein_batch
+
+    docs = [
+        (1, "abcdefgh", "en"),        # L=8
+        (2, "abcdefghXY", "en"),      # L=10, lev=2 vs doc 1 (bucket edge)
+        (3, "abcdefghXYZQW", "en"),   # L=13, lev=5 vs 1, lev=3 vs 2
+        (4, "zzzzzzzz", "en"),        # L=8, far from all
+        (5, "abcdefgh", "fr"),        # identical to 1 but other lang
+    ]
+    tbl = pa.table({"doc_id": [d[0] for d in docs],
+                    "text": [d[1] for d in docs],
+                    "lang": [d[2] for d in docs]})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = (edit_near_pairs(ds, k=5).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    got = {(r.doc_a, r.doc_b): r.dist for r in out.itertuples()}
+    # brute force
+    exp = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if docs[i][2] != docs[j][2]:
+                continue
+            lev, _, _ = levenshtein_batch([docs[i][1]], [docs[j][1]])
+            if lev[0] <= 5:
+                exp[(docs[i][0], docs[j][0])] = lev[0]
+    assert got == exp
+    assert (1, 2) in got and got[(1, 2)] == 2
+    assert (2, 3) in got and got[(2, 3)] == 3
+    assert (1, 3) in got and got[(1, 3)] == 5
+    assert all(p[0] != 4 and p[1] != 4 for p in got)
+    assert all(p[1] != 5 for p in got)
