@@ -6981,3 +6981,60 @@ ORACLE_SQL["edit_near_pairs"] = f"""
 
 
 QUERIES["edit_near_pairs"] = q_edit_near_pairs
+
+
+def q_d8_flow(sf_dir: str):
+    """D8 steepest-descent flow direction per doc pixel
+    (stages/terrain.D8FlowDirection — int64 nano-unit drops, smallest
+    code wins ties, NULL at the stored extent edge)."""
+    from ..stages.terrain import d8_flow_direction
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    out = d8_flow_direction(ds.select_columns(["doc_id", "x", "y"]),
+                            _world_tiles_root(), band="ndvi",
+                            res=synth.RASTER_RES, concurrency=(1, 4))
+    return out.select_columns(["doc_id", "d8"])
+
+
+def _d8_oracle_sql() -> str:
+    """8 neighbor values re-derived from the closed-form field; drops
+    quantized identically; argmax = greatest() with min-code ties."""
+    from ..stages.terrain import D8_OFFS, SQRT2
+
+    res = synth.RASTER_RES
+
+    def fld(pxe: str, pye: str) -> str:
+        return _NDVI_SQL.replace("px", pxe).replace("py", pye)
+
+    v0 = fld(f"(col * {res} + {res/2})", f'("row" * {res} + {res/2})')
+    drops, oks = [], []
+    for code, (dr, dc) in enumerate(D8_OFFS, start=1):
+        vn = fld(f"((col + {dc}) * {res} + {res/2})",
+                 f'(("row" + {dr}) * {res} + {res/2})')
+        dist = repr(res * SQRT2 if dr and dc else float(res))
+        drops.append(
+            f"CAST(round((({v0}) - ({vn})) / {dist} * 1000000000.0, 0)"
+            f" AS BIGINT) AS dq{code}")
+        oks.append(f'(col + {dc} >= 0 AND col + {dc} <= {_NPIX} '
+                   f'AND "row" + {dr} >= 0 AND "row" + {dr} <= {_NPIX})')
+    mx = "greatest(" + ", ".join(f"dq{c}" for c in range(1, 9)) + ")"
+    pick = " ".join(f"WHEN dq{c} = mx THEN {c}" for c in range(1, 9))
+    return f"""
+    WITH d AS (SELECT doc_id, {_X} AS x, {_Y} AS y FROM documents),
+    c AS (SELECT doc_id, CAST(floor(x / {res}) AS BIGINT) AS col,
+                 CAST(floor(y / {res}) AS BIGINT) AS "row"
+          FROM d),
+    g AS (SELECT doc_id, {", ".join(drops)},
+            ({" AND ".join(oks)}) AS ok
+          FROM c),
+    m AS (SELECT doc_id, ok, {mx} AS mx, * FROM g)
+    SELECT doc_id,
+           CASE WHEN NOT ok THEN NULL
+                WHEN mx <= 0 THEN 0
+                {pick} END AS d8
+    FROM m
+    """
+
+
+ORACLE_SQL["d8_flow"] = _d8_oracle_sql()
+QUERIES["d8_flow"] = q_d8_flow

@@ -138,3 +138,84 @@ def hillshade_batch(batch: pa.Table) -> pa.Table:
              / np.sqrt(1.0 + gx * gx + gy * gy))
     hs_q = np.round(np.maximum(shade, 0.0) * GRAD_Q).astype(np.int64)
     return batch.append_column("hs_q", pa.array(hs_q, mask=mask))
+
+
+#: D8 neighbor order: code 1..8 = E, SE, S, SW, W, NW, N, NE
+#: (ESRI flow-direction convention uses powers of two; we emit the
+#: 1..8 index — same information, easier tie rule).
+D8_OFFS = ((0, 1), (1, 1), (1, 0), (1, -1),
+           (0, -1), (-1, -1), (-1, 0), (-1, 1))
+SQRT2 = float(np.sqrt(2.0))
+
+
+class D8FlowDirection:
+    """map_batches actor: D8 steepest-descent direction at each point's
+    center pixel.  drop(code) = (z_center − z_neighbor) / dist, with
+    dist = res (axial) or res·√2 (diagonal); drops quantize to int64
+    nano-units so the argmax is exact in both engines.  Emits
+    ``d8`` = the smallest code attaining the maximal positive drop,
+    0 when no neighbor is lower (pit/flat), NULL when any of the 8
+    neighbors (or the center) is outside the stored extent."""
+
+    def __init__(self, tile_root: str, band: str = "ndvi",
+                 res: float = 10.0, cache_tiles: int = 256,
+                 x_col: str = "x", y_col: str = "y"):
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.res = float(res)
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        col = np.floor(x / self.res).astype(np.int64)
+        row = np.floor(y / self.res).astype(np.int64)
+        n = len(x)
+        best_q = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        best_c = np.zeros(n, dtype=np.int64)
+        bad = np.zeros(n, dtype=bool)
+        from ..sources import synth
+
+        px = synth.TILE_PX
+        tkey = (col // px) * (1 << 20) + (row // px)
+        order = np.argsort(tkey, kind="stable")
+        i = 0
+        while i < n:
+            j = i
+            while j < n and tkey[order[j]] == tkey[order[i]]:
+                j += 1
+            sel = order[i:j]
+            r0 = int(row[sel].min()) - 1
+            c0 = int(col[sel].min()) - 1
+            h = int(row[sel].max()) - r0 + 2
+            w = int(col[sel].max()) - c0 + 2
+            win = self.store.window(self.band, r0, c0, h, w, fill=np.nan)
+            rr = row[sel] - r0
+            cc = col[sel] - c0
+            z0 = win[rr, cc]
+            bad[sel] |= np.isnan(z0)
+            for code, (dr, dc) in enumerate(D8_OFFS, start=1):
+                zn = win[rr + dr, cc + dc]
+                bad[sel] |= np.isnan(zn)
+                dist = self.res * (SQRT2 if dr and dc else 1.0)
+                drop_q = np.round((z0 - zn) / dist * GRAD_Q)
+                drop_q = np.where(np.isnan(drop_q),
+                                  np.iinfo(np.int64).min,
+                                  drop_q).astype(np.int64)
+                better = drop_q > best_q[sel]
+                best_q[sel] = np.where(better, drop_q, best_q[sel])
+                best_c[sel] = np.where(better, code, best_c[sel])
+            i = j
+        d8 = np.where(best_q > 0, best_c, 0)
+        return batch.append_column("d8", pa.array(d8, mask=bad))
+
+
+def d8_flow_direction(ds: "ray.data.Dataset", tile_root: str,
+                      band: str = "ndvi", res: float = 10.0,
+                      concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Per-point D8 flow direction (see :class:`D8FlowDirection`)."""
+    return ds.map_batches(
+        D8FlowDirection,
+        fn_constructor_kwargs=dict(tile_root=tile_root, band=band, res=res),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
+    )

@@ -199,3 +199,35 @@ def test_hillshade_batch_flat_and_null():
             1 + gx * gx + gy * gy)
         assert out.hs_q[i] == round(max(exp, 0.0) * GRAD_Q)
     assert out.hs_q[2] != out.hs_q[3]
+
+
+def test_d8_flow_direction_ramp_and_pit(world):
+    """On the synthetic NDVI field, d8 codes are in 0..8, NULL only at
+    the extent edge, and each non-flat code points at the lowest
+    quantized neighbor drop (re-checked against the tile window)."""
+    from greenex_py_ray.sources import synth
+    from greenex_py_ray.stages.terrain import (D8_OFFS, GRAD_Q, SQRT2,
+                                               D8FlowDirection)
+
+    res = synth.RASTER_RES
+    xs = np.array([505.0, 1200.0, 2345.0, 3901.0, 5.0])
+    ys = np.array([505.0, 800.0, 1999.0, 2750.0, 5.0])
+    batch = pa.table({"doc_id": np.arange(5), "x": xs, "y": ys})
+    act = D8FlowDirection(world["tiles"], band="ndvi", res=res)
+    out = act(batch).to_pandas()
+    st = act.store
+    for i in range(5):
+        col = int(np.floor(xs[i] / res))
+        row = int(np.floor(ys[i] / res))
+        win = st.window("ndvi", row - 1, col - 1, 3, 3, fill=np.nan)
+        if np.isnan(win).any():
+            assert np.isnan(out.d8[i])
+            continue
+        z0 = win[1, 1]
+        best_q, best_c = np.iinfo(np.int64).min, 0
+        for code, (dr, dc) in enumerate(D8_OFFS, start=1):
+            dist = res * (SQRT2 if dr and dc else 1.0)
+            dq = int(np.round((z0 - win[1 + dr, 1 + dc]) / dist * GRAD_Q))
+            if dq > best_q:
+                best_q, best_c = dq, code
+        assert out.d8[i] == (best_c if best_q > 0 else 0)
