@@ -447,3 +447,65 @@ def mean_ndvi_line_aoi(
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=as_pool(concurrency), num_cpus=0.25,
     )
+
+
+def landcover_majority(
+    poi: "ray.data.Dataset",
+    tile_root: str,
+    radius: float,
+    key_col: str = "doc_id",
+    classmap: dict[int, str] | None = None,
+    concurrency: int | None = None,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Zonal MAJORITY (dominant landcover class) per PoI buffer — the
+    standard GIS zonal-statistics mode, derived from the same per-class
+    integer pixel counts as :func:`landcover_percentages`.  Ties break
+    to the smallest class code (np.argmax first-hit == SQL
+    ``ORDER BY n DESC, cls ASC``).  Same physical plan as the
+    ``locality_sort`` percentage path: per-(PoI, tile) count partials
+    (a disk spanning tiles emits one partial per tile), ONE integer
+    groupby-sum per PoI, then a per-row argmax — exact int64 counts,
+    so the majority can't wobble across engines."""
+    classmap = classmap or DEFAULT_CLASSMAP
+    codes = sorted(classmap)
+    names = [classmap[c] for c in codes]
+
+    cov = poi.map_batches(
+        zonal.TileCover(radius, key_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    part = cov.map_batches(
+        zonal.LandcoverPartial,
+        fn_constructor_kwargs=dict(
+            tile_root=tile_root, radius=radius, classmap=classmap,
+            key_col=key_col,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=as_pool(concurrency),
+        num_cpus=0.25,
+    )
+    aggs = [Sum(f"cnt_{n}") for n in names] + [Sum("cnt_total")]
+    agg = part.groupby(key_col).aggregate(*aggs)
+
+    import numpy as np
+
+    def finish(b: "pa.Table") -> "pa.Table":
+        cnts = np.stack(
+            [b.column(f"sum(cnt_{n})").to_numpy(zero_copy_only=False)
+             for n in names], axis=1).astype(np.int64)
+        total = b.column("sum(cnt_total)").to_numpy(zero_copy_only=False)
+        idx = np.argmax(cnts, axis=1)
+        rows = np.arange(len(idx))
+        empty = total == 0
+        return pa.table({
+            key_col: b.column(key_col),
+            "majority_class": pa.array(
+                np.asarray(codes, dtype=np.int64)[idx], mask=empty),
+            "cnt_major": pa.array(cnts[rows, idx], mask=empty),
+            "cnt_total": pa.array(total.astype(np.int64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -2515,6 +2515,10 @@ OD_POIS = 150
 OD_CUTOFF = 400.0
 OD_DEST_MOD = 16
 
+#: 2SFCA gate shape: demand docs and the binary catchment radius.
+FCA_POIS = 500
+FCA_RADIUS = 800.0
+
 
 def world_oracle_sql() -> dict[str, str]:
     """Oracles for the synthetic-world gates: DuckDB reads the SAME
@@ -2703,6 +2707,37 @@ def world_oracle_sql() -> dict[str, str]:
                round(r.nd + nn.snap, 3) AS cost
         FROM nn JOIN reach r ON r.src = nn.src
         WHERE r.node % {OD_DEST_MOD} = 0
+    """
+
+    # --- 2SFCA: binary-catchment two-step floating catchment — step-1
+    # demand counts and step-2 ratio sums are exact integers (rq =
+    # supply_q·1e9 // n, floor division in both engines) ---------------
+    _fr2 = repr(FCA_RADIUS * FCA_RADIUS)
+    fca_sql = f"""
+        WITH {wdocs(FCA_POIS)},
+        gs AS (SELECT gs_id, centroid_x, centroid_y,
+                 CAST(round((x1 - x0) * (y1 - y0), 0) AS BIGINT)
+                   AS supply_q
+               FROM read_parquet({gs_pq})),
+        dem AS (
+          SELECT g.gs_id, CAST(count(*) AS BIGINT) AS n
+          FROM docs d JOIN gs g
+            ON (d.x - g.centroid_x) * (d.x - g.centroid_x)
+             + (d.y - g.centroid_y) * (d.y - g.centroid_y) <= {_fr2}
+          GROUP BY g.gs_id),
+        r AS (SELECT gs.gs_id, gs.centroid_x, gs.centroid_y,
+                (gs.supply_q * 1000000000) // dem.n AS rq
+              FROM gs JOIN dem USING (gs_id)),
+        a AS (
+          SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_fac,
+                 CAST(sum(r.rq) AS BIGINT) AS access_q
+          FROM docs d JOIN r
+            ON (d.x - r.centroid_x) * (d.x - r.centroid_x)
+             + (d.y - r.centroid_y) * (d.y - r.centroid_y) <= {_fr2}
+          GROUP BY d.doc_id)
+        SELECT d.doc_id, coalesce(a.n_fac, 0) AS n_fac,
+               coalesce(a.access_q, 0) AS access_q
+        FROM docs d LEFT JOIN a USING (doc_id)
     """
 
     # --- streetview GVI: sample → dedup → semi-join → nearest image →
@@ -3415,6 +3450,7 @@ def world_oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({dissolve_sql}) WHERE area >= 400000",
         "network_distance": network_sql,
         "od_matrix": od_sql,
+        "fca_access": fca_sql,
         "streetview_gvi": streetview_sql,
         "viewshed_gvi": viewshed_sql,
         "isochrone_ndvi": iso_sql,
@@ -3606,6 +3642,17 @@ def q_od_matrix(sf_dir: str):
         pq.read_table(w["network_edges"]),
         cutoff=OD_CUTOFF, dest_mod=OD_DEST_MOD, concurrency=None,
     )
+
+
+def q_fca_access(sf_dir: str):
+    """Two-step floating catchment accessibility (stages/access.
+    two_step_fca — broadcast facilities, O(F)-per-batch step-1 count
+    shuffle, integer ratio sums)."""
+    from ..stages.access import two_step_fca
+
+    poi, w = _world_poi(limit=FCA_POIS)
+    return two_step_fca(poi, pq.read_table(w["greenspace"]),
+                        radius=FCA_RADIUS, concurrency=(1, 4))
 
 
 def q_isochrone_ndvi(sf_dir: str):
@@ -5797,6 +5844,7 @@ QUERIES = {
     "greenspace_pct": q_greenspace_pct,
     "network_distance": q_network_distance,
     "od_matrix": q_od_matrix,
+    "fca_access": q_fca_access,
     "isochrone_ndvi": q_isochrone_ndvi,
     "isochrone_landcover": q_isochrone_landcover,
     "isochrone_greenspace": q_isochrone_greenspace,
@@ -7038,3 +7086,34 @@ def _d8_oracle_sql() -> str:
 
 ORACLE_SQL["d8_flow"] = _d8_oracle_sql()
 QUERIES["d8_flow"] = q_d8_flow
+
+
+def q_landcover_majority(sf_dir: str):
+    """Zonal majority (dominant landcover class) per doc buffer
+    (pipelines/availability.landcover_majority — per-class integer
+    pixel counts, per-row argmax, ties to the smallest class code)."""
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return availability.landcover_majority(
+        ds.select_columns(["doc_id", "x", "y"]), _world_tiles_root(),
+        LULC_RADIUS, key_col="doc_id", concurrency=4,
+    )
+
+
+ORACLE_SQL["landcover_majority"] = "WITH " + _PIXELS_CTE.format(
+    r=LULC_RADIUS) + f"""
+    , vals AS (SELECT doc_id, {_LULC_SQL} AS cls FROM pix),
+    c AS (SELECT doc_id, cls, CAST(count(*) AS BIGINT) AS n
+          FROM vals GROUP BY doc_id, cls),
+    t AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS cnt_total
+          FROM c GROUP BY doc_id),
+    r AS (SELECT doc_id, cls, n,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n DESC, cls ASC) AS rn
+          FROM c)
+    SELECT r.doc_id, CAST(r.cls AS BIGINT) AS majority_class,
+           r.n AS cnt_major, t.cnt_total
+    FROM r JOIN t USING (doc_id) WHERE r.rn = 1
+"""
+
+
+QUERIES["landcover_majority"] = q_landcover_majority

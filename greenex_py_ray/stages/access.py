@@ -99,3 +99,126 @@ class PointsInRects:
                 "gs_id": pa.array(self.index.ids[rj].astype(np.int64)),
             }
         )
+
+
+#: 2SFCA ratio quantization: R_j = supply_q * FCA_SCALE // demand_j
+FCA_SCALE = 1_000_000_000
+
+
+class FCADemandCount:
+    """Step-1 map_batches stage of the two-step floating catchment:
+    per-batch partial demand counts per facility.  Facilities (fx, fy)
+    broadcast once; each batch computes the (points × facilities)
+    within-``radius`` boolean and collapses to ONE count row per
+    facility — the shuffle ships O(F) integers per batch, never the
+    points."""
+
+    def __init__(self, fac_ref, radius: float,
+                 x_col: str = "x", y_col: str = "y"):
+        t = _resolve(fac_ref)
+        self.fx = t.column("centroid_x").to_numpy(zero_copy_only=False)
+        self.fy = t.column("centroid_y").to_numpy(zero_copy_only=False)
+        self.fid = t.column("gs_id").to_numpy(zero_copy_only=False)
+        self.r2 = float(radius) * float(radius)
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        dx = x[:, None] - self.fx[None, :]
+        dy = y[:, None] - self.fy[None, :]
+        within = (dx * dx + dy * dy) <= self.r2
+        n = within.sum(axis=0).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table({"gs_id": pa.array(self.fid[nz]),
+                         "n": pa.array(n[nz])})
+
+
+class FCAAccess:
+    """Step-2 map_batches actor: per demand point, sum the broadcast
+    facility ratios ``R_j`` (int64 ``supply_q·SCALE // demand_j`` —
+    exact under any summation order) over facilities within
+    ``radius``."""
+
+    def __init__(self, fac_ref, radius: float, key_col: str = "doc_id",
+                 x_col: str = "x", y_col: str = "y"):
+        t = _resolve(fac_ref)
+        self.fx = t.column("centroid_x").to_numpy(zero_copy_only=False)
+        self.fy = t.column("centroid_y").to_numpy(zero_copy_only=False)
+        self.rq = t.column("rq").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.r2 = float(radius) * float(radius)
+        self.key_col = key_col
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        dx = x[:, None] - self.fx[None, :]
+        dy = y[:, None] - self.fy[None, :]
+        within = (dx * dx + dy * dy) <= self.r2
+        n_fac = within.sum(axis=1).astype(np.int64)
+        access_q = (within * self.rq[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "n_fac": pa.array(n_fac),
+            "access_q": pa.array(access_q),
+        })
+
+
+def two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
+                 radius: float, key_col: str = "doc_id",
+                 concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Two-step floating catchment area accessibility (2SFCA, Luo &
+    Wang 2003) with a binary catchment: step 1 computes each
+    facility's supply-to-demand ratio ``R_j = S_j / |{i : d_ij <= r}|``;
+    step 2 scores each demand point ``A_i = Σ_{j : d_ij <= r} R_j``.
+
+    Facilities: the greenspace table (supply = rect area,
+    ``round((x1-x0)·(y1-y0))`` int64 m²).  Ratios are int64
+    ``supply_q·1e9 // demand_j`` so both the ratio and the final sum
+    are exact integers in any order / any engine.  The facility side
+    is tiny (broadcast twice); demand streams through both passes —
+    the step-1 shuffle is O(F) per batch."""
+    import ray as _ray
+
+    sup = np.round(
+        (facilities.column("x1").to_numpy(zero_copy_only=False)
+         - facilities.column("x0").to_numpy(zero_copy_only=False))
+        * (facilities.column("y1").to_numpy(zero_copy_only=False)
+           - facilities.column("y0").to_numpy(zero_copy_only=False))
+    ).astype(np.int64)
+    fac = pa.table({
+        "gs_id": facilities.column("gs_id"),
+        "centroid_x": facilities.column("centroid_x"),
+        "centroid_y": facilities.column("centroid_y"),
+        "supply_q": pa.array(sup),
+    })
+    ref = _ray.put(fac)
+
+    from ray.data.aggregate import Sum
+
+    counts = (poi.map_batches(
+                  FCADemandCount,
+                  fn_constructor_kwargs=dict(fac_ref=ref, radius=radius),
+                  batch_format="pyarrow", zero_copy_batch=True,
+                  concurrency=concurrency, num_cpus=0.5)
+              .groupby("gs_id").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    # O(F) driver table: attach ratios, drop zero-demand facilities
+    merged = fac.to_pandas().merge(counts, on="gs_id", how="inner")
+    rq = (merged["supply_q"].to_numpy(dtype=np.int64) * FCA_SCALE
+          // merged["n"].to_numpy(dtype=np.int64))
+    fac2 = pa.table({
+        "gs_id": pa.array(merged["gs_id"].to_numpy(dtype=np.int64)),
+        "centroid_x": pa.array(merged["centroid_x"].to_numpy()),
+        "centroid_y": pa.array(merged["centroid_y"].to_numpy()),
+        "rq": pa.array(rq),
+    })
+    ref2 = _ray.put(fac2)
+    return poi.map_batches(
+        FCAAccess,
+        fn_constructor_kwargs=dict(fac_ref=ref2, radius=radius,
+                                   key_col=key_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=0.5,
+    )

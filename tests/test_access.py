@@ -102,3 +102,34 @@ def test_grid_index_far_query_bounded_by_extent():
     d, i = idx.nearest(np.array([1e6]), np.array([1e6]))
     assert time.monotonic() - t0 < 5.0
     assert i[0] == 0 and abs(d[0] - np.hypot(1e6, 1e6)) < 1e-6
+
+
+def test_two_step_fca_tiny_world():
+    """2SFCA on a hand-checkable layout: ratios split supply by demand
+    count, scores sum ratios of in-range facilities only."""
+    import ray
+    import ray.data
+
+    from greenex_py_ray.stages.access import FCA_SCALE, two_step_fca
+
+    # facility A at (0,0) area 100, B at (1000,0) area 400
+    fac = pa.table({
+        "gs_id": pa.array([1, 2], pa.int64()),
+        "centroid_x": [0.0, 1000.0], "centroid_y": [0.0, 0.0],
+        "x0": [0.0, 0.0], "y0": [0.0, 0.0],
+        "x1": [10.0, 20.0], "y1": [10.0, 20.0],
+    })
+    # docs: p0,p1 near A only; p2 near both; p3 near B only; p4 isolated
+    poi = pa.table({
+        "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+        "x": [10.0, 50.0, 500.0, 990.0, 5000.0],
+        "y": [0.0, 0.0, 0.0, 0.0, 0.0],
+    })
+    out = (two_step_fca(ray.data.from_arrow(poi).repartition(2), fac,
+                        radius=600.0)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # demand: A sees p0,p1,p2 (n=3); B sees p2,p3 (n=2)
+    ra = 100 * FCA_SCALE // 3
+    rb = 400 * FCA_SCALE // 2
+    assert out.n_fac.tolist() == [1, 1, 2, 1, 0]
+    assert out.access_q.tolist() == [ra, ra, ra + rb, rb, 0]

@@ -57,9 +57,12 @@ def main() -> None:
                  and (out.n_windows == n_windows_per_doc).all()
                  and (np.sort(out.doc_id.to_numpy())
                       == np.arange(n)).all())
-        # each planted doc carries 12-11=5 fully-inside dup windows
+        # each planted doc carries >= 5 fully-inside dup windows (12-8+1
+        # starts; ">=" because straddle windows also duplicate when two
+        # planted docs share the single random token adjacent to the
+        # passage — birthday pairs: ~3000²/2/50k ≈ 90 at n=300k)
         nd = out.set_index("doc_id").loc[planted, "n_dup"].to_numpy()
-        results[path] = (wall, bool(exact and (nd == 5).all()))
+        results[path] = (wall, bool(exact and (nd >= 5).all()))
         print(f"{path:9s}: {wall:7.1f}s  "
               f"docs={n}  flagged={len(flagged)}  exact={results[path][1]}")
 
