@@ -7117,3 +7117,43 @@ ORACLE_SQL["landcover_majority"] = "WITH " + _PIXELS_CTE.format(
 
 
 QUERIES["landcover_majority"] = q_landcover_majority
+
+
+def q_group_medoid(sf_dir: str):
+    """Per-label embedding medoid (stages/similarity.group_medoid —
+    sum-trick argmin, no pairwise pass; int64-exact scores)."""
+    from ..stages.similarity import group_medoid
+
+    ds = dt.read_table(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding", "label"])
+    return group_medoid(ds, EMB_DIM)
+
+
+# all quantities are integers < 2^53, so DuckDB's double
+# list_dot_product is exact and CAST(... AS BIGINT) equals the
+# engine's int64 arithmetic bit-for-bit
+ORACLE_SQL["group_medoid"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS grp,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * 10000.0)) AS q
+      FROM embeddings),
+    flat AS (SELECT grp, u.d AS d, u.x
+             FROM e, LATERAL (SELECT generate_subscripts(e.q, 1) AS d,
+                                     unnest(e.q) AS x) u),
+    s AS (SELECT grp, d, sum(x) AS sq FROM flat GROUP BY grp, d),
+    sl AS (SELECT grp, list(sq ORDER BY d) AS S FROM s GROUP BY grp),
+    n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY grp),
+    sc AS (SELECT e.vec_id, e.grp,
+             n.n * list_dot_product(e.q, e.q)
+               - 2.0 * list_dot_product(e.q, sl.S) AS score
+           FROM e JOIN n USING (grp) JOIN sl USING (grp)),
+    r AS (SELECT grp, vec_id, CAST(score AS BIGINT) AS score_q,
+            row_number() OVER (PARTITION BY grp
+                               ORDER BY score ASC, vec_id ASC) AS rn
+          FROM sc)
+    SELECT grp, vec_id, score_q FROM r WHERE rn = 1
+"""
+
+
+QUERIES["group_medoid"] = q_group_medoid

@@ -871,3 +871,94 @@ def kmeans_assign_iterations(ds: "ray.data.Dataset", centroids0: np.ndarray,
     out = ds.map_batches(assign_of(C), batch_format="pyarrow",
                          zero_copy_batch=True)
     return out, C
+
+
+#: medoid quantization (per-component units; |vq| ~ 1e4·|x| keeps
+#: n·|vq|² within int64 up to n ≈ 5e7 rows/group at dim 64)
+MEDOID_Q = 1e4
+
+
+def group_medoid(ds: "ray.data.Dataset", dim: int,
+                 group_col: str = "label", key_col: str = "vec_id",
+                 vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Per-group medoid (the exemplar-selection primitive for cluster
+    summarization / curation): the member minimizing the sum of squared
+    distances to its group.
+
+    No pairwise pass: ``Σ_j |v_i − v_j|² = n·|v_i|² − 2·v_i·S + Σ|v_j|²``
+    — the last term is constant per group, so the argmin needs only the
+    group sum vector ``S`` and count ``n``.  Pass 1 reuses the
+    :func:`group_centroids` integer partials (one O(groups × dim)
+    shuffle); the tiny (S, n) table broadcasts; pass 2 scores each row
+    with one int64 expression and emits per-batch argmin PARTIALS, so
+    the final reduce moves one row per (group, batch).  Ties break to
+    the smaller ``key_col``.  All arithmetic is exact int64 on
+    ``round(x·MEDOID_Q)`` components (both engines replay the identical
+    integers)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        M = _to_matrix(batch.column(vec_col), dim)
+        q = np.round(M * MEDOID_Q).astype(np.int64)
+        ug, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(ug), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        n = np.bincount(inv, minlength=len(ug)).astype(np.int64)
+        return pa.table({
+            "grp": pa.array(np.repeat(ug, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(ug))),
+            "n": pa.array(np.repeat(n, dim)),
+            "sum_q": pa.array(sums.ravel()),
+        })
+
+    stats = (ds.map_batches(sum_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["grp", "dim"]).aggregate(
+                 Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q"))
+             .to_pandas())
+    groups = np.sort(stats["grp"].unique())
+    gpos = {int(g): i for i, g in enumerate(groups)}
+    S = np.zeros((len(groups), dim), dtype=np.int64)
+    N = np.zeros(len(groups), dtype=np.int64)
+    for g, d, n, s in zip(stats["grp"], stats["dim"], stats["n"],
+                          stats["sum_q"]):
+        S[gpos[int(g)], int(d)] = s
+        N[gpos[int(g)]] = n
+    ref = _ray.put((groups, S, N))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        gr, Sm, Nn = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) \
+            else ref
+        g = batch.column(group_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        M = _to_matrix(batch.column(vec_col), dim)
+        q = np.round(M * MEDOID_Q).astype(np.int64)
+        gi = np.searchsorted(gr, g)
+        # score = n·|v|² − 2·v·S  (int64-exact)
+        score = (Nn[gi] * (q * q).sum(axis=1)
+                 - 2 * (q * Sm[gi]).sum(axis=1))
+        # per-(group, batch) argmin partial, ties to smaller key
+        order = np.lexsort((k, score, g))
+        gs, ks, ss = g[order], k[order], score[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        return pa.table({"grp": pa.array(gs[first]),
+                         key_col: pa.array(ks[first]),
+                         "score_q": pa.array(ss[first])})
+
+    part = ds.map_batches(score_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def final(grp_df):
+        import pandas as pd
+
+        d = grp_df.sort_values(["grp", "score_q", key_col])
+        out = d.groupby("grp", sort=False).head(1)
+        return out.reset_index(drop=True)
+
+    return part.groupby("grp").map_groups(final, batch_format="pandas")

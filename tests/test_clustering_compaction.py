@@ -114,3 +114,32 @@ def test_compact_latest_latest_wins():
     assert got[1]["payload"] == "a"
     assert got[2]["payload"] == "B2" and got[2]["v"] == 2
     assert got[4]["payload"] == "D2"
+
+
+def test_group_medoid_matches_pairwise():
+    """Sum-trick medoid == brute-force pairwise argmin; ties break to
+    the smaller vec_id."""
+    import ray
+    import ray.data
+
+    from greenex_py_ray.stages.similarity import MEDOID_Q, group_medoid
+
+    rng = np.random.default_rng(3)
+    dim, n = 8, 60
+    V = rng.normal(size=(n, dim)).astype(np.float32)
+    lab = (np.arange(n) % 3).astype(np.int32)
+    # force a tie in group 2: duplicate vector for ids 57 and 59
+    V[59] = V[57]
+    lab[57] = lab[59] = 2
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(list(V), pa.list_(pa.float32())),
+                    "label": pa.array(lab, pa.int32())})
+    out = (group_medoid(ray.data.from_arrow(tbl).repartition(4), dim)
+           .to_pandas().sort_values("grp").reset_index(drop=True))
+    q = np.round(V.astype(np.float64) * MEDOID_Q).astype(np.int64)
+    for g in range(3):
+        idx = np.flatnonzero(lab == g)
+        d2 = ((q[idx][:, None, :] - q[idx][None, :, :]) ** 2).sum(
+            axis=(1, 2))
+        best = idx[np.lexsort((idx, d2))][0]
+        assert int(out.loc[out.grp == g, "vec_id"].iloc[0]) == best
