@@ -7157,3 +7157,74 @@ ORACLE_SQL["group_medoid"] = """
 
 
 QUERIES["group_medoid"] = q_group_medoid
+
+
+MMR_K, MMR_M, MMR_LAM = 8, 40, 7
+
+
+def q_mmr_topk(sf_dir: str):
+    """MMR-diversified top-k retrieval (stages/similarity.mmr_topk —
+    distributed relevance top-M scan, integer-quantized driver greedy,
+    λ in tenths)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from ..stages.similarity import mmr_topk
+
+    emb = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    row0 = emb.filter(_pc.equal(emb.column("vec_id"), 0))
+    qv = np.asarray(row0.column("embedding")[0].as_py(), dtype=np.float64)
+    ds = dt.read_table(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"])
+    return mmr_topk(ds, qv, k=MMR_K, dim=EMB_DIM, m=MMR_M,
+                    lam_tenths=MMR_LAM)
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy: cands = relevance top-M with round(cos·1e6)
+    int scores; step t picks argmax(lam·relq − (10−lam)·max simq to
+    selected), ties to the smaller vec_id — every compared quantity is
+    an integer."""
+    simq = ("CAST(round(list_cosine_similarity("
+            "CAST(c.qe AS DOUBLE[]), CAST(s.qe AS DOUBLE[]))"
+            " * 1000000.0, 0) AS BIGINT)")
+    parts = [f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cands AS MATERIALIZED (
+      SELECT vec_id, qe, relq FROM (
+        SELECT e.vec_id, e.embedding AS qe,
+               CAST(round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.qv AS DOUBLE[])) * 1000000.0, 0) AS BIGINT)
+                 AS relq,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.qv AS DOUBLE[])) DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q)
+      WHERE rn <= {MMR_M}),
+    sel0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS rank FROM cands
+             ORDER BY relq DESC, vec_id ASC LIMIT 1)"""]
+    for t in range(1, MMR_K):
+        parts.append(f""",
+    m{t} AS MATERIALIZED (
+      SELECT c.vec_id, c.relq, max({simq}) AS msim
+      FROM cands c
+      JOIN sel{t - 1} sv ON TRUE
+      JOIN cands s ON s.vec_id = sv.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY c.vec_id, c.relq),
+    p{t} AS (SELECT vec_id, CAST({t} AS BIGINT) AS rank FROM m{t}
+             ORDER BY {MMR_LAM} * relq - {10 - MMR_LAM} * msim DESC,
+                      vec_id ASC LIMIT 1),
+    sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1}
+                           UNION ALL SELECT * FROM p{t})""")
+    parts.append(f"""
+    SELECT s.rank, s.vec_id, c.relq
+    FROM sel{MMR_K - 1} s JOIN cands c USING (vec_id)""")
+    return "".join(parts)
+
+
+ORACLE_SQL["mmr_topk"] = _mmr_oracle_sql()
+QUERIES["mmr_topk"] = q_mmr_topk

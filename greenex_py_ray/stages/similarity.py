@@ -962,3 +962,78 @@ def group_medoid(ds: "ray.data.Dataset", dim: int,
         return out.reset_index(drop=True)
 
     return part.groupby("grp").map_groups(final, batch_format="pandas")
+
+
+#: MMR score quantization (micro-units) — rel and sim cosines round to
+#: int64 before the λ mix, so the greedy argmax is integer-exact.
+MMR_Q = 1e6
+
+
+def mmr_topk(ds: "ray.data.Dataset", query_vec: np.ndarray, k: int,
+             dim: int, m: int = 40, lam_tenths: int = 7,
+             key_col: str = "vec_id",
+             vec_col: str = "embedding") -> "pa.Table":
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick ``k`` of the ``m`` most-relevant
+    candidates, each step maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)``.
+
+    Distribution shape: relevance top-``m`` is the full
+    :func:`brute_force_topk` scan (the only pass over the corpus); the
+    greedy loop runs on the driver over the m-row candidate pool —
+    inherently sequential in k and O(k·m) scalar work, exactly the
+    "small side" a driver should own.  λ is carried in TENTHS so the
+    mixed score is ``lam·relq − (10−lam)·msimq`` — pure int64, ties to
+    the smaller id, bit-equal in any engine."""
+    import ray as _ray
+
+    q64 = np.asarray(query_vec, dtype=np.float64)
+    cand = brute_force_topk(
+        ds, {"query_id": [0], "vectors": q64[None, :]}, m, dim,
+        key_col=key_col, vec_col=vec_col).to_pandas()
+    ids = np.sort(cand[key_col].to_numpy(dtype=np.int64))
+    idset = set(ids.tolist())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        kk = batch.column(key_col).to_numpy(zero_copy_only=False)
+        keep = np.isin(kk, ids)
+        return batch.filter(pa.array(keep))
+
+    pool = (ds.map_batches(pick, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+            .sort_values(key_col).reset_index(drop=True))
+    assert set(pool[key_col]) == idset
+    V = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in pool[vec_col]])
+    vid = pool[key_col].to_numpy(dtype=np.int64)
+    norms = np.sqrt((V * V).sum(axis=1))
+    relq = np.round(V @ q64 / (norms * np.sqrt(q64 @ q64))
+                    * MMR_Q).astype(np.int64)
+    simq = np.round((V @ V.T) / (norms[:, None] * norms[None, :])
+                    * MMR_Q).astype(np.int64)
+
+    n = len(vid)
+    selected: list[int] = []
+    avail = np.ones(n, dtype=bool)
+    # step 0: pure relevance, ties to smaller id
+    order0 = np.lexsort((vid, -relq))
+    first = order0[0]
+    selected.append(first)
+    avail[first] = False
+    for _ in range(1, min(k, n)):
+        msim = simq[:, selected].max(axis=1)
+        mmr = lam_tenths * relq - (10 - lam_tenths) * msim
+        # sort key is the NEGATED score: push unavailable rows to +max
+        # (negating an int64.min sentinel would overflow back to min
+        # and sort them first)
+        neg = np.where(avail, -mmr, np.iinfo(np.int64).max)
+        order = np.lexsort((vid, neg))
+        nxt = order[0]
+        selected.append(nxt)
+        avail[nxt] = False
+    sel = np.asarray(selected)
+    return pa.table({
+        "rank": pa.array(np.arange(len(sel), dtype=np.int64)),
+        key_col: pa.array(vid[sel]),
+        "relq": pa.array(relq[sel]),
+    })

@@ -417,3 +417,39 @@ def test_weighted_sample_bias(ray_session):
     out2 = weighted_sample(rd.from_pandas(df).repartition(3),
                            "k", "w", k=200).to_pandas()
     assert set(out["k"]) == set(out2["k"])
+
+
+def test_mmr_topk_diversifies():
+    """MMR picks the most relevant first, then trades relevance for
+    diversity: with two tight clusters near the query, λ=0.5 alternates
+    clusters instead of exhausting the nearer one."""
+    import ray
+    import ray.data
+
+    from greenex_py_ray.stages.similarity import mmr_topk
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    q = np.zeros(dim); q[0] = 1.0
+    # cluster A: very close to q; cluster B: a bit further, orthogonal-ish
+    a = np.tile(q, (4, 1)) + rng.normal(0, 0.01, (4, dim))
+    bdir = np.zeros(dim); bdir[0] = 0.8; bdir[1] = 0.6
+    b = np.tile(bdir, (4, 1)) + rng.normal(0, 0.01, (4, dim))
+    V = np.vstack([a, b]).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(8, dtype=np.int64)),
+                    "embedding": pa.array(list(V), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = mmr_topk(ds, q, k=4, dim=dim, m=8, lam_tenths=5).to_pandas()
+    assert out["rank"].tolist() == [0, 1, 2, 3]
+    picks = out.vec_id.tolist()
+    # rank 0 = most relevant (an A member); rank 1 must jump to B
+    assert picks[0] < 4 and picks[1] >= 4
+    # relevance-only top-4 would be all of cluster A
+    assert any(p >= 4 for p in picks[2:]) or picks[1] >= 4
+    # pure relevance check: lam=10 reduces to brute-force order
+    rel = mmr_topk(ray.data.from_arrow(tbl), q, k=4, dim=dim, m=8,
+                   lam_tenths=10).to_pandas()
+    cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    relq = np.round(cos * 1e6).astype(np.int64)
+    exp = np.lexsort((np.arange(8), -relq))[:4]
+    assert rel.vec_id.tolist() == exp.tolist()
