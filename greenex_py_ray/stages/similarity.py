@@ -921,13 +921,12 @@ def group_medoid(ds: "ray.data.Dataset", dim: int,
                  Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q"))
              .to_pandas())
     groups = np.sort(stats["grp"].unique())
-    gpos = {int(g): i for i, g in enumerate(groups)}
+    gi = np.searchsorted(groups, stats["grp"].to_numpy(dtype=np.int64))
+    di = stats["dim"].to_numpy(dtype=np.int64)
     S = np.zeros((len(groups), dim), dtype=np.int64)
     N = np.zeros(len(groups), dtype=np.int64)
-    for g, d, n, s in zip(stats["grp"], stats["dim"], stats["n"],
-                          stats["sum_q"]):
-        S[gpos[int(g)], int(d)] = s
-        N[gpos[int(g)]] = n
+    S[gi, di] = stats["sum_q"].to_numpy(dtype=np.int64)
+    N[gi] = stats["n"].to_numpy(dtype=np.int64)
     ref = _ray.put((groups, S, N))
 
     def score_partial(batch: pa.Table) -> pa.Table:
