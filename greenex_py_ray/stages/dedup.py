@@ -910,10 +910,15 @@ def edit_near_pairs(ds: "ray.data.Dataset", k: int = 12,
                        "txt": txt, "L": pa.array(L),
                        "bucket": pa.array(b), "ghost": pa.array(
                            np.zeros(len(L), dtype=bool))})
-        t2 = pa.table({key_col: pa.array(keys), "blk": blk,
-                       "txt": txt, "L": pa.array(L),
-                       "bucket": pa.array(b - 1), "ghost": pa.array(
-                           np.ones(len(L), dtype=bool))})
+        # ghosts below bucket 0 can only meet other ghosts (excluded
+        # pairs) — drop them at emission instead of shuffling them
+        keep = b - 1 >= 0
+        t2 = pa.table({key_col: pa.array(keys[keep]),
+                       "blk": blk.filter(pa.array(keep)),
+                       "txt": txt.filter(pa.array(keep)),
+                       "L": pa.array(L[keep]),
+                       "bucket": pa.array(b[keep] - 1), "ghost": pa.array(
+                           np.ones(int(keep.sum()), dtype=bool))})
         return pa.concat_tables([t1, t2])
 
     def kernel(grp: pd.DataFrame) -> pd.DataFrame:
