@@ -2519,6 +2519,11 @@ OD_DEST_MOD = 16
 FCA_POIS = 500
 FCA_RADIUS = 800.0
 
+#: gravity-access gate shape (Hansen potential): impedance scale θ and
+#: hard cutoff.
+GRAV_THETA = 400.0
+GRAV_CUTOFF = 1500.0
+
 
 def world_oracle_sql() -> dict[str, str]:
     """Oracles for the synthetic-world gates: DuckDB reads the SAME
@@ -2735,6 +2740,32 @@ def world_oracle_sql() -> dict[str, str]:
             ON (d.x - r.centroid_x) * (d.x - r.centroid_x)
              + (d.y - r.centroid_y) * (d.y - r.centroid_y) <= {_fr2}
           GROUP BY d.doc_id)
+        SELECT d.doc_id, coalesce(a.n_fac, 0) AS n_fac,
+               coalesce(a.access_q, 0) AS access_q
+        FROM docs d LEFT JOIN a USING (doc_id)
+    """
+
+    # --- gravity access: Hansen potential with inverse-quadratic
+    # impedance; weights round to int64 BEFORE the sum ----------------
+    _gr2 = repr(GRAV_CUTOFF * GRAV_CUTOFF)
+    _gt2 = repr(GRAV_THETA * GRAV_THETA)
+    gravity_sql = f"""
+        WITH {wdocs(FCA_POIS)},
+        gs AS (SELECT gs_id, centroid_x, centroid_y,
+                 round((x1 - x0) * (y1 - y0), 0) AS supply_q
+               FROM read_parquet({gs_pq})),
+        pair AS (
+          SELECT d.doc_id,
+                 CAST(round(g.supply_q * 1000000.0
+                      / (1.0 + ((d.x - g.centroid_x) * (d.x - g.centroid_x)
+                              + (d.y - g.centroid_y) * (d.y - g.centroid_y))
+                             / {_gt2}), 0) AS BIGINT) AS wq
+          FROM docs d JOIN gs g
+            ON (d.x - g.centroid_x) * (d.x - g.centroid_x)
+             + (d.y - g.centroid_y) * (d.y - g.centroid_y) <= {_gr2}),
+        a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fac,
+                     CAST(sum(wq) AS BIGINT) AS access_q
+              FROM pair GROUP BY doc_id)
         SELECT d.doc_id, coalesce(a.n_fac, 0) AS n_fac,
                coalesce(a.access_q, 0) AS access_q
         FROM docs d LEFT JOIN a USING (doc_id)
@@ -3451,6 +3482,7 @@ def world_oracle_sql() -> dict[str, str]:
         "network_distance": network_sql,
         "od_matrix": od_sql,
         "fca_access": fca_sql,
+        "gravity_access": gravity_sql,
         "streetview_gvi": streetview_sql,
         "viewshed_gvi": viewshed_sql,
         "isochrone_ndvi": iso_sql,
@@ -3653,6 +3685,17 @@ def q_fca_access(sf_dir: str):
     poi, w = _world_poi(limit=FCA_POIS)
     return two_step_fca(poi, pq.read_table(w["greenspace"]),
                         radius=FCA_RADIUS, concurrency=(1, 4))
+
+
+def q_gravity_access(sf_dir: str):
+    """Hansen gravity/potential accessibility (stages/access.
+    gravity_access — inverse-quadratic impedance, int64 weights)."""
+    from ..stages.access import gravity_access
+
+    poi, w = _world_poi(limit=FCA_POIS)
+    return gravity_access(poi, pq.read_table(w["greenspace"]),
+                          theta=GRAV_THETA, cutoff=GRAV_CUTOFF,
+                          concurrency=(1, 4))
 
 
 def q_isochrone_ndvi(sf_dir: str):
@@ -5845,6 +5888,7 @@ QUERIES = {
     "network_distance": q_network_distance,
     "od_matrix": q_od_matrix,
     "fca_access": q_fca_access,
+    "gravity_access": q_gravity_access,
     "isochrone_ndvi": q_isochrone_ndvi,
     "isochrone_landcover": q_isochrone_landcover,
     "isochrone_greenspace": q_isochrone_greenspace,
@@ -7228,3 +7272,34 @@ def _mmr_oracle_sql() -> str:
 
 ORACLE_SQL["mmr_topk"] = _mmr_oracle_sql()
 QUERIES["mmr_topk"] = q_mmr_topk
+
+
+RIPLEY_RADII = (200.0, 500.0, 800.0)
+
+
+def q_ripley_k(sf_dir: str):
+    """Ripley's K ordered-pair counts at three radii
+    (stages/geostats.ripley_pair_counts — PBSM cell shuffle at
+    max(r), vectorized per-cell distance kernel, integer partials)."""
+    from ..stages.geostats import ripley_pair_counts
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return ripley_pair_counts(ds.select_columns(["doc_id", "x", "y"]),
+                              list(RIPLEY_RADII))
+
+
+def _ripley_oracle_sql() -> str:
+    arms = []
+    for r in RIPLEY_RADII:
+        arms.append(f"""
+        SELECT CAST({r!r} AS DOUBLE) AS r,
+               (SELECT CAST(count(*) AS BIGINT) FROM d a JOIN d b
+                  ON a.doc_id <> b.doc_id
+                 AND (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= {r * r!r}) AS n_pairs""")
+    return (f"WITH d AS (SELECT doc_id, {_X} AS x, {_Y} AS y"
+            " FROM documents)" + " UNION ALL ".join(arms))
+
+
+ORACLE_SQL["ripley_k"] = _ripley_oracle_sql()
+QUERIES["ripley_k"] = q_ripley_k

@@ -222,3 +222,76 @@ def two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=0.5,
     )
+
+
+#: gravity weight quantization (micro-units per supply unit)
+GRAVITY_Q = 1_000_000
+
+
+class GravityAccess:
+    """map_batches actor: Hansen (1959) gravity / potential
+    accessibility with an inverse-quadratic impedance —
+    ``A_i = Σ_j round(S_j · 1e6 / (1 + d_ij²/θ²))`` over facilities
+    within ``cutoff``.  No exp/pow: the weight is one +,*,/ chain over
+    doubles both engines evaluate identically, rounded to int64 BEFORE
+    the sum, so the score is exact under any order.  Facilities
+    broadcast (small side); demand streams."""
+
+    def __init__(self, fac_ref, theta: float, cutoff: float,
+                 key_col: str = "doc_id",
+                 x_col: str = "x", y_col: str = "y"):
+        t = _resolve(fac_ref)
+        self.fx = t.column("centroid_x").to_numpy(zero_copy_only=False)
+        self.fy = t.column("centroid_y").to_numpy(zero_copy_only=False)
+        self.sup = t.column("supply_q").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        self.t2 = float(theta) * float(theta)
+        self.r2 = float(cutoff) * float(cutoff)
+        self.key_col = key_col
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        dx = x[:, None] - self.fx[None, :]
+        dy = y[:, None] - self.fy[None, :]
+        d2 = dx * dx + dy * dy
+        within = d2 <= self.r2
+        w = np.round(self.sup[None, :] * GRAVITY_Q
+                     / (1.0 + d2 / self.t2)).astype(np.int64)
+        access_q = np.where(within, w, 0).sum(axis=1).astype(np.int64)
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "n_fac": pa.array(within.sum(axis=1).astype(np.int64)),
+            "access_q": pa.array(access_q),
+        })
+
+
+def gravity_access(poi: "ray.data.Dataset", facilities: "pa.Table",
+                   theta: float = 400.0, cutoff: float = 1500.0,
+                   key_col: str = "doc_id",
+                   concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Gravity/potential accessibility (see :class:`GravityAccess`);
+    supply = greenspace rect area like :func:`two_step_fca`."""
+    import ray as _ray
+
+    sup = np.round(
+        (facilities.column("x1").to_numpy(zero_copy_only=False)
+         - facilities.column("x0").to_numpy(zero_copy_only=False))
+        * (facilities.column("y1").to_numpy(zero_copy_only=False)
+           - facilities.column("y0").to_numpy(zero_copy_only=False))
+    ).astype(np.int64)
+    fac = pa.table({
+        "gs_id": facilities.column("gs_id"),
+        "centroid_x": facilities.column("centroid_x"),
+        "centroid_y": facilities.column("centroid_y"),
+        "supply_q": pa.array(sup),
+    })
+    ref = _ray.put(fac)
+    return poi.map_batches(
+        GravityAccess,
+        fn_constructor_kwargs=dict(fac_ref=ref, theta=theta,
+                                   cutoff=cutoff, key_col=key_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=0.5,
+    )

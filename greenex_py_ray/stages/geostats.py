@@ -639,3 +639,84 @@ def group_convex_hull(ds: "ray.data.Dataset", key_col: str = "cell",
     return (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("bucket").map_groups(final, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K pair counts
+# ---------------------------------------------------------------------------
+
+def ripley_pair_counts(ds: "ray.data.Dataset", radii: list[float],
+                       x_col: str = "x", y_col: str = "y",
+                       num_cells: int | None = None) -> "ray.data.Dataset":
+    """Global ordered-pair counts ``|{(i, j) : i ≠ j, d_ij <= r}|`` for
+    each radius — the numerator of Ripley's K point-pattern statistic
+    (``K(r) = A/n² · Σ_{i≠j} 1[d_ij <= r]``; the caller scales by area
+    and n).
+
+    Plan: PBSM over a grid of ``cell = max(radii)``: every point goes
+    NATIVE to its own cell and GHOST to the 8 neighbors, so each
+    ordered pair (i, j) with ``d <= max(radii)`` meets exactly once —
+    in i's native cell.  The per-cell kernel is one vectorized
+    (natives × all) distance matrix; per-cell count partials (integer)
+    collapse through one tiny groupby.  A pathologically hot cell is
+    O(m²) — cap density upstream (``sampling.cap_per_group``) when the
+    pattern is spiked."""
+    from ray.data.aggregate import Sum
+
+    rmax = float(max(radii))
+    r2s = [float(r) * float(r) for r in radii]
+
+    def expand(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cx = np.floor(x / rmax).astype(np.int64)
+        cy = np.floor(y / rmax).astype(np.int64)
+        xs, ys, cs, gs = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xs.append(x)
+                ys.append(y)
+                cs.append((cx + dx) * (1 << 21) + (cy + dy))
+                gs.append(np.full(len(x), dx != 0 or dy != 0,
+                                  dtype=bool))
+        return pa.table({
+            x_col: pa.array(np.concatenate(xs)),
+            y_col: pa.array(np.concatenate(ys)),
+            "cell": pa.array(np.concatenate(cs)),
+            "ghost": pa.array(np.concatenate(gs)),
+        })
+
+    def kernel(grp) -> "pa.Table":
+        import pandas as pd
+
+        x = grp[x_col].to_numpy()
+        y = grp[y_col].to_numpy()
+        ghost = grp["ghost"].to_numpy()
+        nat = np.flatnonzero(~ghost)
+        if not len(nat):
+            return pd.DataFrame({"r_ix": pd.Series([], dtype=np.int64),
+                                 "n_pairs": pd.Series([], dtype=np.int64)})
+        dx = x[nat][:, None] - x[None, :]
+        dy = y[nat][:, None] - y[None, :]
+        d2 = dx * dx + dy * dy
+        # exclude self-pairs: a native row vs its own (native) column
+        d2[np.arange(len(nat)), nat] = np.inf
+        out = [(ix, int((d2 <= r2).sum())) for ix, r2 in enumerate(r2s)]
+        return pd.DataFrame({"r_ix": [o[0] for o in out],
+                             "n_pairs": [o[1] for o in out]})
+
+    part = (ds.map_batches(expand, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cell").map_groups(kernel, batch_format="pandas"))
+    agg = part.groupby("r_ix").aggregate(Sum("n_pairs",
+                                             alias_name="n_pairs"))
+
+    def attach_r(batch: pa.Table) -> pa.Table:
+        ix = batch.column("r_ix").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r": pa.array(np.asarray(radii, dtype=np.float64)[ix]),
+            "n_pairs": batch.column("n_pairs"),
+        })
+
+    return agg.map_batches(attach_r, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -437,3 +437,47 @@ def test_group_convex_hull():
     # the 4 square corners are certainly on the hull
     for c in [(0, 0), (0, 1000), (1000, 0), (1000, 1000)]:
         assert c in g1
+
+
+def test_ripley_pair_counts_brute():
+    """PBSM pair counts equal the brute-force ordered-pair count at
+    every radius, including cross-cell pairs and coincident points."""
+    from greenex_py_ray.stages.geostats import ripley_pair_counts
+
+    rng = np.random.default_rng(9)
+    n = 200
+    x = rng.uniform(0, 3000, n)
+    y = rng.uniform(0, 3000, n)
+    x[5], y[5] = x[4], y[4]            # coincident distinct points
+    x[7], y[7] = 799.9, 100.0          # near a cell boundary at rmax=800
+    x[8], y[8] = 800.1, 100.0
+    radii = [100.0, 400.0, 800.0]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(x), "y": pa.array(y)})).repartition(4)
+    out = (ripley_pair_counts(ds, radii).to_pandas()
+           .sort_values("r").reset_index(drop=True))
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    for i, r in enumerate(radii):
+        assert out.n_pairs[i] == int((d2 <= r * r).sum()), r
+
+
+def test_gravity_access_formula():
+    from greenex_py_ray.stages.access import GRAVITY_Q, gravity_access
+
+    fac = pa.table({
+        "gs_id": pa.array([1], pa.int64()),
+        "centroid_x": [0.0], "centroid_y": [0.0],
+        "x0": [0.0], "y0": [0.0], "x1": [30.0], "y1": [10.0],  # S=300
+    })
+    poi = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "x": [400.0, 9999.0], "y": [0.0, 0.0]})
+    out = (gravity_access(ray.data.from_arrow(poi), fac, theta=400.0,
+                          cutoff=1500.0).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # d=theta → weight = S*1e6/2
+    assert out.access_q[0] == round(300 * GRAVITY_Q / 2.0)
+    assert out.n_fac.tolist() == [1, 0] and out.access_q[1] == 0
