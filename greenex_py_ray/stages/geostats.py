@@ -672,11 +672,14 @@ def ripley_pair_counts(ds: "ray.data.Dataset", radii: list[float],
         cx = np.floor(x / rmax).astype(np.int64)
         cy = np.floor(y / rmax).astype(np.int64)
         xs, ys, cs, gs = [], [], [], []
+        # bias both indices positive before packing — a raw pack would
+        # alias (cx, -1) with (cx-1, 2^21 - 1)
+        bias = np.int64(1 << 20)
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 xs.append(x)
                 ys.append(y)
-                cs.append((cx + dx) * (1 << 21) + (cy + dy))
+                cs.append((cx + dx + bias) * (1 << 21) + (cy + dy + bias))
                 gs.append(np.full(len(x), dx != 0 or dy != 0,
                                   dtype=bool))
         return pa.table({

@@ -451,6 +451,8 @@ def test_ripley_pair_counts_brute():
     x[5], y[5] = x[4], y[4]            # coincident distinct points
     x[7], y[7] = 799.9, 100.0          # near a cell boundary at rmax=800
     x[8], y[8] = 800.1, 100.0
+    x[9], y[9] = -50.0, -50.0          # negative cell indices
+    x[10], y[10] = -900.0, -40.0       # pair across negative cells
     radii = [100.0, 400.0, 800.0]
     ds = ray.data.from_arrow(pa.table({
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
