@@ -7303,3 +7303,39 @@ def _ripley_oracle_sql() -> str:
 
 ORACLE_SQL["ripley_k"] = _ripley_oracle_sql()
 QUERIES["ripley_k"] = q_ripley_k
+
+
+def q_local_moran(sf_dir: str):
+    """Local Moran's I (LISA) per occupied density cell
+    (stages/geostats.local_morans_i — queen weights excluding self,
+    exact int64 sufficient statistics, one closed-form division)."""
+    from ..stages.geostats import local_morans_i
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return local_morans_i(ds, MORAN_CELL)
+
+
+ORACLE_SQL["local_moran"] = f"""
+    WITH d AS (SELECT CAST(floor({_X} / {MORAN_CELL!r}) AS BIGINT) AS ix,
+                      CAST(floor({_Y} / {MORAN_CELL!r}) AS BIGINT) AS iy
+               FROM documents),
+    c AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS x
+          FROM d GROUP BY ix, iy),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sxx FROM c),
+    nb AS (SELECT a.ix, a.iy, max(a.x) AS xi,
+                  CAST(sum(b.x) AS BIGINT) AS nx,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM c a JOIN c b
+           ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+           GROUP BY a.ix, a.iy)
+    SELECT nb.ix, nb.iy, nb.w - 1 AS n_nbr,
+           CAST((g.n * nb.xi - g.sx)
+                * (g.n * (nb.nx - nb.xi) - g.sx * (nb.w - 1)) AS DOUBLE)
+             / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) AS local_i
+    FROM nb, g
+"""
+
+
+QUERIES["local_moran"] = q_local_moran

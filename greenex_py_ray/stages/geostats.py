@@ -723,3 +723,97 @@ def ripley_pair_counts(ds: "ray.data.Dataset", radii: list[float],
 
     return agg.map_batches(attach_r, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def local_morans_i(ds: "ray.data.Dataset", cell_size: float,
+                   x_col: str = "x",
+                   y_col: str = "y") -> "ray.data.Dataset":
+    """Local Moran's I (LISA, Anselin 1995) of the point-density
+    surface: per occupied grid cell,
+    ``I_i = z_i · Σ_j w_ij z_j / m2`` with queen weights EXCLUDING
+    self — the cluster/outlier companion to :func:`getis_ord_gi_star`
+    (which includes self).
+
+    Exactness: multiplying through by n² gives
+
+        I_i = (n·x_i − Sx) · (n·NXᵉ_i − Sx·Wᵉ_i) / (n·Sxx − Sx²)
+
+    with NXᵉ/Wᵉ the self-EXCLUDED neighbor sums — every operand exact
+    int64, ONE closed-form double division replayed token-for-token in
+    SQL.  Same physical plan as Gi*: O(cells) partial counts, 9-way
+    key-shifted emission, bucket join; self-exclusion is a subtraction
+    of the cell's own (x, 1) after the inclusive window sum."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.joins import bucket_join_attach
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        cx = np.floor(x / cell_size).astype(np.int64)
+        cy = np.floor(y / cell_size).astype(np.int64)
+        enc = (cx << np.int64(32)) + (cy & np.int64(0xFFFFFFFF))
+        uk, cnt = np.unique(enc, return_counts=True)
+        return pa.table({"ck": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    cellcnt = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("ck").aggregate(Sum("n", alias_name="n"))
+               .materialize())
+
+    g = cellcnt.aggregate(Count(), Sum("n", alias_name="s"))
+    ncells = int(g["count()"])
+    s_total = int(g["s"])
+    if ncells < 2:
+        raise ValueError("local Moran needs at least 2 occupied cells")
+    sxx = int(cellcnt.map_batches(
+        lambda b: pa.table({"xx": b.column("n").to_numpy(
+            zero_copy_only=False).astype(np.int64) ** 2}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).aggregate(Sum("xx", alias_name="xx"))["xx"])
+
+    def emit_window(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ck").to_numpy(zero_copy_only=False)
+        xv = batch.column("n").to_numpy(zero_copy_only=False)
+        cx = ck >> np.int64(32)
+        lo = ck & np.int64(0xFFFFFFFF)
+        cy = np.where(lo >= np.int64(1) << np.int64(31),
+                      lo - (np.int64(1) << np.int64(32)), lo)
+        outs, vals = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(((cx + dx) << np.int64(32))
+                            + ((cy + dy) & np.int64(0xFFFFFFFF)))
+                vals.append(xv)
+        return pa.table({"ck": pa.array(np.concatenate(outs)),
+                         "nx": pa.array(np.concatenate(vals)),
+                         "w": pa.array(np.ones(9 * len(ck), np.int64))})
+
+    nbr = (cellcnt.map_batches(emit_window, batch_format="pyarrow",
+                               zero_copy_batch=True)
+           .groupby("ck").aggregate(Sum("nx", alias_name="nx"),
+                                    Sum("w", alias_name="w")))
+    joined = bucket_join_attach(cellcnt, nbr, key="ck")
+    denom = float(ncells * sxx - s_total * s_total)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ck").to_numpy(zero_copy_only=False)
+        xi = batch.column("n").to_numpy(zero_copy_only=False)
+        nx = batch.column("nx").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        nx_ex = nx - xi
+        w_ex = w - 1
+        a = (ncells * xi - s_total).astype(np.float64)
+        b = (ncells * nx_ex - s_total * w_ex).astype(np.float64)
+        li = a * b / denom
+        cx = ck >> np.int64(32)
+        lo = ck & np.int64(0xFFFFFFFF)
+        cy = np.where(lo >= np.int64(1) << np.int64(31),
+                      lo - (np.int64(1) << np.int64(32)), lo)
+        return pa.table({"ix": pa.array(cx), "iy": pa.array(cy),
+                         "n_nbr": pa.array(w_ex.astype(np.int64)),
+                         "local_i": pa.array(li)})
+
+    return joined.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)

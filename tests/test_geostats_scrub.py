@@ -483,3 +483,42 @@ def test_gravity_access_formula():
     # d=theta → weight = S*1e6/2
     assert out.access_q[0] == round(300 * GRAVITY_Q / 2.0)
     assert out.n_fac.tolist() == [1, 0] and out.access_q[1] == 0
+
+
+def test_local_moran_checkerboard_negative():
+    """Under QUEEN weights a checkerboard's interior local I is exactly
+    0 (the 4 rook neighbors' dissimilarity cancels against the 4
+    same-parity diagonals) — an exactness check the integer pipeline
+    must hit dead on — and the value matches the textbook formula."""
+    from greenex_py_ray.stages.geostats import local_morans_i
+
+    # 6x6 checkerboard: cells (i+j even) get 9 points, odd get 1
+    xs, ys = [], []
+    for i in range(6):
+        for j in range(6):
+            k = 9 if (i + j) % 2 == 0 else 1
+            xs += [i * 100 + 50] * k
+            ys += [j * 100 + 50] * k
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(np.array(xs, float)),
+        "y": pa.array(np.array(ys, float))})).repartition(3)
+    out = local_morans_i(ds, 100.0).to_pandas()
+    assert len(out) == 36
+    inner = out[(out.ix > 0) & (out.ix < 5) & (out.iy > 0) & (out.iy < 5)]
+    # interior cells: all 8 neighbors; queen cancellation -> exact 0
+    assert (inner.n_nbr == 8).all()
+    assert (inner.local_i == 0.0).all()
+
+    # exact-value check vs the textbook formula on one interior cell
+    x = np.array([9 if (i + j) % 2 == 0 else 1
+                  for i in range(6) for j in range(6)], dtype=float)
+    n = 36
+    z = x - x.mean()
+    m2 = (z * z).sum() / n
+    # cell (2,2): value 9, neighbors are the 3x3 ring around it
+    idx = lambda i, j: i * 6 + j
+    nbrs = [idx(i, j) for i in (1, 2, 3) for j in (1, 2, 3)
+            if (i, j) != (2, 2)]
+    exp = z[idx(2, 2)] * sum(z[t] for t in nbrs) / m2 / n
+    got = float(out[(out.ix == 2) & (out.iy == 2)].local_i.iloc[0])
+    assert np.isclose(got, exp * n, rtol=1e-12) or np.isclose(got, exp, rtol=1e-12)
