@@ -2524,6 +2524,10 @@ FCA_RADIUS = 800.0
 GRAV_THETA = 400.0
 GRAV_CUTOFF = 1500.0
 
+#: E2SFCA gate shape: Gaussian decay σ and catchment cutoff.
+E2_SIGMA = 500.0
+E2_CUTOFF = 1500.0
+
 
 def world_oracle_sql() -> dict[str, str]:
     """Oracles for the synthetic-world gates: DuckDB reads the SAME
@@ -2766,6 +2770,49 @@ def world_oracle_sql() -> dict[str, str]:
         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fac,
                      CAST(sum(wq) AS BIGINT) AS access_q
               FROM pair GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_fac, 0) AS n_fac,
+               coalesce(a.access_q, 0) AS access_q
+        FROM docs d LEFT JOIN a USING (doc_id)
+    """
+
+    # --- E2SFCA: Gaussian-decay two-step floating catchment — decay
+    # weights round to int64 micro-units (the KDE exp precedent), the
+    # ratio is an integer floor division, and step-2 terms are per-pair
+    # rounded doubles (CAST both operands to DOUBLE so the product
+    # rounding matches numpy's int64×float64 exactly) ------------------
+    _e2den = repr(2.0 * E2_SIGMA * E2_SIGMA)
+    _e2r2 = repr(E2_CUTOFF * E2_CUTOFF)
+    e2_sql = f"""
+        WITH {wdocs(FCA_POIS)},
+        gs AS (SELECT gs_id, centroid_x, centroid_y,
+                 CAST(round((x1 - x0) * (y1 - y0), 0) AS BIGINT)
+                   AS supply_q
+               FROM read_parquet({gs_pq})),
+        w AS (
+          SELECT d.doc_id, g.gs_id, g.supply_q,
+                 CASE WHEN (d.x - g.centroid_x) * (d.x - g.centroid_x)
+                         + (d.y - g.centroid_y) * (d.y - g.centroid_y)
+                        <= {_e2r2}
+                      THEN CAST(round(exp(
+                          -((d.x - g.centroid_x) * (d.x - g.centroid_x)
+                          + (d.y - g.centroid_y) * (d.y - g.centroid_y))
+                          / {_e2den}) * 1000000.0, 0) AS BIGINT)
+                      ELSE 0 END AS wq
+          FROM docs d CROSS JOIN gs g),
+        ws AS (SELECT gs_id, CAST(sum(wq) AS BIGINT) AS wsum
+               FROM w GROUP BY gs_id HAVING sum(wq) > 0),
+        r AS (SELECT gs.gs_id, (gs.supply_q * 1000000000) // ws.wsum AS rq
+              FROM gs JOIN ws USING (gs_id)),
+        a AS (
+          SELECT w.doc_id,
+                 CAST(sum(CASE WHEN w.wq > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_fac,
+                 CAST(sum(CAST(round(CAST(w.wq AS DOUBLE)
+                                     * CAST(r.rq AS DOUBLE)
+                                     / 1000000.0, 0) AS BIGINT))
+                      AS BIGINT) AS access_q
+          FROM w JOIN r USING (gs_id)
+          GROUP BY w.doc_id)
         SELECT d.doc_id, coalesce(a.n_fac, 0) AS n_fac,
                coalesce(a.access_q, 0) AS access_q
         FROM docs d LEFT JOIN a USING (doc_id)
@@ -3483,6 +3530,7 @@ def world_oracle_sql() -> dict[str, str]:
         "od_matrix": od_sql,
         "fca_access": fca_sql,
         "gravity_access": gravity_sql,
+        "e2sfca_access": e2_sql,
         "streetview_gvi": streetview_sql,
         "viewshed_gvi": viewshed_sql,
         "isochrone_ndvi": iso_sql,
@@ -3696,6 +3744,17 @@ def q_gravity_access(sf_dir: str):
     return gravity_access(poi, pq.read_table(w["greenspace"]),
                           theta=GRAV_THETA, cutoff=GRAV_CUTOFF,
                           concurrency=(1, 4))
+
+
+def q_e2sfca_access(sf_dir: str):
+    """Enhanced 2SFCA (stages/access.enhanced_two_step_fca — Gaussian
+    decay in both steps, int64 weights/ratios)."""
+    from ..stages.access import enhanced_two_step_fca
+
+    poi, w = _world_poi(limit=FCA_POIS)
+    return enhanced_two_step_fca(poi, pq.read_table(w["greenspace"]),
+                                 sigma=E2_SIGMA, cutoff=E2_CUTOFF,
+                                 concurrency=(1, 4))
 
 
 def q_isochrone_ndvi(sf_dir: str):
@@ -5889,6 +5948,7 @@ QUERIES = {
     "od_matrix": q_od_matrix,
     "fca_access": q_fca_access,
     "gravity_access": q_gravity_access,
+    "e2sfca_access": q_e2sfca_access,
     "isochrone_ndvi": q_isochrone_ndvi,
     "isochrone_landcover": q_isochrone_landcover,
     "isochrone_greenspace": q_isochrone_greenspace,

@@ -133,3 +133,33 @@ def test_two_step_fca_tiny_world():
     rb = 400 * FCA_SCALE // 2
     assert out.n_fac.tolist() == [1, 1, 2, 1, 0]
     assert out.access_q.tolist() == [ra, ra, ra + rb, rb, 0]
+
+
+def test_e2sfca_decay_weights():
+    """E2SFCA: decayed ratios and scores match a hand computation; a
+    demand point past the cutoff contributes and receives nothing."""
+    import ray
+    import ray.data
+
+    from greenex_py_ray.stages.access import (E2_RQ, E2_WQ,
+                                              enhanced_two_step_fca)
+
+    fac = pa.table({
+        "gs_id": pa.array([1], pa.int64()),
+        "centroid_x": [0.0], "centroid_y": [0.0],
+        "x0": [0.0], "y0": [0.0], "x1": [20.0], "y1": [10.0],  # S=200
+    })
+    poi = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "x": [0.0, 500.0, 9000.0], "y": [0.0, 0.0, 0.0]})
+    sigma, cutoff = 500.0, 1500.0
+    out = (enhanced_two_step_fca(ray.data.from_arrow(poi), fac,
+                                 sigma=sigma, cutoff=cutoff)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    denom = 2.0 * sigma * sigma
+    w0 = round(np.exp(0.0) * E2_WQ)            # 1e6
+    w1 = round(np.exp(-500.0 ** 2 / denom) * E2_WQ)
+    rq = 200 * E2_RQ // (w0 + w1)
+    assert out.n_fac.tolist() == [1, 1, 0]
+    assert out.access_q[0] == round(w0 * float(rq) / E2_WQ)
+    assert out.access_q[1] == round(w1 * float(rq) / E2_WQ)
+    assert out.access_q[2] == 0
