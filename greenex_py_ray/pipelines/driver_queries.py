@@ -2030,7 +2030,7 @@ ORACLE_SQL["snap_to_road"] = f"""
              least(greatest(CASE WHEN s.len2 = 0.0 THEN 0.0
                                  ELSE ((p.x - s.ax) * s.dxv
                                        + (p.y - s.ay) * s.dyv) / s.len2
-                            END, 0.0), 1.0) AS tc
+                            END, 0.0), 1.0) + 0.0 AS tc
            FROM pts p CROSS JOIN seg s),
     dd AS (SELECT doc_id, ek, tc,
              (x - (ax + tc * dxv)) * (x - (ax + tc * dxv))
@@ -2725,7 +2725,7 @@ def world_oracle_sql() -> dict[str, str]:
     fca_sql = f"""
         WITH {wdocs(FCA_POIS)},
         gs AS (SELECT gs_id, centroid_x, centroid_y,
-                 CAST(round((x1 - x0) * (y1 - y0), 0) AS BIGINT)
+                 CAST(floor((x1 - x0) * (y1 - y0) + 0.5) AS BIGINT)
                    AS supply_q
                FROM read_parquet({gs_pq})),
         dem AS (
@@ -2756,14 +2756,14 @@ def world_oracle_sql() -> dict[str, str]:
     gravity_sql = f"""
         WITH {wdocs(FCA_POIS)},
         gs AS (SELECT gs_id, centroid_x, centroid_y,
-                 round((x1 - x0) * (y1 - y0), 0) AS supply_q
+                 floor((x1 - x0) * (y1 - y0) + 0.5) AS supply_q
                FROM read_parquet({gs_pq})),
         pair AS (
           SELECT d.doc_id,
-                 CAST(round(g.supply_q * 1000000.0
+                 CAST(floor(g.supply_q * 1000000.0
                       / (1.0 + ((d.x - g.centroid_x) * (d.x - g.centroid_x)
                               + (d.y - g.centroid_y) * (d.y - g.centroid_y))
-                             / {_gt2}), 0) AS BIGINT) AS wq
+                             / {_gt2}) + 0.5) AS BIGINT) AS wq
           FROM docs d JOIN gs g
             ON (d.x - g.centroid_x) * (d.x - g.centroid_x)
              + (d.y - g.centroid_y) * (d.y - g.centroid_y) <= {_gr2}),
@@ -2777,15 +2777,16 @@ def world_oracle_sql() -> dict[str, str]:
 
     # --- E2SFCA: Gaussian-decay two-step floating catchment — decay
     # weights round to int64 micro-units (the KDE exp precedent), the
-    # ratio is an integer floor division, and step-2 terms are per-pair
-    # rounded doubles (CAST both operands to DOUBLE so the product
-    # rounding matches numpy's int64×float64 exactly) ------------------
+    # ratio is an integer floor division, and step-2 terms quantize via
+    # floor(x + 0.5) on BOTH engines (wq·rq/1e6 is exact rational
+    # arithmetic, so .5 ties are reachable and round()'s ties-away vs
+    # np.round's ties-to-even would diverge — ADVICE r4) ---------------
     _e2den = repr(2.0 * E2_SIGMA * E2_SIGMA)
     _e2r2 = repr(E2_CUTOFF * E2_CUTOFF)
     e2_sql = f"""
         WITH {wdocs(FCA_POIS)},
         gs AS (SELECT gs_id, centroid_x, centroid_y,
-                 CAST(round((x1 - x0) * (y1 - y0), 0) AS BIGINT)
+                 CAST(floor((x1 - x0) * (y1 - y0) + 0.5) AS BIGINT)
                    AS supply_q
                FROM read_parquet({gs_pq})),
         w AS (
@@ -2807,9 +2808,9 @@ def world_oracle_sql() -> dict[str, str]:
           SELECT w.doc_id,
                  CAST(sum(CASE WHEN w.wq > 0 THEN 1 ELSE 0 END)
                       AS BIGINT) AS n_fac,
-                 CAST(sum(CAST(round(CAST(w.wq AS DOUBLE)
+                 CAST(sum(CAST(floor(CAST(w.wq AS DOUBLE)
                                      * CAST(r.rq AS DOUBLE)
-                                     / 1000000.0, 0) AS BIGINT))
+                                     / 1000000.0 + 0.5) AS BIGINT))
                       AS BIGINT) AS access_q
           FROM w JOIN r USING (gs_id)
           GROUP BY w.doc_id)

@@ -181,11 +181,16 @@ def two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
     the step-1 shuffle is O(F) per batch."""
     import ray as _ray
 
-    sup = np.round(
+    # floor(x + 0.5), not np.round: np.round is ties-to-even while SQL
+    # round() is ties-away; exact .5 areas are reachable on the integer
+    # rect lattice, so both engines evaluate the identical floor(x+0.5)
+    # double expression instead (ADVICE r4).
+    sup = np.floor(
         (facilities.column("x1").to_numpy(zero_copy_only=False)
          - facilities.column("x0").to_numpy(zero_copy_only=False))
         * (facilities.column("y1").to_numpy(zero_copy_only=False)
            - facilities.column("y0").to_numpy(zero_copy_only=False))
+        + 0.5
     ).astype(np.int64)
     fac = pa.table({
         "gs_id": facilities.column("gs_id"),
@@ -257,8 +262,10 @@ class GravityAccess:
         dy = y[:, None] - self.fy[None, :]
         d2 = dx * dx + dy * dy
         within = d2 <= self.r2
-        w = np.round(self.sup[None, :] * GRAVITY_Q
-                     / (1.0 + d2 / self.t2)).astype(np.int64)
+        # floor(x+0.5) tie rule (matches SQL; d2/theta2 is exact
+        # rational arithmetic, so .5 ties are reachable — ADVICE r4)
+        w = np.floor(self.sup[None, :] * GRAVITY_Q
+                     / (1.0 + d2 / self.t2) + 0.5).astype(np.int64)
         access_q = np.where(within, w, 0).sum(axis=1).astype(np.int64)
         return pa.table({
             self.key_col: batch.column(self.key_col),
@@ -275,11 +282,16 @@ def gravity_access(poi: "ray.data.Dataset", facilities: "pa.Table",
     supply = greenspace rect area like :func:`two_step_fca`."""
     import ray as _ray
 
-    sup = np.round(
+    # floor(x + 0.5), not np.round: np.round is ties-to-even while SQL
+    # round() is ties-away; exact .5 areas are reachable on the integer
+    # rect lattice, so both engines evaluate the identical floor(x+0.5)
+    # double expression instead (ADVICE r4).
+    sup = np.floor(
         (facilities.column("x1").to_numpy(zero_copy_only=False)
          - facilities.column("x0").to_numpy(zero_copy_only=False))
         * (facilities.column("y1").to_numpy(zero_copy_only=False)
            - facilities.column("y0").to_numpy(zero_copy_only=False))
+        + 0.5
     ).astype(np.int64)
     fac = pa.table({
         "gs_id": facilities.column("gs_id"),
@@ -356,7 +368,9 @@ class E2Access(E2DemandWeight):
         x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
         y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
         w = self._weights(x, y)
-        terms = np.round(w * self.rq[None, :] / E2_WQ).astype(np.int64)
+        # floor(x+0.5) tie rule: w*rq/1e6 is exact rational arithmetic
+        # on integers, so exact .5 ties ARE reachable here (ADVICE r4)
+        terms = np.floor(w * self.rq[None, :] / E2_WQ + 0.5).astype(np.int64)
         return pa.table({
             self.key_col: batch.column(self.key_col),
             "n_fac": pa.array((w > 0).sum(axis=1).astype(np.int64)),
@@ -376,11 +390,16 @@ def enhanced_two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
     from ray.data.aggregate import Sum
 
     denom = 2.0 * float(sigma) * float(sigma)
-    sup = np.round(
+    # floor(x + 0.5), not np.round: np.round is ties-to-even while SQL
+    # round() is ties-away; exact .5 areas are reachable on the integer
+    # rect lattice, so both engines evaluate the identical floor(x+0.5)
+    # double expression instead (ADVICE r4).
+    sup = np.floor(
         (facilities.column("x1").to_numpy(zero_copy_only=False)
          - facilities.column("x0").to_numpy(zero_copy_only=False))
         * (facilities.column("y1").to_numpy(zero_copy_only=False)
            - facilities.column("y0").to_numpy(zero_copy_only=False))
+        + 0.5
     ).astype(np.int64)
     fac = pa.table({
         "gs_id": facilities.column("gs_id"),

@@ -511,6 +511,11 @@ def getis_ord_gi_star(ds: "ray.data.Dataset", cell_size: float,
                                     Sum("w", alias_name="w")))
     joined = bucket_join_attach(cellcnt, nbr, key="ck")
     b_var = float(ncells * sxx - s_total * s_total)
+    if b_var == 0.0:
+        # uniform density: sqrt(0)/0 divergence between numpy (±inf/
+        # NaN) and the SQL oracle (NULL) — refuse on both sides
+        raise ValueError("Gi* undefined: zero variance "
+                         "(all occupied cells have equal counts)")
     nm1 = float(ncells - 1)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -796,6 +801,12 @@ def local_morans_i(ds: "ray.data.Dataset", cell_size: float,
                                     Sum("w", alias_name="w")))
     joined = bucket_join_attach(cellcnt, nbr, key="ck")
     denom = float(ncells * sxx - s_total * s_total)
+    if denom == 0.0:
+        # uniform density: numpy would emit ±inf/NaN where the SQL
+        # oracle's 0/0 yields NULL — refuse on both sides instead
+        # (mirrors the ncells < 2 guard; ADVICE r4)
+        raise ValueError("local Moran undefined: zero variance "
+                         "(all occupied cells have equal counts)")
 
     def score(batch: pa.Table) -> pa.Table:
         ck = batch.column("ck").to_numpy(zero_copy_only=False)

@@ -104,7 +104,10 @@ class SegmentSnapper:
             len2 = dx * dx + dy * dy
             dot = (qx - ax) * dx + (qy - ay) * dy
             t = np.divide(dot, len2, out=np.zeros_like(dot), where=len2 != 0.0)
-            tc = np.minimum(np.maximum(t, 0.0), 1.0)
+            # +0.0 canonicalizes -0.0 → +0.0 so snap_t is bit-identical
+            # to the SQL oracle (DuckDB greatest(-0.0, 0.0) keeps -0.0,
+            # np.maximum returns +0.0; both sides add +0.0).
+            tc = np.minimum(np.maximum(t, 0.0), 1.0) + 0.0
             ex = qx - (ax + tc * dx)
             ey = qy - (ay + tc * dy)
             d2 = ex * ex + ey * ey

@@ -328,7 +328,10 @@ def _window_structure(col, width: int):
     counts = np.diff(loff)
     n_docs = len(counts)
     total = int(loff[-1] - loff[0])
-    h_tok = hash_string_array(tok.values)
+    # .values is the UNSLICED child array; slice it to the offset
+    # window so token hashes stay aligned with parents when the
+    # ListArray arrives sliced (loff[0] != 0) — ADVICE r4
+    h_tok = hash_string_array(tok.values.slice(loff[0], total))
     parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
 
     n_slots = total - width + 1

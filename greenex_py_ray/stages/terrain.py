@@ -57,7 +57,12 @@ class PointGradient:
         from ..sources import synth
 
         px = synth.TILE_PX
-        tkey = (col // px) * (1 << 20) + (row // px)
+        # bias both tile indices positive before packing so a negative
+        # row stripe can't alias into the previous column stripe (same
+        # fix as ripley_pair_counts; grouping-only key, results were
+        # correct either way but aliased groups over-allocate windows)
+        _b = np.int64(1 << 20)
+        tkey = (col // px + _b) * (np.int64(1) << np.int64(21)) + (row // px + _b)
         order = np.argsort(tkey, kind="stable")
         i = 0
         while i < n:
@@ -177,7 +182,12 @@ class D8FlowDirection:
         from ..sources import synth
 
         px = synth.TILE_PX
-        tkey = (col // px) * (1 << 20) + (row // px)
+        # bias both tile indices positive before packing so a negative
+        # row stripe can't alias into the previous column stripe (same
+        # fix as ripley_pair_counts; grouping-only key, results were
+        # correct either way but aliased groups over-allocate windows)
+        _b = np.int64(1 << 20)
+        tkey = (col // px + _b) * (np.int64(1) << np.int64(21)) + (row // px + _b)
         order = np.argsort(tkey, kind="stable")
         i = 0
         while i < n:

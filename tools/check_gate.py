@@ -32,12 +32,21 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Bit-exact canonical form, matching the driver's value hash.
+
+    Float columns are cast to float64 (exact for float32) and replaced
+    by their IEEE-754 bit pattern viewed as int64, with NaNs rewritten
+    to the canonical quiet NaN first — so -0.0 != +0.0 and any single
+    ULP difference fails, exactly like the driver's byte hash.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        if str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(9)
+        elif df[c].dtype.kind == "f":
+            v = df[c].to_numpy(dtype=np.float64, na_value=np.nan).copy()
+            v[np.isnan(v)] = np.nan  # canonicalize NaN payload bits
+            df[c] = v.view(np.int64)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -90,15 +99,16 @@ def main():
         ok = True
         for c in got.columns:
             a, b = got[c].to_numpy(), exp[c].to_numpy()
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
-                same = np.allclose(a.astype(float), b.astype(float), atol=1e-9, equal_nan=True)
-            else:
-                same = (a == b).all()
-            if not same:
-                bad = np.flatnonzero(~(a == b) if a.dtype.kind != "f" else
-                                     ~np.isclose(a.astype(float), b.astype(float), atol=1e-9, equal_nan=True))[:3]
+            eq = a == b
+            if not eq.all():
+                bad = np.flatnonzero(~eq)[:3]
+                av, bv = a[bad][:3], b[bad][:3]
+                if a.dtype == np.int64 and b.dtype == np.int64:
+                    # int64 columns may be float bit patterns — show both
+                    av = [f"{x}({x.view(np.float64)!r})" for x in av]
+                    bv = [f"{x}({x.view(np.float64)!r})" for x in bv]
                 print(f"[FAIL-vals] {name}.{c}: e.g. rows {bad.tolist()} "
-                      f"ray={a[bad][:3].tolist()} oracle={b[bad][:3].tolist()}")
+                      f"ray={list(av)} oracle={list(bv)}")
                 ok = False
         if ok:
             print(f"[OK       ] {name}: {len(got)} rows")
