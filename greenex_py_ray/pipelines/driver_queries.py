@@ -37,6 +37,7 @@ from . import availability
 
 CELL_SIZE = 500.0
 KNN_TARGET = 500.0
+COMPOSITE_POIS = 300
 NDVI_RADIUS = 300.0
 LULC_RADIUS = 500.0
 TOPK_K = 10
@@ -953,7 +954,7 @@ ORACLE_SQL: dict[str, str] = {
         b AS (SELECT vec_id, v,
               {_embedding_lsh_bucket_sql("v")} AS bucket FROM e)
         SELECT a.vec_id AS key_a, b2.vec_id AS key_b,
-               list_cosine_similarity(a.v, b2.v) AS cosine
+               round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
         FROM b a JOIN b b2
           ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
         WHERE list_cosine_similarity(a.v, b2.v) >= 0.30
@@ -3027,16 +3028,69 @@ def world_oracle_sql() -> dict[str, str]:
         ),
         pgvi AS (SELECT pid, sum(w * w * green) / sum(w) AS g
                  FROM terms GROUP BY pid)
+    """
+    # rollup kept separate so composite_exposure can wrap it as a CTE
+    vs_rollup = """
         SELECT s.doc_id, round(avg(p.g), 3) AS "GVI",
                CAST(count(*) AS BIGINT) AS nr_of_points
         FROM spc s JOIN pgvi p USING (pid)
         GROUP BY s.doc_id
     """
-    viewshed_sql = ("WITH " + wdocs(vs_pois) + "," + vs_net + f"""
+    vs_cand = f"""
         cand AS (
           SELECT d.doc_id, e.ax, e.ay, e.bx, e.by, e.length
           FROM docs d JOIN ec e ON {cand_d2} <= 10000.0
-        ),""" + vs_tail)
+        ),"""
+    viewshed_sql = ("WITH " + wdocs(vs_pois) + "," + vs_net + vs_cand
+                    + vs_tail + vs_rollup)
+
+    # --- composite exposure: the reference README's worked-example
+    # sequence (availability + accessibility + visibility over ONE PoI
+    # table) as a single query — zonal chain, nearest-centroid chain and
+    # the full viewshed chain share the same limited docs CTE, joined
+    # back onto the span payload (inner joins: every limited doc has
+    # all three metrics in the synthetic world) -----------------------
+    composite_sql = (
+        "WITH " + wdocs(COMPOSITE_POIS) + ","
+        + _PIX_BODY.format(r=NDVI_RADIUS) + f"""
+        , vals AS (SELECT doc_id, greatest({_NDVI_SQL}, 0.0) AS v FROM pix)
+        , m AS (
+          SELECT doc_id,
+                 round(avg(v), 3) AS mean_NDVI,
+                 round(sqrt(greatest(avg(v*v) - avg(v)*avg(v), 0.0)), 3) AS std_NDVI
+          FROM vals GROUP BY doc_id
+        ),
+        cent AS (SELECT gs_id, (x0 + x1) / 2.0 AS cx, (y0 + y1) / 2.0 AS cy
+                 FROM read_parquet({gs_pq})),
+        kd AS (
+          SELECT doc_id, gs_id,
+                 sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)) AS rawd,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy))
+                            ASC, gs_id ASC) AS rn
+          FROM docs CROSS JOIN cent
+        ),
+        k AS (
+          SELECT doc_id,
+                 CASE WHEN round(rawd, 0) <= {KNN_TARGET} THEN round(rawd, 0)
+                      ELSE {KNN_TARGET} END AS distance_to_greenspace,
+                 round(rawd, 0) <= {KNN_TARGET} AS greenspace_within_target,
+                 gs_id AS nearest_gs_id
+          FROM kd WHERE rn = 1
+        ),"""
+        + vs_net + vs_cand + vs_tail + f""",
+        v AS ({vs_rollup})
+        SELECT d.doc_id, m.mean_NDVI, m.std_NDVI,
+               k.distance_to_greenspace, k.greenspace_within_target,
+               k.nearest_gs_id, v."GVI", v.nr_of_points,
+               to_json(dsrc.spans) AS spans_json
+        FROM docs d
+        JOIN m USING (doc_id)
+        JOIN k USING (doc_id)
+        JOIN v USING (doc_id)
+        JOIN read_parquet('{glob}') dsrc USING (doc_id)
+    """)
 
     # --- isochrone NDVI: bounded Dijkstra + capsule mask + BFS holes ---
     # the prefix (through `inside`) is shared by the three isochrone
@@ -3380,7 +3434,7 @@ def world_oracle_sql() -> dict[str, str]:
           SELECT doc_id, ax, ay, bx, by, length FROM candbox
           WHERE ({inside_a} OR {inside_b}
             OR {cross_any})
-        ),""" + vs_tail)
+        ),""" + vs_tail + vs_rollup)
 
     pd2 = ", ".join(_seg_d2("p.sp_x", "p.sp_y", *s) for s in rect_segs)
     sv_member = (f"((p.sp_x > r.x0 AND p.sp_x < r.x1 AND p.sp_y > r.y0 "
@@ -3534,6 +3588,7 @@ def world_oracle_sql() -> dict[str, str]:
         "e2sfca_access": e2_sql,
         "streetview_gvi": streetview_sql,
         "viewshed_gvi": viewshed_sql,
+        "composite_exposure": composite_sql,
         "isochrone_ndvi": iso_sql,
         "isochrone_landcover": isolc_sql,
         "isochrone_greenspace": isogs_sql,
@@ -3650,6 +3705,106 @@ def q_viewshed_gvi(sf_dir: str):
         sample_dist=50.0, concurrency=None,
     )
     return rollup
+
+
+def q_composite_exposure(sf_dir: str):
+    """Composite exposure over ONE PoI read (VERDICT r4 #4): the
+    reference README's worked-example sequence — availability
+    (zonal mean/std NDVI), accessibility (nearest-greenspace centroid
+    distance + flag) and visibility (viewshed GVI) — as a single
+    pipeline: shared decode, three metric branches off one materialized
+    PoI table, one span-preserving join chain back onto the document
+    payload."""
+    import json
+
+    from ..functions.joins import bucket_join_attach
+    from ..sources import documents as doc_src
+    from . import visibility as vpipe
+
+    w = _world_paths()
+    docs = doc_src.read_documents(w["documents"]).limit(COMPOSITE_POIS)
+    poi = (docs.map_batches(
+               doc_src.DecodeGeom(), batch_format="pyarrow",
+               zero_copy_batch=True,
+               batch_size=max(32, COMPOSITE_POIS // 64))
+           .select_columns(["doc_id", "x", "y"])
+           .materialize())  # tiny (COMPOSITE_POIS rows): the fan-out
+    # point for the three branches; at scale this would be a
+    # checkpointed intermediate, not a driver materialization
+
+    metrics = availability.mean_ndvi(poi, w["tiles"], NDVI_RADIUS,
+                                     key_col="doc_id", concurrency=4)
+
+    gs = pq.read_table(w["greenspace"],
+                       columns=["gs_id", "x0", "y0", "x1", "y1"])
+    gx0 = gs.column("x0").to_numpy(zero_copy_only=False)
+    gx1 = gs.column("x1").to_numpy(zero_copy_only=False)
+    gy0 = gs.column("y0").to_numpy(zero_copy_only=False)
+    gy1 = gs.column("y1").to_numpy(zero_copy_only=False)
+    cent = pa.table({"gs_id": gs.column("gs_id"),
+                     "cx": pa.array((gx0 + gx1) / 2.0),
+                     "cy": pa.array((gy0 + gy1) / 2.0)})
+    near = poi.map_batches(
+        NearestGreenspace,
+        fn_constructor_kwargs=dict(centroids_ref=ray.put(cent),
+                                   target_dist=KNN_TARGET),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.25,
+    )
+
+    edges = vpipe.edge_coords_table(w["network_nodes"],
+                                    w["network_edges"])
+    rollup, _ = vpipe.viewshed_gvi(
+        poi, edges, w["tiles"], buffer_dist=100.0, viewing_dist=250.0,
+        sample_dist=50.0, concurrency=None,
+    )
+
+    span_t = pa.list_(pa.struct([("kind", pa.string()),
+                                 ("text", pa.string()),
+                                 ("media_ref", pa.string()),
+                                 ("offset", pa.int32())]))
+    doc_fields = [pa.field("doc_id", pa.string()),
+                  pa.field("spans", span_t)]
+    out = bucket_join_attach(
+        docs, metrics, key="doc_id", left_fields=list(doc_fields),
+        right_fields=[pa.field("doc_id", pa.string()),
+                      pa.field("mean_NDVI", pa.float64()),
+                      pa.field("std_NDVI", pa.float64())])
+    out = bucket_join_attach(
+        out, near, key="doc_id",
+        left_fields=doc_fields + [pa.field("mean_NDVI", pa.float64()),
+                                  pa.field("std_NDVI", pa.float64())],
+        right_fields=[pa.field("doc_id", pa.string()),
+                      pa.field("distance_to_greenspace", pa.float64()),
+                      pa.field("greenspace_within_target", pa.bool_()),
+                      pa.field("nearest_gs_id", pa.int64())])
+    out = bucket_join_attach(
+        out, rollup, key="doc_id",
+        left_fields=doc_fields + [
+            pa.field("mean_NDVI", pa.float64()),
+            pa.field("std_NDVI", pa.float64()),
+            pa.field("distance_to_greenspace", pa.float64()),
+            pa.field("greenspace_within_target", pa.bool_()),
+            pa.field("nearest_gs_id", pa.int64())],
+        right_fields=[pa.field("doc_id", pa.string()),
+                      pa.field("GVI", pa.float64()),
+                      pa.field("nr_of_points", pa.int64())])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        js = [json.dumps(sp, separators=(",", ":"))
+              for sp in b.column("spans").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "mean_NDVI": b.column("mean_NDVI"),
+            "std_NDVI": b.column("std_NDVI"),
+            "distance_to_greenspace": b.column("distance_to_greenspace"),
+            "greenspace_within_target": b.column("greenspace_within_target"),
+            "nearest_gs_id": b.column("nearest_gs_id"),
+            "GVI": b.column("GVI"),
+            "nr_of_points": b.column("nr_of_points"),
+            "spans_json": pa.array(js, pa.string()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_streetview_gvi(sf_dir: str):
@@ -5942,6 +6097,7 @@ QUERIES = {
     "spans_mean_ndvi_metrics": q_spans_mean_ndvi_metrics,
     "spans_mean_ndvi_payload": q_spans_mean_ndvi_payload,
     "viewshed_gvi": q_viewshed_gvi,
+    "composite_exposure": q_composite_exposure,
     "streetview_gvi": q_streetview_gvi,
     "canopy_pct": q_canopy_pct,
     "greenspace_pct": q_greenspace_pct,

@@ -104,6 +104,23 @@ class PointsInRects:
 #: 2SFCA ratio quantization: R_j = supply_q * FCA_SCALE // demand_j
 FCA_SCALE = 1_000_000_000
 
+#: facility count above which the dense (batch x F) matrix paths
+#: switch to a per-actor uniform-grid candidate gather (the
+#: SegmentSnapper pattern): a (4096-row batch x 10^6 facilities)
+#: dense bool matrix is ~4 GB — the grid path touches only the cells
+#: within the catchment radius.  Results are bit-identical: the grid
+#: yields a SUPERSET of candidates and every per-pair term repeats the
+#: dense path's arithmetic; all reductions are int64 (order-exact).
+DENSE_FAC_MAX = 4096
+
+
+def _fac_grid(fx, fy, radius: float, dense_max: int):
+    """GridIndex over facility centroids when the dense path would
+    blow up; None keeps the dense matrix path (small F)."""
+    if len(fx) <= dense_max:
+        return None
+    return GridIndex(fx, fy, cell_size=max(float(radius), 1e-9))
+
 
 class FCADemandCount:
     """Step-1 map_batches stage of the two-step floating catchment:
@@ -114,21 +131,32 @@ class FCADemandCount:
     points."""
 
     def __init__(self, fac_ref, radius: float,
-                 x_col: str = "x", y_col: str = "y"):
+                 x_col: str = "x", y_col: str = "y",
+                 dense_max: int = DENSE_FAC_MAX):
         t = _resolve(fac_ref)
         self.fx = t.column("centroid_x").to_numpy(zero_copy_only=False)
         self.fy = t.column("centroid_y").to_numpy(zero_copy_only=False)
         self.fid = t.column("gs_id").to_numpy(zero_copy_only=False)
+        self.radius = float(radius)
         self.r2 = float(radius) * float(radius)
         self.x_col, self.y_col = x_col, y_col
+        self.grid = _fac_grid(self.fx, self.fy, radius, dense_max)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
         y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
-        dx = x[:, None] - self.fx[None, :]
-        dy = y[:, None] - self.fy[None, :]
-        within = (dx * dx + dy * dy) <= self.r2
-        n = within.sum(axis=0).astype(np.int64)
+        if self.grid is None:
+            dx = x[:, None] - self.fx[None, :]
+            dy = y[:, None] - self.fy[None, :]
+            within = (dx * dx + dy * dy) <= self.r2
+            n = within.sum(axis=0).astype(np.int64)
+        else:
+            n = np.zeros(len(self.fx), dtype=np.int64)
+            for sel, cand in self.grid.candidate_groups(x, y, self.radius):
+                dx = x[sel][:, None] - self.fx[cand][None, :]
+                dy = y[sel][:, None] - self.fy[cand][None, :]
+                within = (dx * dx + dy * dy) <= self.r2
+                np.add.at(n, cand, within.sum(axis=0).astype(np.int64))
         nz = np.flatnonzero(n)
         return pa.table({"gs_id": pa.array(self.fid[nz]),
                          "n": pa.array(n[nz])})
@@ -141,23 +169,37 @@ class FCAAccess:
     ``radius``."""
 
     def __init__(self, fac_ref, radius: float, key_col: str = "doc_id",
-                 x_col: str = "x", y_col: str = "y"):
+                 x_col: str = "x", y_col: str = "y",
+                 dense_max: int = DENSE_FAC_MAX):
         t = _resolve(fac_ref)
         self.fx = t.column("centroid_x").to_numpy(zero_copy_only=False)
         self.fy = t.column("centroid_y").to_numpy(zero_copy_only=False)
         self.rq = t.column("rq").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.radius = float(radius)
         self.r2 = float(radius) * float(radius)
         self.key_col = key_col
         self.x_col, self.y_col = x_col, y_col
+        self.grid = _fac_grid(self.fx, self.fy, radius, dense_max)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
         y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
-        dx = x[:, None] - self.fx[None, :]
-        dy = y[:, None] - self.fy[None, :]
-        within = (dx * dx + dy * dy) <= self.r2
-        n_fac = within.sum(axis=1).astype(np.int64)
-        access_q = (within * self.rq[None, :]).sum(axis=1).astype(np.int64)
+        if self.grid is None:
+            dx = x[:, None] - self.fx[None, :]
+            dy = y[:, None] - self.fy[None, :]
+            within = (dx * dx + dy * dy) <= self.r2
+            n_fac = within.sum(axis=1).astype(np.int64)
+            access_q = (within * self.rq[None, :]).sum(axis=1).astype(np.int64)
+        else:
+            n_fac = np.zeros(len(x), dtype=np.int64)
+            access_q = np.zeros(len(x), dtype=np.int64)
+            for sel, cand in self.grid.candidate_groups(x, y, self.radius):
+                dx = x[sel][:, None] - self.fx[cand][None, :]
+                dy = y[sel][:, None] - self.fy[cand][None, :]
+                within = (dx * dx + dy * dy) <= self.r2
+                n_fac[sel] = within.sum(axis=1).astype(np.int64)
+                access_q[sel] = (within * self.rq[cand][None, :]) \
+                    .sum(axis=1).astype(np.int64)
         return pa.table({
             self.key_col: batch.column(self.key_col),
             "n_fac": pa.array(n_fac),
@@ -167,7 +209,8 @@ class FCAAccess:
 
 def two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
                  radius: float, key_col: str = "doc_id",
-                 concurrency=(1, 8)) -> "ray.data.Dataset":
+                 concurrency=(1, 8),
+                 dense_max: int = DENSE_FAC_MAX) -> "ray.data.Dataset":
     """Two-step floating catchment area accessibility (2SFCA, Luo &
     Wang 2003) with a binary catchment: step 1 computes each
     facility's supply-to-demand ratio ``R_j = S_j / |{i : d_ij <= r}|``;
@@ -204,7 +247,8 @@ def two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
 
     counts = (poi.map_batches(
                   FCADemandCount,
-                  fn_constructor_kwargs=dict(fac_ref=ref, radius=radius),
+                  fn_constructor_kwargs=dict(fac_ref=ref, radius=radius,
+                                             dense_max=dense_max),
                   batch_format="pyarrow", zero_copy_batch=True,
                   concurrency=concurrency, num_cpus=0.5)
               .groupby("gs_id").aggregate(Sum("n", alias_name="n"))
@@ -223,7 +267,7 @@ def two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
     return poi.map_batches(
         FCAAccess,
         fn_constructor_kwargs=dict(fac_ref=ref2, radius=radius,
-                                   key_col=key_col),
+                                   key_col=key_col, dense_max=dense_max),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=0.5,
     )
@@ -244,32 +288,52 @@ class GravityAccess:
 
     def __init__(self, fac_ref, theta: float, cutoff: float,
                  key_col: str = "doc_id",
-                 x_col: str = "x", y_col: str = "y"):
+                 x_col: str = "x", y_col: str = "y",
+                 dense_max: int = DENSE_FAC_MAX):
         t = _resolve(fac_ref)
         self.fx = t.column("centroid_x").to_numpy(zero_copy_only=False)
         self.fy = t.column("centroid_y").to_numpy(zero_copy_only=False)
         self.sup = t.column("supply_q").to_numpy(
             zero_copy_only=False).astype(np.float64)
         self.t2 = float(theta) * float(theta)
+        self.cutoff = float(cutoff)
         self.r2 = float(cutoff) * float(cutoff)
         self.key_col = key_col
         self.x_col, self.y_col = x_col, y_col
+        self.grid = _fac_grid(self.fx, self.fy, cutoff, dense_max)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
-        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
-        dx = x[:, None] - self.fx[None, :]
-        dy = y[:, None] - self.fy[None, :]
+    def _score(self, x, y, fsel):
+        """(len(x), len(fsel)) within mask + int64 weights with the
+        identical per-pair arithmetic on both the dense and grid
+        paths (fsel = slice of facilities under consideration)."""
+        dx = x[:, None] - self.fx[fsel][None, :]
+        dy = y[:, None] - self.fy[fsel][None, :]
         d2 = dx * dx + dy * dy
         within = d2 <= self.r2
         # floor(x+0.5) tie rule (matches SQL; d2/theta2 is exact
         # rational arithmetic, so .5 ties are reachable — ADVICE r4)
-        w = np.floor(self.sup[None, :] * GRAVITY_Q
+        w = np.floor(self.sup[fsel][None, :] * GRAVITY_Q
                      / (1.0 + d2 / self.t2) + 0.5).astype(np.int64)
-        access_q = np.where(within, w, 0).sum(axis=1).astype(np.int64)
+        return within, w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        if self.grid is None:
+            within, w = self._score(x, y, slice(None))
+            n_fac = within.sum(axis=1).astype(np.int64)
+            access_q = np.where(within, w, 0).sum(axis=1).astype(np.int64)
+        else:
+            n_fac = np.zeros(len(x), dtype=np.int64)
+            access_q = np.zeros(len(x), dtype=np.int64)
+            for sel, cand in self.grid.candidate_groups(x, y, self.cutoff):
+                within, w = self._score(x[sel], y[sel], cand)
+                n_fac[sel] = within.sum(axis=1).astype(np.int64)
+                access_q[sel] = np.where(within, w, 0) \
+                    .sum(axis=1).astype(np.int64)
         return pa.table({
             self.key_col: batch.column(self.key_col),
-            "n_fac": pa.array(within.sum(axis=1).astype(np.int64)),
+            "n_fac": pa.array(n_fac),
             "access_q": pa.array(access_q),
         })
 
@@ -277,7 +341,8 @@ class GravityAccess:
 def gravity_access(poi: "ray.data.Dataset", facilities: "pa.Table",
                    theta: float = 400.0, cutoff: float = 1500.0,
                    key_col: str = "doc_id",
-                   concurrency=(1, 8)) -> "ray.data.Dataset":
+                   concurrency=(1, 8),
+                   dense_max: int = DENSE_FAC_MAX) -> "ray.data.Dataset":
     """Gravity/potential accessibility (see :class:`GravityAccess`);
     supply = greenspace rect area like :func:`two_step_fca`."""
     import ray as _ray
@@ -303,7 +368,8 @@ def gravity_access(poi: "ray.data.Dataset", facilities: "pa.Table",
     return poi.map_batches(
         GravityAccess,
         fn_constructor_kwargs=dict(fac_ref=ref, theta=theta,
-                                   cutoff=cutoff, key_col=key_col),
+                                   cutoff=cutoff, key_col=key_col,
+                                   dense_max=dense_max),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=0.5,
     )
@@ -323,18 +389,21 @@ class E2DemandWeight:
     each batch collapses to O(F) rows."""
 
     def __init__(self, fac_ref, denom: float, cutoff: float,
-                 x_col: str = "x", y_col: str = "y"):
+                 x_col: str = "x", y_col: str = "y",
+                 dense_max: int = DENSE_FAC_MAX):
         t = _resolve(fac_ref)
         self.fx = t.column("centroid_x").to_numpy(zero_copy_only=False)
         self.fy = t.column("centroid_y").to_numpy(zero_copy_only=False)
         self.fid = t.column("gs_id").to_numpy(zero_copy_only=False)
         self.denom = float(denom)
+        self.cutoff = float(cutoff)
         self.r2 = float(cutoff) * float(cutoff)
         self.x_col, self.y_col = x_col, y_col
+        self.grid = _fac_grid(self.fx, self.fy, cutoff, dense_max)
 
-    def _weights(self, x, y):
-        dx = x[:, None] - self.fx[None, :]
-        dy = y[:, None] - self.fy[None, :]
+    def _weights(self, x, y, fsel=slice(None)):
+        dx = x[:, None] - self.fx[fsel][None, :]
+        dy = y[:, None] - self.fy[fsel][None, :]
         d2 = dx * dx + dy * dy
         w = np.round(np.exp(-d2 / self.denom) * E2_WQ).astype(np.int64)
         return np.where(d2 <= self.r2, w, 0)
@@ -342,8 +411,13 @@ class E2DemandWeight:
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
         y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
-        w = self._weights(x, y)
-        tot = w.sum(axis=0)
+        if self.grid is None:
+            tot = self._weights(x, y).sum(axis=0)
+        else:
+            tot = np.zeros(len(self.fx), dtype=np.int64)
+            for sel, cand in self.grid.candidate_groups(x, y, self.cutoff):
+                np.add.at(tot, cand,
+                          self._weights(x[sel], y[sel], cand).sum(axis=0))
         nz = np.flatnonzero(tot)
         return pa.table({"gs_id": pa.array(self.fid[nz]),
                          "wsum": pa.array(tot[nz])})
@@ -357,31 +431,46 @@ class E2Access(E2DemandWeight):
 
     def __init__(self, fac_ref, denom: float, cutoff: float,
                  key_col: str = "doc_id",
-                 x_col: str = "x", y_col: str = "y"):
-        super().__init__(fac_ref, denom, cutoff, x_col, y_col)
+                 x_col: str = "x", y_col: str = "y",
+                 dense_max: int = DENSE_FAC_MAX):
+        super().__init__(fac_ref, denom, cutoff, x_col, y_col,
+                         dense_max=dense_max)
         t = _resolve(fac_ref)
         self.rq = t.column("rq").to_numpy(
             zero_copy_only=False).astype(np.float64)
         self.key_col = key_col
 
+    def _score(self, x, y, fsel):
+        w = self._weights(x, y, fsel)
+        # floor(x+0.5) tie rule: w*rq/1e6 is exact rational arithmetic
+        # on integers, so exact .5 ties ARE reachable here (ADVICE r4)
+        terms = np.floor(w * self.rq[fsel][None, :] / E2_WQ
+                         + 0.5).astype(np.int64)
+        return ((w > 0).sum(axis=1).astype(np.int64),
+                terms.sum(axis=1).astype(np.int64))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
         y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
-        w = self._weights(x, y)
-        # floor(x+0.5) tie rule: w*rq/1e6 is exact rational arithmetic
-        # on integers, so exact .5 ties ARE reachable here (ADVICE r4)
-        terms = np.floor(w * self.rq[None, :] / E2_WQ + 0.5).astype(np.int64)
+        if self.grid is None:
+            n_fac, access_q = self._score(x, y, slice(None))
+        else:
+            n_fac = np.zeros(len(x), dtype=np.int64)
+            access_q = np.zeros(len(x), dtype=np.int64)
+            for sel, cand in self.grid.candidate_groups(x, y, self.cutoff):
+                n_fac[sel], access_q[sel] = self._score(x[sel], y[sel], cand)
         return pa.table({
             self.key_col: batch.column(self.key_col),
-            "n_fac": pa.array((w > 0).sum(axis=1).astype(np.int64)),
-            "access_q": pa.array(terms.sum(axis=1).astype(np.int64)),
+            "n_fac": pa.array(n_fac),
+            "access_q": pa.array(access_q),
         })
 
 
 def enhanced_two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
                           sigma: float = 500.0, cutoff: float = 1500.0,
                           key_col: str = "doc_id",
-                          concurrency=(1, 8)) -> "ray.data.Dataset":
+                          concurrency=(1, 8),
+                          dense_max: int = DENSE_FAC_MAX) -> "ray.data.Dataset":
     """E2SFCA (Luo & Qi 2009): 2SFCA with a Gaussian distance decay in
     BOTH steps.  ``denom = 2σ²`` is precomputed once so both engines
     divide by the identical double; weights and ratios are int64 (see
@@ -411,7 +500,8 @@ def enhanced_two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
     wsums = (poi.map_batches(
                  E2DemandWeight,
                  fn_constructor_kwargs=dict(fac_ref=ref, denom=denom,
-                                            cutoff=cutoff),
+                                            cutoff=cutoff,
+                                            dense_max=dense_max),
                  batch_format="pyarrow", zero_copy_batch=True,
                  concurrency=concurrency, num_cpus=0.5)
              .groupby("gs_id").aggregate(Sum("wsum", alias_name="wsum"))
@@ -430,7 +520,8 @@ def enhanced_two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
     return poi.map_batches(
         E2Access,
         fn_constructor_kwargs=dict(fac_ref=ref2, denom=denom,
-                                   cutoff=cutoff, key_col=key_col),
+                                   cutoff=cutoff, key_col=key_col,
+                                   dense_max=dense_max),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=0.5,
     )

@@ -507,19 +507,23 @@ def cosine_pairs_in_group(g: pd.DataFrame, threshold: float, key_col: str,
     V = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
     norms = np.linalg.norm(V, axis=1)
     norms[norms == 0] = 1.0
-    Vn = V / norms[:, None]
     n = len(keys)
     out_a, out_b, out_c = [], [], []
     for s in range(0, n, block):
         e = min(s + block, n)
-        sim = Vn[s:e] @ Vn.T  # (block, n)
+        # dot/(norm*norm), NOT pre-normalized rows: the same float64
+        # expression form as DuckDB's list_cosine_similarity, then
+        # round 6 so the value hash is stable across summation orders
+        # (the CosinePairsExact precedent; pre-normalizing drifted the
+        # bit pattern by a few ulps)
+        sim = (V[s:e] @ V.T) / (norms[s:e, None] * norms[None, :])
         bi, j = np.nonzero(sim >= threshold)
         i = bi + s
         keep = i < j  # upper triangle only
         if keep.any():
             out_a.append(keys[i[keep]])
             out_b.append(keys[j[keep]])
-            out_c.append(sim[bi[keep], j[keep]])
+            out_c.append(np.round(sim[bi[keep], j[keep]], 6))
     if not out_a:
         return empty
     return pd.DataFrame(

@@ -59,29 +59,57 @@ class IDWInterpolator:
     """
 
     def __init__(self, stations_ref, radius: float,
-                 x_col: str = "x", y_col: str = "y"):
+                 x_col: str = "x", y_col: str = "y",
+                 dense_max: int = 4096):
         t = _resolve(stations_ref)
         self.sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
         self.sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
         self.val = t.column("val").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.radius = float(radius)
         self.r2 = float(radius) * float(radius)
         self.x_col, self.y_col = x_col, y_col
+        # above dense_max stations, gather candidates from a uniform
+        # grid instead of the (batch x S) dense matrices; per-pair
+        # arithmetic is identical and all sums are int64, so the two
+        # paths are bit-equal (same pattern as stages/access.py)
+        self.grid = None
+        if len(self.sx) > dense_max:
+            from ..state.index import GridIndex
+            self.grid = GridIndex(self.sx, self.sy,
+                                  cell_size=max(self.radius, 1e-9))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
-        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
-        dx = x[:, None] - self.sx[None, :]
-        dy = y[:, None] - self.sy[None, :]
+    def _terms(self, x, y, ssel):
+        """(within, den_t, num_t) for points x,y against the station
+        subset ``ssel`` — the one shared arithmetic of both paths."""
+        dx = x[:, None] - self.sx[ssel][None, :]
+        dy = y[:, None] - self.sy[ssel][None, :]
         d2 = dx * dx + dy * dy
         within = d2 <= self.r2
         w = 1.0 / (d2 + 1.0)
         # int64-quantized terms -> order-independent exact sums
         den_t = np.where(within, np.round(w * IDW_DEN_Q), 0.0).astype(np.int64)
-        num_t = np.where(within, np.round(w * self.val[None, :] * IDW_NUM_Q),
+        num_t = np.where(within,
+                         np.round(w * self.val[ssel][None, :] * IDW_NUM_Q),
                          0.0).astype(np.int64)
-        den = den_t.sum(axis=1)
-        num = num_t.sum(axis=1)
-        n_within = within.sum(axis=1).astype(np.int64)
+        return within, den_t, num_t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        if self.grid is None:
+            within, den_t, num_t = self._terms(x, y, slice(None))
+            den = den_t.sum(axis=1)
+            num = num_t.sum(axis=1)
+            n_within = within.sum(axis=1).astype(np.int64)
+        else:
+            den = np.zeros(len(x), dtype=np.int64)
+            num = np.zeros(len(x), dtype=np.int64)
+            n_within = np.zeros(len(x), dtype=np.int64)
+            for sel, cand in self.grid.candidate_groups(x, y, self.radius):
+                within, den_t, num_t = self._terms(x[sel], y[sel], cand)
+                den[sel] = den_t.sum(axis=1)
+                num[sel] = num_t.sum(axis=1)
+                n_within[sel] = within.sum(axis=1).astype(np.int64)
         safe_den = np.where(den > 0, den, 1)
         # num/den = (num/1e9)/(den/1e12) = num * 1e3 / den
         idw = np.round(num * (IDW_DEN_Q / IDW_NUM_Q) / safe_den, 6)
@@ -114,7 +142,8 @@ class HaversineNearest:
     """
 
     def __init__(self, facilities_ref, lon_col: str = "lon",
-                 lat_col: str = "lat"):
+                 lat_col: str = "lat", dense_max: int = 4096,
+                 grid_cell_deg: float = 0.5):
         t = _resolve(facilities_ref)
         self.fid = t.column("fid").to_numpy(zero_copy_only=False).astype(np.int64)
         self.flon = t.column("flon").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -125,10 +154,21 @@ class HaversineNearest:
         self.flon = self.flon[order]
         self.flat = self.flat[order]
         self.lon_col, self.lat_col = lon_col, lat_col
+        # scale path: degree-space grid + ring expansion.  Partitioning
+        # assumptions (documented): lon in [-180, 180] with no
+        # antimeridian-wrapping neighbour pairs, |lat| < 89.9.  The
+        # ring lower bound uses 111.0 km/deg * cos(max |lat|), safe for
+        # both lat- and lon-separated cells.
+        self.grid = None
+        if len(self.fid) > dense_max:
+            from ..state.index import GridIndex
+            self.cs_deg = float(grid_cell_deg)
+            self.grid = GridIndex(self.flon, self.flat,
+                                  cell_size=self.cs_deg)
+            self.cos_lat_max = np.cos(np.radians(
+                min(89.9, float(np.abs(self.flat).max(initial=0.0)))))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
-        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+    def _dense(self, lon, lat):
         d = haversine_km(lon[:, None], lat[:, None],
                          self.flon[None, :], self.flat[None, :])
         dq = np.round(d, 6)
@@ -137,9 +177,81 @@ class HaversineNearest:
         # row_number ORDER BY round(d,6), fid)
         idx = np.argmin(dq, axis=1)
         rows = np.arange(len(idx))
-        return (batch.append_column("fid", pa.array(self.fid[idx]))
+        return self.fid[idx], d[rows, idx]
+
+    def _grid_nearest(self, lon, lat):
+        """Ring-expanding exact nearest by great-circle distance: the
+        grid only prunes (conservative km lower bound per unexplored
+        ring, including a 2e-6 slack for the round-6 tie rule); the
+        metric and (dq, fid) ordering are identical to the dense
+        path."""
+        g = self.grid
+        n = len(lon)
+        best_dq = np.full(n, np.inf)
+        best_draw = np.full(n, np.inf)
+        best_fid = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        qix = np.floor(lon / self.cs_deg).astype(np.int64)
+        qiy = np.floor(lat / self.cs_deg).astype(np.int64)
+        gkey = qix * (1 << 32) + qiy
+        order = np.argsort(gkey, kind="stable")
+        uq, starts = np.unique(gkey[order], return_index=True)
+        bounds = np.concatenate([starts, [n]])
+        for gidx in range(len(uq)):
+            sel = order[bounds[gidx]:bounds[gidx + 1]]
+            bix, biy = int(qix[sel[0]]), int(qiy[sel[0]])
+            glon, glat = lon[sel], lat[sel]
+            bdq = best_dq[sel]
+            bdr = best_draw[sel]
+            bfid = best_fid[sel]
+            ring_cap = max(
+                2,
+                max(abs(bix - g._ix_lo), abs(bix - g._ix_hi)),
+                max(abs(biy - g._iy_lo), abs(biy - g._iy_hi)),
+            )
+            ring = g._ring_start(bix, biy)
+            while True:
+                cand = g._ring_indices(bix, biy, ring)
+                if len(cand):
+                    cand = np.sort(cand)  # fid-sorted arrays -> fid asc
+                    d = haversine_km(glon[:, None], glat[:, None],
+                                     self.flon[cand][None, :],
+                                     self.flat[cand][None, :])
+                    dq = np.round(d, 6)
+                    j = np.argmin(dq, axis=1)  # first min = lowest fid
+                    rows = np.arange(len(sel))
+                    cdq = dq[rows, j]
+                    cfid = self.fid[cand[j]]
+                    upd = (cdq < bdq) | ((cdq == bdq) & (cfid < bfid))
+                    bdq[upd] = cdq[upd]
+                    bdr[upd] = d[rows, j][upd]
+                    bfid[upd] = cfid[upd]
+                # cells beyond this ring are >= ring*cs degrees away in
+                # lat or lon; 2R·cos(lat_max)·sin(sep/2) lower-bounds
+                # the great-circle distance for BOTH separations (exact
+                # chord bound — a linear km/deg would overshoot at wide
+                # angles), with tie slack for round-6 ties
+                sep = np.radians(min(ring * self.cs_deg, 180.0))
+                lower_next = (2.0 * EARTH_R_KM * self.cos_lat_max
+                              * np.sin(sep / 2.0))
+                done = np.isfinite(bdq) & (bdq + 2e-6 <= lower_next)
+                if done.all() or ring > ring_cap + 1:
+                    break
+                ring += 1
+            best_dq[sel] = bdq
+            best_draw[sel] = bdr
+            best_fid[sel] = bfid
+        return best_fid, best_draw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        if self.grid is None:
+            fid, draw = self._dense(lon, lat)
+        else:
+            fid, draw = self._grid_nearest(lon, lat)
+        return (batch.append_column("fid", pa.array(fid))
                 .append_column("dist_km",
-                               pa.array(np.round(d[rows, idx], 3),
+                               pa.array(np.round(draw, 3),
                                         pa.float64())))
 
 

@@ -149,6 +149,38 @@ class GridIndex:
             best_i[miss] = -1
         return best_d, best_i
 
+    def candidate_groups(self, qx: np.ndarray, qy: np.ndarray,
+                         radius: float):
+        """Yield ``(query_indices, candidate_point_indices)`` per
+        occupied query cell; candidates are every indexed point within
+        ``ceil(radius/cs) + 1`` Chebyshev rings — a strict SUPERSET of
+        the radius ball, so the caller applies its own metric/filter
+        with its own arithmetic (the grid only prunes, it never
+        decides).  This is the scale path for broadcast-facility
+        stages: per-batch work drops from O(points x F) dense to
+        O(points x local candidates)."""
+        qx = np.asarray(qx, dtype=np.float64)
+        qy = np.asarray(qy, dtype=np.float64)
+        if not len(qx) or not len(self.x):
+            return
+        rings = int(np.ceil(radius / self.cs)) + 1
+        qix = np.floor(qx / self.cs).astype(np.int64)
+        qiy = np.floor(qy / self.cs).astype(np.int64)
+        gkey = qix * (1 << 32) + qiy
+        order = np.argsort(gkey, kind="stable")
+        uq, starts = np.unique(gkey[order], return_index=True)
+        bounds = np.concatenate([starts, [len(qx)]])
+        for g in range(len(uq)):
+            sel = order[bounds[g] : bounds[g + 1]]
+            bix = int(qix[sel[0]])
+            biy = int(qiy[sel[0]])
+            parts = [self._ring_indices(bix, biy, r)
+                     for r in range(rings + 1)]
+            parts = [p for p in parts if len(p)]
+            if not parts:
+                continue
+            yield sel, np.concatenate(parts)
+
     def within(self, qx: np.ndarray, qy: np.ndarray, radius: float):
         """All index points within ``radius`` of each query point.
         Returns (query_local_index, point_index, dist) flat arrays."""

@@ -50,6 +50,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def harmonize(a: pd.DataFrame, b: pd.DataFrame):
+    """Cast int columns to float64 where the OTHER side is float —
+    the driver's hash equates int64 25074909 with DOUBLE 25074909.0
+    (quantized Ray columns vs uncast SQL arithmetic), so the strict
+    bit compare only applies within a common dtype."""
+    for c in set(a.columns) & set(b.columns):
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka in "iu" and kb == "f":
+            a[c] = a[c].astype(np.float64)
+        elif kb in "iu" and ka == "f":
+            b[c] = b[c].astype(np.float64)
+    return a, b
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -74,20 +88,23 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            got = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"[FAIL-run ] {name}: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
         if name not in oracles:
+            got = canon(got)
             print(f"[rows-only] {name}: {len(got)} rows, cols={list(got.columns)}")
             continue
         try:
-            exp = canon(con.sql(oracles[name]).df())
+            exp = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"[FAIL-sql ] {name}: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        got, exp = harmonize(got.copy(), exp)
+        got, exp = canon(got), canon(exp)
         if len(got) != len(exp):
             print(f"[FAIL-rows] {name}: ray={len(got)} oracle={len(exp)}")
             failures += 1
