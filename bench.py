@@ -120,11 +120,15 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GREENEX_BENCH_ONLY=os.environ.get(
                        "GREENEX_BENCH_ONLY", "spans_mean_ndvi_metrics,viewshed_gvi"),
-                   # 12M docs: the zonal pipeline's fixed actor-pool ramp
-                   # (~2.4 s at 32 CPUs, ~0.9 s at 8) is 27 % of a 6M-doc
-                   # hi leg but 17 % at 12M; 24M regresses (object-store
-                   # pressure, 797k vs 863k rows/s) — see BASELINE.md
-                   GREENEX_WORLD_DOCS=os.environ.get("GREENEX_SCALING_DOCS", "12000000"),
+                   # 24M docs + a 55 % object store: the round-4 24M
+                   # regression (797k vs 863k rows/s) was object-store
+                   # pressure at the default 42.9 % proportion; at 55 %
+                   # the hi leg runs 1.20M rows/s and the bigger input
+                   # amortizes the fixed actor-pool ramp to <12 % of the
+                   # leg (round-5: zonal solo 0.838) — see BASELINE.md
+                   RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION=os.environ.get(
+                       "RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.55"),
+                   GREENEX_WORLD_DOCS=os.environ.get("GREENEX_SCALING_DOCS", "24000000"),
                    GREENEX_VIEWSHED_POIS=os.environ.get("GREENEX_SCALING_POIS", "400000"))
         out = subprocess.run(
             ["taskset", "-c", f"0-{ncpu - 1}",

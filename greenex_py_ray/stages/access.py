@@ -243,15 +243,19 @@ def two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
     })
     ref = _ray.put(fac)
 
-    from ray.data.aggregate import Sum
+    from ..functions.aggregates import bucket_group_reduce
 
-    counts = (poi.map_batches(
-                  FCADemandCount,
-                  fn_constructor_kwargs=dict(fac_ref=ref, radius=radius,
-                                             dense_max=dense_max),
-                  batch_format="pyarrow", zero_copy_batch=True,
-                  concurrency=concurrency, num_cpus=0.5)
-              .groupby("gs_id").aggregate(Sum("n", alias_name="n"))
+    # bucketed combiner, not groupby.aggregate: step-1 partials are
+    # O(F) rows per batch and F can be 10^6 — the generic sort-based
+    # groupby was 48x slower at that cardinality (round-4 finding)
+    counts = (bucket_group_reduce(
+                  poi.map_batches(
+                      FCADemandCount,
+                      fn_constructor_kwargs=dict(fac_ref=ref, radius=radius,
+                                                 dense_max=dense_max),
+                      batch_format="pyarrow", zero_copy_batch=True,
+                      concurrency=concurrency, num_cpus=0.5),
+                  "gs_id", ["n"], ["sum"])
               .to_pandas())
     # O(F) driver table: attach ratios, drop zero-demand facilities
     merged = fac.to_pandas().merge(counts, on="gs_id", how="inner")
@@ -476,7 +480,8 @@ def enhanced_two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
     divide by the identical double; weights and ratios are int64 (see
     the step classes), so every aggregate is order-exact."""
     import ray as _ray
-    from ray.data.aggregate import Sum
+
+    from ..functions.aggregates import bucket_group_reduce
 
     denom = 2.0 * float(sigma) * float(sigma)
     # floor(x + 0.5), not np.round: np.round is ties-to-even while SQL
@@ -497,14 +502,17 @@ def enhanced_two_step_fca(poi: "ray.data.Dataset", facilities: "pa.Table",
         "supply_q": pa.array(sup),
     })
     ref = _ray.put(fac)
-    wsums = (poi.map_batches(
-                 E2DemandWeight,
-                 fn_constructor_kwargs=dict(fac_ref=ref, denom=denom,
-                                            cutoff=cutoff,
-                                            dense_max=dense_max),
-                 batch_format="pyarrow", zero_copy_batch=True,
-                 concurrency=concurrency, num_cpus=0.5)
-             .groupby("gs_id").aggregate(Sum("wsum", alias_name="wsum"))
+    # bucketed combiner (see two_step_fca): O(F)-row partials per
+    # batch, 10^6 distinct gs_id keys
+    wsums = (bucket_group_reduce(
+                 poi.map_batches(
+                     E2DemandWeight,
+                     fn_constructor_kwargs=dict(fac_ref=ref, denom=denom,
+                                                cutoff=cutoff,
+                                                dense_max=dense_max),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=concurrency, num_cpus=0.5),
+                 "gs_id", ["wsum"], ["sum"])
              .to_pandas())
     merged = fac.to_pandas().merge(wsums, on="gs_id", how="inner")
     merged = merged[merged["wsum"] > 0]

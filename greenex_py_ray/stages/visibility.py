@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -459,14 +460,19 @@ class NearestImageFeature:
     """map_batches actor: nearest image feature within 100 m (J7,
     visibility.py:706-717); misses get image_id "" / distance null."""
 
-    def __init__(self, features_ref, max_distance: float = 100.0):
+    def __init__(self, features_ref, max_distance: float = 100.0,
+                 index_cell: float = 500.0):
         t = _resolve(features_ref)
         self.index = GridIndex(
             t.column("x").to_numpy(zero_copy_only=False),
             t.column("y").to_numpy(zero_copy_only=False),
-            cell_size=500.0,
+            cell_size=index_cell,
         )
-        self.image_ids = t.column("image_id").to_pylist()
+        # keep ids as an Arrow array so the per-batch gather is a
+        # zero-copy take, not a Python-list comprehension per row
+        ids = t.column("image_id")
+        self.image_ids = (ids.combine_chunks()
+                          if isinstance(ids, pa.ChunkedArray) else ids)
         self.is_pano = t.column("is_panoramic").to_numpy(zero_copy_only=False)
         self.max_distance = float(max_distance)
 
@@ -475,11 +481,12 @@ class NearestImageFeature:
         y = batch.column("sp_y").to_numpy(zero_copy_only=False)
         d, idx = self.index.nearest(x, y, max_dist=self.max_distance)
         hit = idx >= 0
-        ids = [self.image_ids[j] if h else "" for j, h in zip(idx, hit)]
+        taken = self.image_ids.take(pa.array(np.maximum(idx, 0)))
+        ids = pc.if_else(pa.array(hit), taken, "")
         pano = np.where(hit, self.is_pano[np.maximum(idx, 0)], False)
         dist = np.where(hit, d, np.nan)
         return (
-            batch.append_column("image_id", pa.array(ids, pa.string()))
+            batch.append_column("image_id", ids)
             .append_column("is_panoramic", pa.array(pano.astype(bool)))
             .append_column("feature_distance", pa.array(dist))
         )

@@ -144,3 +144,38 @@ def test_haversine_grid_sparse_far_queries():
     dense = HaversineNearest(fac, dense_max=10**9)
     grid = HaversineNearest(fac, dense_max=0)
     _tables_equal(dense(b), grid(b))
+
+
+def test_nearest_image_feature_matches_bruteforce():
+    """J7 grid-indexed nearest-feature (100 m cutoff) vs the dense
+    argmin, including the miss sentinel columns."""
+    from greenex_py_ray.stages.visibility import NearestImageFeature
+
+    rng = np.random.default_rng(81)
+    nf = 500
+    feat = pa.table({
+        "image_id": pa.array([f"img{i}" for i in range(nf)]),
+        "x": pa.array(rng.uniform(0, 5000, nf)),
+        "y": pa.array(rng.uniform(0, 5000, nf)),
+        "is_panoramic": pa.array(rng.integers(0, 2, nf).astype(bool)),
+    })
+    sx = rng.uniform(-200, 5200, 400)
+    sy = rng.uniform(-200, 5200, 400)
+    b = pa.table({"sp_x": pa.array(sx), "sp_y": pa.array(sy)})
+    out = NearestImageFeature(feat, max_distance=100.0)(b)
+
+    fx = feat.column("x").to_numpy()
+    fy = feat.column("y").to_numpy()
+    d2 = (sx[:, None] - fx[None, :]) ** 2 + (sy[:, None] - fy[None, :]) ** 2
+    j = d2.argmin(axis=1)
+    dmin = np.sqrt(d2[np.arange(len(sx)), j])
+    hit = dmin <= 100.0
+    exp_ids = np.where(hit, np.array([f"img{i}" for i in j]), "")
+    assert out.column("image_id").to_pylist() == exp_ids.tolist()
+    got_d = out.column("feature_distance").to_numpy(zero_copy_only=False)
+    assert np.allclose(got_d[hit], dmin[hit])
+    assert np.isnan(got_d[~hit]).all()
+    pano = feat.column("is_panoramic").to_numpy(zero_copy_only=False)
+    exp_pano = np.where(hit, pano[j], False)
+    assert (out.column("is_panoramic").to_numpy(zero_copy_only=False)
+            == exp_pano).all()

@@ -8,6 +8,7 @@ Usage: python tools/check_gate.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
+import time as _time
 
 import duckdb
 import numpy as np
@@ -87,12 +88,14 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.time()
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"[FAIL-run ] {name}: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        t_ray = _time.time() - t0
         if name not in oracles:
             got = canon(got)
             print(f"[rows-only] {name}: {len(got)} rows, cols={list(got.columns)}")
@@ -128,7 +131,8 @@ def main():
                       f"ray={list(av)} oracle={list(bv)}")
                 ok = False
         if ok:
-            print(f"[OK       ] {name}: {len(got)} rows")
+            print(f"[OK       ] {name}: {len(got)} rows "
+                  f"({t_ray:.2f}s ray-side)")
         else:
             failures += 1
     ray.shutdown()
