@@ -1757,6 +1757,8 @@ ORACLE_SQL["kde_grid"] = f"""
 
 HEX_SIZE = 750.0
 SNAP_R = 1500.0
+VIT_STEPS = 5
+VIT_K = 4
 LINE_W = 3
 LINE_MIN_DOCS = 4
 
@@ -2042,6 +2044,82 @@ ORACLE_SQL["snap_to_road"] = f"""
           FROM dd WHERE d2 <= {SNAP_R!r} * {SNAP_R!r})
     SELECT doc_id, ek AS edge_key, tc AS snap_t, sqrt(d2) AS snap_dist
     FROM r WHERE rn = 1
+"""
+
+# HMM map matching (stages/mapmatch.viterbi_match): the snap_to_road
+# projection tree reused per (ping, segment), K-nearest candidates by
+# (d2, ek), then the Viterbi DP with int64 emission floor(d2+0.5) and
+# transition floor(|snap-to-snap - ping-step| + 0.5) costs — unrolled
+# as one MATERIALIZED CTE per step (recursive CTEs cannot aggregate),
+# the MMR-gate precedent.  Integer costs make min/sum order-exact, so
+# the full DP table matches bit-for-bit.
+_VXE = dt.SQL_X.format(k="eid")
+_VYE = dt.SQL_Y.format(k="eid")
+_vit_tail = ""
+_vit_union = ("SELECT user_id, CAST(1 AS BIGINT) AS step, ek AS edge_key,"
+              " cost AS cost_q FROM v1")
+for _t in range(2, VIT_STEPS + 1):
+    _vit_tail += f""",
+    v{_t} AS MATERIALIZED (
+      SELECT c.user_id, c.ek, c.sx, c.sy,
+             c.eq + min(p.cost + CAST(floor(abs(
+                 sqrt((c.sx - p.sx) * (c.sx - p.sx)
+                    + (c.sy - p.sy) * (c.sy - p.sy)) - g.gc) + 0.5)
+               AS BIGINT)) AS cost
+      FROM cand c
+      JOIN v{_t - 1} p USING (user_id)
+      JOIN gsteps g ON g.user_id = c.user_id AND g.step = {_t}
+      WHERE c.step = {_t}
+      GROUP BY c.user_id, c.ek, c.sx, c.sy, c.eq)"""
+    _vit_union += (f"\n    UNION ALL SELECT user_id, CAST({_t} AS BIGINT)"
+                   f" AS step, ek AS edge_key, cost AS cost_q FROM v{_t}")
+ORACLE_SQL["viterbi_match"] = f"""
+    WITH seg0v AS (
+      SELECT s_suppkey AS ek, {_SX} AS ax, {_SY} AS ay,
+             {_SX} + ((s_suppkey * 48271) % 2001 - 1000.0) AS bxx,
+             {_SY} + ((s_suppkey * 16807) % 2001 - 1000.0) AS byy
+      FROM supplier),
+    segv AS (SELECT ek, ax, ay, bxx - ax AS dxv, byy - ay AS dyv,
+               (bxx - ax) * (bxx - ax) + (byy - ay) * (byy - ay) AS len2
+             FROM seg0v),
+    p0 AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ts_us,
+                  CAST(event_id AS BIGINT) AS eid, {_VXE} AS x, {_VYE} AS y
+           FROM events),
+    pr AS (SELECT *, row_number() OVER w AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS cnt
+           FROM p0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, eid)),
+    pings AS MATERIALIZED (
+      SELECT user_id, CAST(rn AS BIGINT) AS step, x, y
+      FROM pr WHERE cnt >= {VIT_STEPS} AND rn <= {VIT_STEPS}),
+    gsteps AS MATERIALIZED (
+      SELECT a.user_id, a.step,
+             sqrt((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y)) AS gc
+      FROM pings a JOIN pings b
+        ON b.user_id = a.user_id AND b.step = a.step - 1),
+    pj AS (SELECT p.user_id, p.step, s.ek, p.x, p.y,
+             s.ax, s.ay, s.dxv, s.dyv,
+             least(greatest(CASE WHEN s.len2 = 0.0 THEN 0.0
+                                 ELSE ((p.x - s.ax) * s.dxv
+                                       + (p.y - s.ay) * s.dyv) / s.len2
+                            END, 0.0), 1.0) + 0.0 AS tc
+           FROM pings p CROSS JOIN segv s),
+    pj2 AS (SELECT user_id, step, ek,
+              ax + tc * dxv AS sx, ay + tc * dyv AS sy,
+              (x - (ax + tc * dxv)) * (x - (ax + tc * dxv))
+              + (y - (ay + tc * dyv)) * (y - (ay + tc * dyv)) AS d2
+            FROM pj),
+    cand AS MATERIALIZED (
+      SELECT user_id, step, ek, sx, sy,
+             CAST(floor(d2 + 0.5) AS BIGINT) AS eq
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id, step ORDER BY d2, ek) AS rk
+            FROM pj2)
+      WHERE rk <= {VIT_K}),
+    v1 AS MATERIALIZED (
+      SELECT user_id, ek, sx, sy, eq AS cost FROM cand WHERE step = 1)
+    {_vit_tail}
+    {_vit_union}
 """
 
 # Hexagonal binning (stages/geostats.hexbin): pointy-top axial hex ids
@@ -4860,6 +4938,35 @@ def q_snap_to_road(sf_dir: str):
     return snap_to_segments(ds, _road_segments_from_supplier(sf_dir), SNAP_R)
 
 
+def q_viterbi_match(sf_dir: str):
+    """HMM map matching (stages/mapmatch.viterbi_match): per-user
+    5-ping trajectories (events ordered by ts, event_id; xy derived
+    from event_id) Viterbi-matched against the supplier road segments
+    — K=4 nearest candidates per ping, int64 emission/transition
+    costs, output = the full DP cost table."""
+    from ..stages.mapmatch import viterbi_match
+
+    ds = dt.read_table(sf_dir, "events",
+                       columns=["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x, y = dt.derive_xy(k)
+        ts = batch.column("ts").cast(pa.timestamp("us"))
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "ts_us": ts.cast(pa.int64()),
+            "event_id": pa.array(k),
+            "x": pa.array(x), "y": pa.array(y),
+        })
+
+    pings = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return viterbi_match(pings, _road_segments_from_supplier(sf_dir),
+                         n_steps=VIT_STEPS, k_cand=VIT_K)
+
+
 def q_partition_checksum(sf_dir: str):
     """Per-cell lineage checksum table (lineage.partition_checksum)."""
     from ..lineage import partition_checksum
@@ -6032,6 +6139,7 @@ QUERIES = {
     "kde_grid": q_kde_grid,
     "hexbin": q_hexbin,
     "snap_to_road": q_snap_to_road,
+    "viterbi_match": q_viterbi_match,
     "line_dedup": q_line_dedup,
     "edit_distance": q_edit_distance,
     "mixture_sample": q_mixture_sample,

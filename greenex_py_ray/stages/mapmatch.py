@@ -139,3 +139,138 @@ def snap_to_segments(points: "ray.data.Dataset", edges: pa.Table,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, num_cpus=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# HMM map matching (Viterbi)
+# ---------------------------------------------------------------------------
+
+def viterbi_match(pings: "ray.data.Dataset", segments: pa.Table,
+                  n_steps: int = 5, k_cand: int = 4,
+                  num_buckets: int = 32) -> "ray.data.Dataset":
+    """HMM map matching — the sequence form of :class:`SegmentSnapper`
+    (Newson & Krumm 2009, simplified: no routing, transition cost =
+    |snap-to-snap euclidean − ping step length|).  The reference snaps
+    each sample point independently (visibility.py:706-717); Viterbi
+    instead picks the JOINTLY most likely segment sequence per
+    trajectory, the standard GPS-trace cleanup for accessibility runs.
+
+    Physical plan: ``segments`` is the broadcast small side; pings
+    hash-bucket by user (ONE shuffle), and each bucket runs a fully
+    vectorized DP over ``(users × K × K)`` tensors — S−1 numpy steps
+    per bucket, no per-user Python.  All costs are int64 (emission =
+    ``floor(d² + 0.5)``, transition = ``floor(|dd − gc| + 0.5)``), so
+    min/sum are order-exact and the DuckDB oracle (the same DP unrolled
+    as MATERIALIZED CTEs) matches bit-for-bit.
+
+    Input ``pings``: (user_id int64, ts_us int64, event_id int64,
+    x, y).  Users with fewer than ``n_steps`` pings are dropped; each
+    kept user contributes its first ``n_steps`` pings by (ts_us,
+    event_id).  Output: the full DP table — one row per (user, step,
+    candidate): ``user_id, step, edge_key, cost_q``.
+
+    Scale notes: candidate selection here is a dense argsort against
+    the broadcast segment table (the K-nearest form); above ~10^4
+    segments swap in the ``SegmentSnapper`` grid gather with ring
+    expansion to the K-th distance bound (same pattern, documented
+    assumption — road networks are the small side at any city scale).
+    """
+    ek = segments.column("edge_key").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ek, kind="stable")
+    seg = {
+        "ek": ek[order],
+        "ax": segments.column("ax").to_numpy(zero_copy_only=False)[order],
+        "ay": segments.column("ay").to_numpy(zero_copy_only=False)[order],
+        "bx": segments.column("bx").to_numpy(zero_copy_only=False)[order],
+        "by": segments.column("by").to_numpy(zero_copy_only=False)[order],
+    }
+    S, K = int(n_steps), int(k_cand)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (u * np.int64(2654435761)) % np.int64(num_buckets)
+        return batch.append_column("__bucket", pa.array(h))
+
+    def run_bucket(t: pa.Table) -> pa.Table:
+        return _viterbi_bucket(t, seg, S, K)
+
+    return (pings.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(run_bucket, batch_format="pyarrow"))
+
+
+def _viterbi_bucket(t: pa.Table, seg: dict, S: int, K: int) -> pa.Table:
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "step": pa.array([], pa.int64()),
+                      "edge_key": pa.array([], pa.int64()),
+                      "cost_q": pa.array([], pa.int64())})
+    u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    x = t.column("x").to_numpy(zero_copy_only=False)
+    y = t.column("y").to_numpy(zero_copy_only=False)
+    if not len(u):
+        return empty
+    o = np.lexsort((eid, ts, u))
+    u, ts, eid, x, y = u[o], ts[o], eid[o], x[o], y[o]
+    uu, starts, cnt = np.unique(u, return_index=True, return_counts=True)
+    keep = cnt >= S
+    if not keep.any():
+        return empty
+    uu, starts = uu[keep], starts[keep]
+    nu = len(uu)
+    # (nu, S) ping grids: first S pings of each kept user
+    idx = starts[:, None] + np.arange(S)[None, :]
+    X, Y = x[idx], y[idx]
+
+    # candidate projection — the SegmentSnapper / snap_to_road oracle
+    # expression tree, replayed verbatim
+    ax, ay = seg["ax"], seg["ay"]
+    dxv, dyv = seg["bx"] - ax, seg["by"] - ay
+    len2 = dxv * dxv + dyv * dyv
+    px = X.reshape(-1, 1)
+    py = Y.reshape(-1, 1)
+    dot = (px - ax[None, :]) * dxv[None, :] + (py - ay[None, :]) * dyv[None, :]
+    tt = np.divide(dot, len2[None, :], out=np.zeros_like(dot),
+                   where=len2[None, :] != 0.0)
+    tc = np.minimum(np.maximum(tt, 0.0), 1.0) + 0.0
+    sx = ax[None, :] + tc * dxv[None, :]
+    sy = ay[None, :] + tc * dyv[None, :]
+    d2 = (px - sx) ** 2 + (py - sy) ** 2
+    # K nearest by (d2, ek): seg arrays are ek-ascending, stable sort
+    # keeps that order among exact d2 ties
+    Keff = min(K, len(ax))
+    top = np.argsort(d2, axis=1, kind="stable")[:, :Keff]
+    rows = np.arange(d2.shape[0])[:, None]
+    c_ek = seg["ek"][top].reshape(nu, S, Keff)
+    c_sx = sx[rows, top].reshape(nu, S, Keff)
+    c_sy = sy[rows, top].reshape(nu, S, Keff)
+    c_eq = np.floor(d2[rows, top] + 0.5).astype(np.int64).reshape(nu, S, Keff)
+
+    gc = np.sqrt(np.diff(X, axis=1) ** 2 + np.diff(Y, axis=1) ** 2)  # (nu, S-1)
+
+    out_u, out_s, out_e, out_c = [], [], [], []
+    cost = c_eq[:, 0, :]  # (nu, Keff)
+    out_u.append(np.repeat(uu, Keff))
+    out_s.append(np.full(nu * Keff, 1, np.int64))
+    out_e.append(c_ek[:, 0, :].ravel())
+    out_c.append(cost.ravel())
+    for step in range(1, S):
+        dd = np.sqrt(
+            (c_sx[:, step, None, :] - c_sx[:, step - 1, :, None]) ** 2
+            + (c_sy[:, step, None, :] - c_sy[:, step - 1, :, None]) ** 2
+        )  # (nu, K_prev, K_cur)
+        tr = np.floor(np.abs(dd - gc[:, step - 1][:, None, None])
+                      + 0.5).astype(np.int64)
+        cost = c_eq[:, step, :] + (cost[:, :, None] + tr).min(axis=1)
+        out_u.append(np.repeat(uu, Keff))
+        out_s.append(np.full(nu * Keff, step + 1, np.int64))
+        out_e.append(c_ek[:, step, :].ravel())
+        out_c.append(cost.ravel())
+    return pa.table({
+        "user_id": pa.array(np.concatenate(out_u)),
+        "step": pa.array(np.concatenate(out_s)),
+        "edge_key": pa.array(np.concatenate(out_e)),
+        "cost_q": pa.array(np.concatenate(out_c)),
+    })
