@@ -2524,6 +2524,62 @@ def _rect_union_cte(src: str, p: str, moments: bool = False) -> str:
         )"""
 
 
+# Vector->raster burn (stages/rasterize.rasterize_coverage): rects ->
+# integer pixel ranges under the centre-in rule (ceil(x/res - 0.5),
+# the identical double expression), tile enumeration via a bounded
+# range join, per-tile pixel count = slab-decomposition UNION AREA of
+# the integer rectangles (exact integer-valued doubles in both
+# engines; the engine burns a boolean mask, the oracle reuses
+# _rect_union_cte on the same half-open integer coords).
+_RZ_RES = 10.0
+_RZ_PX = 256
+_RZ_B = 1 << 20
+_RZ_P2 = 1 << 21
+_RZ_NT = int(dt.WORLD / _RZ_RES / _RZ_PX) + 2
+ORACLE_SQL["rasterize_coverage"] = f"""
+    WITH pr AS (SELECT p_partkey AS k, {_GX} AS cx, {_GY} AS cy,
+                  100.0 + (p_partkey * 13 % 400) AS w,
+                  100.0 + (p_partkey * 29 % 500) AS h
+                FROM part),
+    rect AS (SELECT cx - w AS x0, cy - h AS y0,
+                    cx + w AS x1, cy + h AS y1 FROM pr),
+    ir AS (SELECT
+             CAST(ceil(x0 / {_RZ_RES!r} - 0.5) AS BIGINT) AS c0,
+             CAST(ceil(x1 / {_RZ_RES!r} - 0.5) AS BIGINT) - 1 AS c1,
+             CAST(ceil(y0 / {_RZ_RES!r} - 0.5) AS BIGINT) AS r0,
+             CAST(ceil(y1 / {_RZ_RES!r} - 0.5) AS BIGINT) - 1 AS r1
+           FROM rect),
+    irf AS (SELECT * FROM ir WHERE c1 >= c0 AND r1 >= r0),
+    ts AS (SELECT i AS t FROM range(-1, {_RZ_NT}) g(i)),
+    tl0 AS (
+      SELECT i.*, tx.t AS tix, ty.t AS tiy
+      FROM irf i
+      JOIN ts tx ON tx.t >= CAST(floor(CAST(i.c0 AS DOUBLE) / {_RZ_PX}.0)
+                                 AS BIGINT)
+                AND tx.t <= CAST(floor(CAST(i.c1 AS DOUBLE) / {_RZ_PX}.0)
+                                 AS BIGINT)
+      JOIN ts ty ON ty.t >= CAST(floor(CAST(i.r0 AS DOUBLE) / {_RZ_PX}.0)
+                                 AS BIGINT)
+                AND ty.t <= CAST(floor(CAST(i.r1 AS DOUBLE) / {_RZ_PX}.0)
+                                 AS BIGINT)
+    ),
+    tl AS (
+      SELECT (tix + {_RZ_B}) * {_RZ_P2} + (tiy + {_RZ_B}) AS grp,
+             CAST(greatest(c0, tix * {_RZ_PX}) AS DOUBLE) AS rx0,
+             CAST(greatest(r0, tiy * {_RZ_PX}) AS DOUBLE) AS ry0,
+             CAST(least(c1, tix * {_RZ_PX} + {_RZ_PX - 1}) + 1
+                  AS DOUBLE) AS rx1,
+             CAST(least(r1, tiy * {_RZ_PX} + {_RZ_PX - 1}) + 1
+                  AS DOUBLE) AS ry1
+      FROM tl0
+    ),{_rect_union_cte("tl", "rz")}
+    SELECT CAST(floor(grp / {_RZ_P2}.0) AS BIGINT) - {_RZ_B} AS tix,
+           (grp % {_RZ_P2}) - {_RZ_B} AS tiy,
+           CAST(area AS BIGINT) AS n_covered
+    FROM rz_u
+"""
+
+
 def _coverage_pct_sql(docs_cte: str, rect_pq: str, half: float,
                       name: str) -> str:
     """Union-coverage % of a square AoI (half-width ``half``) per doc:
@@ -4987,6 +5043,17 @@ def q_filter_chain(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_rasterize_coverage(sf_dir: str):
+    """Vector->raster burn (stages/rasterize.rasterize_coverage): the
+    part-derived greenspace rects burned onto the 10 m / 256 px tile
+    grid; per touched tile the UNION pixel count (centre-in rule)."""
+    from ..stages.rasterize import rasterize_coverage
+
+    rects = ray.data.from_arrow(
+        _rects_from_part(sf_dir)).repartition(4)
+    return rasterize_coverage(rects, res=_RZ_RES, tile_px=_RZ_PX)
+
+
 def q_tile_pyramid(sf_dir: str):
     """Three-zoom tile-count pyramid (stages/geostats.tile_pyramid)."""
     from ..stages.geostats import tile_pyramid
@@ -6146,6 +6213,7 @@ QUERIES = {
     "ols_trend": q_ols_trend,
     "token_entropy": q_token_entropy,
     "tile_pyramid": q_tile_pyramid,
+    "rasterize_coverage": q_rasterize_coverage,
     "filter_chain": q_filter_chain,
     "partition_checksum": q_partition_checksum,
     "json_prop": q_json_prop,
