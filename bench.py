@@ -120,15 +120,16 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GREENEX_BENCH_ONLY=os.environ.get(
                        "GREENEX_BENCH_ONLY", "spans_mean_ndvi_metrics,viewshed_gvi"),
-                   # 24M docs + a 55 % object store: the round-4 24M
+                   # 48M docs + a 55 % object store: the round-4 24M
                    # regression (797k vs 863k rows/s) was object-store
-                   # pressure at the default 42.9 % proportion; at 55 %
-                   # the hi leg runs 1.20M rows/s and the bigger input
-                   # amortizes the fixed actor-pool ramp to <12 % of the
-                   # leg (round-5: zonal solo 0.838) — see BASELINE.md
+                   # pressure at the default 42.9 % proportion; with a
+                   # 55 % store the zonal hi leg runs 1.29M rows/s at
+                   # 48M and the bigger input amortizes the fixed
+                   # actor-pool ramp to ~6 % of the leg (round-5 solo
+                   # probes: 0.838 at 24M, 0.890 at 48M) — BASELINE.md
                    RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION=os.environ.get(
                        "RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.55"),
-                   GREENEX_WORLD_DOCS=os.environ.get("GREENEX_SCALING_DOCS", "24000000"),
+                   GREENEX_WORLD_DOCS=os.environ.get("GREENEX_SCALING_DOCS", "48000000"),
                    GREENEX_VIEWSHED_POIS=os.environ.get("GREENEX_SCALING_POIS", "400000"))
         out = subprocess.run(
             ["taskset", "-c", f"0-{ncpu - 1}",

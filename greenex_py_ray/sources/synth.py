@@ -243,12 +243,15 @@ def doc_coordinates(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return x[order], y[order]
 
 
-def make_documents(n: int, seed: int = 42) -> pa.Table:
+def make_documents(n: int, seed: int = 42, id_start: int = 0) -> pa.Table:
     """Vectorized construction straight into Arrow (no per-row dicts —
-    generating the 10^5-doc bench world must stay cheap)."""
+    generating the 10^5-doc bench world must stay cheap).  ``id_start``
+    offsets the doc-id range (chunked generation of >8M-doc worlds:
+    a single call would overflow Arrow's 2 GB non-chunked string
+    buffer in StructArray.from_arrays)."""
     x, y = doc_coordinates(n, seed)
     rng = np.random.default_rng(seed + 1)
-    doc_ids = [f"doc-{i:012d}" for i in range(n)]
+    doc_ids = [f"doc-{i:012d}" for i in range(id_start, id_start + n)]
     ntiles = int(np.ceil(WORLD / TILE_SIZE))
     tix = np.minimum((x // TILE_SIZE).astype(np.int64), ntiles - 1)
     tiy = np.minimum((y // TILE_SIZE).astype(np.int64), ntiles - 1)
@@ -460,15 +463,41 @@ def ensure_world(root: str, n_docs: int = 2000, seed: int = 42) -> dict[str, str
     # documents are written as a DIRECTORY of fragment files (Lance-style
     # fragment set): a single parquet file makes the Ray read one serial
     # task that gates the whole fused read→decode→zonal chain
-    docs_tbl = make_documents(n_docs, seed)
     os.makedirs(paths["documents"], exist_ok=True)
-    n_frag = max(1, min(32, n_docs // 8192))
-    frag_rows = (n_docs + n_frag - 1) // n_frag
-    for f in range(n_frag):
-        frag = docs_tbl.slice(f * frag_rows, frag_rows)
-        if frag.num_rows:
-            pq.write_table(frag, os.path.join(paths["documents"], f"frag-{f:05d}.parquet"),
-                           row_group_size=2048)
+    CHUNK = 8_000_000  # stay under Arrow's 2 GB contiguous string cap
+    if n_docs <= CHUNK:
+        docs_tbl = make_documents(n_docs, seed)
+        n_frag = max(1, min(32, n_docs // 8192))
+        frag_rows = (n_docs + n_frag - 1) // n_frag
+        for f in range(n_frag):
+            frag = docs_tbl.slice(f * frag_rows, frag_rows)
+            if frag.num_rows:
+                pq.write_table(
+                    frag,
+                    os.path.join(paths["documents"], f"frag-{f:05d}.parquet"),
+                    row_group_size=2048)
+    else:
+        # chunked generation: content differs from a hypothetical
+        # single-shot build (per-chunk rng streams), but is fully
+        # deterministic for (n_docs, seed) — all consumers read the
+        # written files, so the world stays self-consistent
+        frag = 0
+        done = 0
+        while done < n_docs:
+            m = min(CHUNK, n_docs - done)
+            t = make_documents(m, seed + 1000 * (frag + 1), id_start=done)
+            sub = max(1, min(8, m // 1_000_000))
+            rows = (m + sub - 1) // sub
+            for g in range(sub):
+                part = t.slice(g * rows, rows)
+                if part.num_rows:
+                    pq.write_table(
+                        part,
+                        os.path.join(paths["documents"],
+                                     f"frag-{frag:05d}-{g:02d}.parquet"),
+                        row_group_size=2048)
+            done += m
+            frag += 1
     pq.write_table(make_greenspace(), paths["greenspace"])
     pq.write_table(make_canopy(), paths["canopy"])
     nodes, edges = make_network()

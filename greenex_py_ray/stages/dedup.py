@@ -825,12 +825,21 @@ def near_dedup(ds: "ray.data.Dataset", key_col: str = "doc_id",
 # Edit-distance (Levenshtein) verify
 # ---------------------------------------------------------------------------
 
-def levenshtein_batch(texts_a, texts_b):
+#: banded-DP out-of-band sentinel (int32-safe under repeated +1)
+_LEV_BIG = np.int32(1 << 20)
+
+
+def levenshtein_batch(texts_a, texts_b, band: "int | None" = None):
     """Exact Levenshtein distance for a batch of string pairs,
     vectorized ACROSS the batch: the O(L²) DP loops run over character
     positions (bounded by the truncation length the caller applies),
     and every DP cell update is one numpy op over all pairs at once —
-    the per-pair work is pure C.  Returns (lev:int32, la, lb)."""
+    the per-pair work is pure C.  Returns (lev:int32, la, lb).
+
+    ``band=k`` switches to the Ukkonen diagonal band (width 2k+1):
+    exact for every pair with distance <= k; pairs beyond the band
+    report a value > k (callers that only keep ``lev <= k`` get an
+    identical result ~L/(2k+1)× faster)."""
     n = len(texts_a)
 
     def mat(ts):
@@ -846,20 +855,53 @@ def levenshtein_batch(texts_a, texts_b):
     a, la = mat(texts_a)
     b, lb = mat(texts_b)
     wa, wb = a.shape[1], b.shape[1]
-    prev = np.tile(np.arange(wb + 1, dtype=np.int32), (n, 1))
-    cur = np.empty_like(prev)
-    ans = np.where(la == 0, lb, 0).astype(np.int32)
+    if band is None or band >= wb:
+        prev = np.tile(np.arange(wb + 1, dtype=np.int32), (n, 1))
+        cur = np.empty_like(prev)
+        ans = np.where(la == 0, lb, 0).astype(np.int32)
+        for i in range(1, wa + 1):
+            cur[:, 0] = i
+            ai = a[:, i - 1]
+            for j in range(1, wb + 1):
+                cost = (ai != b[:, j - 1]).astype(np.int32)
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+                np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+            done = la == i
+            if done.any():
+                ans[done] = cur[done, lb[done]]
+            prev, cur = cur, prev
+        return ans, la, lb
+
+    band = int(band)
+    prev = np.full((n, wb + 1), _LEV_BIG, dtype=np.int32)
+    prev[:, :band + 1] = np.arange(band + 1, dtype=np.int32)
+    cur = np.full_like(prev, _LEV_BIG)
+    ans = np.where(la == 0, np.minimum(lb, _LEV_BIG), 0).astype(np.int32)
     for i in range(1, wa + 1):
-        cur[:, 0] = i
+        jlo = max(1, i - band)
+        jhi = min(wb, i + band)
+        if jlo > jhi:
+            # band has left the matrix: every remaining row's answer
+            # exceeds the band
+            beyond = la >= i
+            ans[beyond] = _LEV_BIG
+            break
+        cur[:, jlo - 1] = i if jlo == 1 else _LEV_BIG
         ai = a[:, i - 1]
-        for j in range(1, wb + 1):
+        for j in range(jlo, jhi + 1):
             cost = (ai != b[:, j - 1]).astype(np.int32)
             np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
             np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+        if jhi + 1 <= wb:
+            cur[:, jhi + 1] = _LEV_BIG  # row i+1 may read this column
         done = la == i
         if done.any():
             ans[done] = cur[done, lb[done]]
         prev, cur = cur, prev
+    # a read at column lb OUTSIDE row la's band would hit a stale
+    # buffer cell (the two rows swap); |la-lb| > band implies
+    # lev > band, so mask those pairs outright
+    ans[np.abs(la - lb) > band] = _LEV_BIG
     return ans, la, lb
 
 
@@ -925,31 +967,67 @@ def edit_near_pairs(ds: "ray.data.Dataset", k: int = 12,
                            np.ones(int(keep.sum()), dtype=bool))})
         return pa.concat_tables([t1, t2])
 
-    def kernel(grp: pd.DataFrame) -> pd.DataFrame:
-        ids = grp[key_col].to_numpy()
-        txt = grp["txt"].to_numpy()
-        L = grp["L"].to_numpy()
-        ghost = grp["ghost"].to_numpy()
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "dist": pd.Series([], dtype=np.int64)})
+
+    def _pairs_of(ids, L, ghost):
         n = len(ids)
         ii, jj = np.triu_indices(n, 1)
         keep = ~(ghost[ii] & ghost[jj])           # ghost×ghost → upper bucket
         keep &= np.abs(L[ii] - L[jj]) <= k
         keep &= ids[ii] != ids[jj]                # a doc vs its own ghost
-        ii, jj = ii[keep], jj[keep]
-        if not len(ii):
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "dist": pd.Series([], dtype=np.int64)})
-        lev, _, _ = levenshtein_batch(txt[ii].tolist(), txt[jj].tolist())
+        return ii[keep], jj[keep]
+
+    def kernel(grp: pd.DataFrame) -> pd.DataFrame:
+        # the DP's O(L^2) position loop costs the same per CALL whatever
+        # the pair count, so candidate pairs from every (blk, bucket)
+        # subgroup in this hash bucket are generated separately but
+        # verified in ONE levenshtein_batch call (50x on many-group
+        # corpora: the per-group DP replayed the full loop each time)
+        all_a, all_b, all_ta, all_tb = [], [], [], []
+        for _, sub in grp.groupby(["blk", "bucket"], sort=False):
+            ids = sub[key_col].to_numpy()
+            txt = sub["txt"].to_numpy()
+            L = sub["L"].to_numpy()
+            ghost = sub["ghost"].to_numpy()
+            ii, jj = _pairs_of(ids, L, ghost)
+            if len(ii):
+                all_a.append(ids[ii])
+                all_b.append(ids[jj])
+                all_ta.append(txt[ii])
+                all_tb.append(txt[jj])
+        if not all_a:
+            return empty
+        ida = np.concatenate(all_a)
+        idb = np.concatenate(all_b)
+        lev, _, _ = levenshtein_batch(
+            np.concatenate(all_ta).tolist(),
+            np.concatenate(all_tb).tolist(), band=k)
         ok = lev <= k
-        a = np.minimum(ids[ii[ok]], ids[jj[ok]])
-        b = np.maximum(ids[ii[ok]], ids[jj[ok]])
+        a = np.minimum(ida[ok], idb[ok])
+        b = np.maximum(ida[ok], idb[ok])
         out = pd.DataFrame({"doc_a": a.astype(np.int64),
                             "doc_b": b.astype(np.int64),
                             "dist": lev[ok].astype(np.int64)})
         return out.drop_duplicates(["doc_a", "doc_b"])
 
+    def add_gb(batch: pa.Table) -> pa.Table:
+        # deterministic hash bucket over (blk, bucket) — co-locates a
+        # logical group while keeping map_groups task count bounded
+        blk = batch.column("blk")
+        from .text import hash_string_array
+
+        hb = hash_string_array(blk.combine_chunks()
+                               if isinstance(blk, pa.ChunkedArray) else blk)
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        gb = ((hb ^ (bk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+              % np.uint64(16)).astype(np.int64)
+        return batch.append_column("__gb", pa.array(gb))
+
     return (ds.map_batches(expand, batch_format="pyarrow",
                            zero_copy_batch=True)
-            .groupby(["blk", "bucket"])
+            .map_batches(add_gb, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("__gb")
             .map_groups(kernel, batch_format="pandas"))

@@ -578,3 +578,36 @@ def test_edit_near_pairs_blocking_recall():
     assert (1, 3) in got and got[(1, 3)] == 5
     assert all(p[0] != 4 and p[1] != 4 for p in got)
     assert all(p[1] != 5 for p in got)
+
+
+def test_levenshtein_banded_matches_full():
+    """Ukkonen band: exact for lev <= band, strictly > band otherwise
+    (including the stale-buffer column |la-lb| > band edge)."""
+    import numpy as np
+
+    from greenex_py_ray.stages.dedup import levenshtein_batch
+
+    rng = np.random.default_rng(5)
+    base = ["".join(rng.choice(list("abcdef"), 50)) for _ in range(100)]
+    ta, tb = [], []
+    for t in base:
+        cur = list(t)
+        for _ in range(int(rng.integers(0, 16))):
+            op = int(rng.integers(0, 3))
+            pos = int(rng.integers(0, max(1, len(cur))))
+            if op == 0 and cur:
+                cur[pos % len(cur)] = "x"
+            elif op == 1:
+                cur.insert(pos, "y")
+            elif op == 2 and cur:
+                del cur[pos % len(cur)]
+        ta.append(t)
+        tb.append("".join(cur))
+    ta += ["", "abc", "", "same", "a" * 30]
+    tb += ["xyz", "", "", "same", "b" * 30]
+    full, _, _ = levenshtein_batch(ta, tb)
+    for band in (1, 3, 7, 12, 99):
+        bd, _, _ = levenshtein_batch(ta, tb, band=band)
+        small = full <= band
+        assert (bd[small] == full[small]).all()
+        assert (bd[~small] > band).all()
