@@ -73,6 +73,19 @@ def _collect_column(ds: "ray.data.Dataset", col: str) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def _collect_columns(ds: "ray.data.Dataset", cols) -> dict:
+    """One execution for several columns — calling ``_collect_column``
+    per column executed the WHOLE upstream pipeline once per call
+    (measured: half of pagerank's gate wall)."""
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    out = {}
+    for c in cols:
+        parts = [t.column(c).to_numpy(zero_copy_only=False) for t in tabs]
+        out[c] = (np.concatenate(parts) if parts
+                  else np.empty(0, dtype=np.int64))
+    return out
+
+
 class _BroadcastContrib:
     """map_batches actor for the broadcast plan: resolve each edge's
     source rank/outdeg by binary search over the broadcast sorted node
@@ -115,8 +128,8 @@ def _pagerank_broadcast(edges, nodes, iters, scale, src_col, dst_col):
                           zero_copy_batch=True),
         src_col, ["deg"], ["sum"])
     deg = np.ones(len(keys), dtype=np.int64)  # 1 for dangling: r//1
-    dk = _collect_column(deg_ds, src_col)
-    dv = _collect_column(deg_ds, "deg").astype(np.int64)
+    dcols = _collect_columns(deg_ds, [src_col, "deg"])
+    dk, dv = dcols[src_col], dcols["deg"].astype(np.int64)
     deg[np.searchsorted(keys, dk)] = dv
     ranks = np.full(len(keys), scale, dtype=np.int64)
     base = (15 * scale) // 100
@@ -124,20 +137,23 @@ def _pagerank_broadcast(edges, nodes, iters, scale, src_col, dst_col):
     edges = edges.materialize()  # scanned once per iteration, never shuffled
     for _ in range(iters):
         ref = ray.put((keys, ranks, deg))
-        parts = edges.map_batches(
-            _BroadcastContrib,
-            fn_constructor_kwargs=dict(state_ref=ref, src_col=src_col,
-                                       dst_col=dst_col),
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 16), num_cpus=0.5)
+
+        def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
+            # plain TASKS, not an actor pool: a fresh pool per
+            # iteration paid its ~2 s ramp x iters; ray.get on the
+            # broadcast ref inside a task is a zero-copy plasma read
+            return _BroadcastContrib(_ref, src_col, dst_col)(batch)
+
+        parts = edges.map_batches(contrib, batch_format="pyarrow",
+                                  zero_copy_batch=True, num_cpus=0.5)
         # contrib batches are already key-combined; bucket-reduce the
         # O(uniq-per-batch) partials (the generic groupby here measured
         # 56 s/iteration at 10M edges, the bucket path ~1 s)
         summed = bucket_group_reduce(parts, "node", ["c"], ["sum"],
                                      pre_reduce=False)
         new = np.full(len(keys), base, dtype=np.int64)
-        ck = _collect_column(summed, "node")
-        cv = _collect_column(summed, "c")
+        scols = _collect_columns(summed, ["node", "c"])
+        ck, cv = scols["node"], scols["c"]
         if len(ck):
             new[np.searchsorted(keys, ck)] = (15 * scale + 85 * cv) // 100
         ranks = new
@@ -248,6 +264,12 @@ def triangle_count(edges: "ray.data.Dataset", u_col: str = "u",
     import pandas as pd
 
     from ray.data.aggregate import Sum as _Sum
+
+    # three consumers (wedge groups, closing-edge keys, degree counts)
+    # would each re-execute the caller's edge lineage — pin the edge
+    # list in the object store once (same rationale as pagerank's
+    # per-iteration scan; distributed blocks, no driver copy)
+    edges = edges.materialize()
 
     def key_of(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return (a << np.int64(32)) + b  # valid for ids < 2^31
