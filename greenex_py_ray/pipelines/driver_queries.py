@@ -3178,6 +3178,30 @@ def world_oracle_sql() -> dict[str, str]:
     viewshed_sql = ("WITH " + wdocs(vs_pois) + "," + vs_net + vs_cand
                     + vs_tail + vs_rollup)
 
+    # --- focal stats: 3x3 moving-window aggregate, 9-offset equi-join
+    # over the exact pixel table, values quantized BEFORE the sum with
+    # the engine's identical floor(v*1e6 + 0.5) expression ------------
+    focal_sql = f"""
+        WITH px AS (SELECT r, c,
+                      CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS q
+                    FROM read_parquet('{px["ndvi"]}')),
+        ctr AS (SELECT r, c FROM px WHERE r < 512 AND c < 512),
+        -- neighbor keys computed BEFORE the join: the three-way form
+        -- (ctr x offs joined to px on ctr.r + o.dr) nested-loops
+        cof AS (SELECT ctr.r, ctr.c, ctr.r + o.dr AS nr,
+                       ctr.c + o.dc AS nc
+                FROM ctr JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                      (0,0),(0,1),(1,-1),(1,0),(1,1))
+                     o(dr, dc) ON TRUE),
+        nb AS (SELECT cof.r, cof.c, p.q
+               FROM cof JOIN px p ON p.r = cof.nr AND p.c = cof.nc)
+        SELECT CAST(floor(CAST(c AS DOUBLE) / 256.0) AS BIGINT) AS tix,
+               CAST(floor(CAST(r AS DOUBLE) / 256.0) AS BIGINT) AS tiy,
+               CAST(sum(q) AS BIGINT) AS focal_q,
+               CAST(count(*) AS BIGINT) AS n_nbr
+        FROM nb GROUP BY 1, 2
+    """
+
     # --- composite exposure: the reference README's worked-example
     # sequence (availability + accessibility + visibility over ONE PoI
     # table) as a single query — zonal chain, nearest-centroid chain and
@@ -3723,6 +3747,7 @@ def world_oracle_sql() -> dict[str, str]:
         "streetview_gvi": streetview_sql,
         "viewshed_gvi": viewshed_sql,
         "composite_exposure": composite_sql,
+        "focal_stats": focal_sql,
         "isochrone_ndvi": iso_sql,
         "isochrone_landcover": isolc_sql,
         "isochrone_greenspace": isogs_sql,
@@ -5054,6 +5079,17 @@ def q_rasterize_coverage(sf_dir: str):
     return rasterize_coverage(rects, res=_RZ_RES, tile_px=_RZ_PX)
 
 
+def q_focal_stats(sf_dir: str):
+    """3x3 focal NDVI aggregate per tile (stages/focal.FocalTileStats):
+    halo'd window fetch per tile, int64 micro-unit sums — the 2x2-tile
+    bbox exercises cross-tile halo stitching AND the world edge."""
+    from ..stages.focal import focal_stats
+
+    w = _world_paths()
+    tiles = [(a, b) for a in range(2) for b in range(2)]
+    return focal_stats(w["tiles"], tiles, band="ndvi")
+
+
 def q_tile_pyramid(sf_dir: str):
     """Three-zoom tile-count pyramid (stages/geostats.tile_pyramid)."""
     from ..stages.geostats import tile_pyramid
@@ -6214,6 +6250,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "tile_pyramid": q_tile_pyramid,
     "rasterize_coverage": q_rasterize_coverage,
+    "focal_stats": q_focal_stats,
     "filter_chain": q_filter_chain,
     "partition_checksum": q_partition_checksum,
     "json_prop": q_json_prop,

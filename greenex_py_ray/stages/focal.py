@@ -1,0 +1,100 @@
+"""Focal (moving-window) raster statistics over the tile store.
+
+The zonal stages aggregate raster values per VECTOR zone; focal ops
+aggregate per PIXEL over a neighborhood window — the standard raster
+smoothing/terrain primitive (e.g. focal-mean NDVI before thresholding
+greenness, the reference's rasters are consumed pre-smoothed).  The
+distributed shape is the interesting part: each tile is processed by
+one task that fetches its window WITH A 1-PIXEL HALO through the tile
+store (``TileStore.window`` stitches neighbor tiles; outside-world
+pixels arrive NaN) — no shuffle at all, tiles partition the work, and
+the halo read is the only cross-tile traffic.
+
+Cross-engine exactness: pixel values quantize FIRST
+(``floor(v·1e6 + 0.5)`` int64 — the identical double expression in
+the SQL oracle), then all focal sums are int64 — order-free, so the
+engine's shifted-slice accumulation matches the oracle's 9-offset
+equi-join bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..state.tiles import TileStore
+
+#: micro-unit quantization of pixel values before any focal sum
+FOCAL_Q = 1_000_000.0
+
+
+class FocalTileStats:
+    """map_batches actor: per input (tix, tiy) tile row, the 3×3 focal
+    aggregate over every pixel CENTERED in the tile — ``focal_q`` =
+    Σ_centers Σ_neighbors q (int64 micro-units), ``n_nbr`` = Σ_centers
+    (#existing neighbors).  Boundary pixels simply have fewer
+    neighbors (NaN fill excluded), matching the oracle's inner join.
+    """
+
+    def __init__(self, tile_root: str, band: str = "ndvi",
+                 cache_tiles: int = 64):
+        from ..sources import synth
+
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.px = synth.TILE_PX
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tix = batch.column("tix").to_numpy(zero_copy_only=False)
+        tiy = batch.column("tiy").to_numpy(zero_copy_only=False)
+        px = self.px
+        out_q = np.empty(len(tix), dtype=np.int64)
+        out_n = np.empty(len(tix), dtype=np.int64)
+        for i in range(len(tix)):
+            win = self.store.window(self.band, int(tiy[i]) * px - 1,
+                                    int(tix[i]) * px - 1, px + 2, px + 2,
+                                    fill=np.nan)
+            fin = np.isfinite(win)
+            q = np.where(fin, np.floor(win * FOCAL_Q + 0.5), 0.0) \
+                .astype(np.int64)
+            cnt = fin.astype(np.int64)
+            sq = np.zeros((px, px), dtype=np.int64)
+            sn = np.zeros((px, px), dtype=np.int64)
+            for dr in (0, 1, 2):
+                for dc in (0, 1, 2):
+                    sq += q[dr:dr + px, dc:dc + px]
+                    sn += cnt[dr:dr + px, dc:dc + px]
+            # centers must exist themselves (the oracle's ctr table is
+            # real pixels); halo-only rows can't occur for in-world
+            # tiles, but guard uniformly
+            center = fin[1:-1, 1:-1]
+            out_q[i] = sq[center].sum()
+            out_n[i] = sn[center].sum()
+        return pa.table({
+            "tix": pa.array(tix.astype(np.int64)),
+            "tiy": pa.array(tiy.astype(np.int64)),
+            "focal_q": pa.array(out_q),
+            "n_nbr": pa.array(out_n),
+        })
+
+
+def focal_stats(tile_root: str, tiles: "list[tuple[int, int]]",
+                band: str = "ndvi",
+                concurrency=(1, 8)) -> "ray.data.Dataset":
+    """3×3 focal aggregate for an explicit tile list (a bbox cover at
+    gate scale; the full catalog in production — tiles ARE the
+    partitioning, one halo'd window fetch per task)."""
+    import ray.data
+
+    t = pa.table({
+        "tix": pa.array([a for a, _ in tiles], pa.int64()),
+        "tiy": pa.array([b for _, b in tiles], pa.int64()),
+    })
+    return ray.data.from_arrow(t).repartition(max(1, min(len(tiles), 8))) \
+        .map_batches(FocalTileStats,
+                     fn_constructor_kwargs=dict(tile_root=tile_root,
+                                                band=band),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=concurrency, num_cpus=0.5)
