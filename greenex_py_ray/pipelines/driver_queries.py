@@ -3202,6 +3202,31 @@ def world_oracle_sql() -> dict[str, str]:
         FROM nb GROUP BY 1, 2
     """
 
+    # --- zonal median: quantize-then-median over the exact pixel
+    # table — the disk membership replays _PIX_BODY's center test,
+    # values come from the px table (not the closed form: a last-ulp
+    # libm sin/cos difference would flip the 1e-6 quantization) ------
+    zonal_median_sql = ("WITH " + wdocs(COMPOSITE_POIS) + f""",
+        pxq AS (SELECT r, c, (c * 10.0 + 5.0) AS cx,
+                       (r * 10.0 + 5.0) AS cy,
+                       CAST(floor(greatest(v, 0.0) * 1000000.0 + 0.5)
+                            AS BIGINT) AS vq
+                FROM read_parquet('{px["ndvi"]}')),
+        m AS (
+          SELECT d.doc_id, p.vq
+          FROM docs d JOIN pxq p
+            ON p.c >= floor((d.x - {NDVI_RADIUS!r}) / 10.0)
+           AND p.c <= floor((d.x + {NDVI_RADIUS!r}) / 10.0)
+           AND p.r >= floor((d.y - {NDVI_RADIUS!r}) / 10.0)
+           AND p.r <= floor((d.y + {NDVI_RADIUS!r}) / 10.0)
+          WHERE (p.cx - d.x) * (p.cx - d.x)
+              + (p.cy - d.y) * (p.cy - d.y)
+             <= {NDVI_RADIUS!r} * {NDVI_RADIUS!r})
+        SELECT doc_id, quantile_cont(vq, 0.5) AS median_q,
+               CAST(count(*) AS BIGINT) AS n_pix
+        FROM m GROUP BY doc_id
+    """)
+
     # --- composite exposure: the reference README's worked-example
     # sequence (availability + accessibility + visibility over ONE PoI
     # table) as a single query — zonal chain, nearest-centroid chain and
@@ -3748,6 +3773,7 @@ def world_oracle_sql() -> dict[str, str]:
         "viewshed_gvi": viewshed_sql,
         "composite_exposure": composite_sql,
         "focal_stats": focal_sql,
+        "zonal_median": zonal_median_sql,
         "isochrone_ndvi": iso_sql,
         "isochrone_landcover": isolc_sql,
         "isochrone_greenspace": isogs_sql,
@@ -3852,6 +3878,22 @@ def world_oracle_sql() -> dict[str, str]:
           FROM a CROSS JOIN range(8) t(j)
         """,
     }
+
+
+def q_zonal_median(sf_dir: str):
+    """Per-PoI zonal MEDIAN NDVI (stages/zonal.ZonalMedianLocal):
+    int64 micro-unit quantization before the median, so numpy and the
+    SQL quantile_cont over the exact pixel table agree bit-for-bit."""
+    from ..stages.zonal import ZonalMedianLocal
+
+    poi, w = _world_poi(limit=COMPOSITE_POIS)
+    return poi.map_batches(
+        ZonalMedianLocal,
+        fn_constructor_kwargs=dict(tile_root=w["tiles"], band="ndvi",
+                                   radius=NDVI_RADIUS),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), num_cpus=0.5,
+    )
 
 
 def q_viewshed_gvi(sf_dir: str):
@@ -6310,6 +6352,7 @@ QUERIES = {
     "spans_mean_ndvi_metrics": q_spans_mean_ndvi_metrics,
     "spans_mean_ndvi_payload": q_spans_mean_ndvi_payload,
     "viewshed_gvi": q_viewshed_gvi,
+    "zonal_median": q_zonal_median,
     "composite_exposure": q_composite_exposure,
     "streetview_gvi": q_streetview_gvi,
     "canopy_pct": q_canopy_pct,

@@ -891,3 +891,61 @@ def areal_cell_weights(rects: "ray.data.Dataset",
 
     return rects.map_batches(explode, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+#: zonal-median micro-unit quantization (values quantize BEFORE the
+#: median so even-count interpolation (a+b)/2 is exact on both engines)
+MEDIAN_Q = 1_000_000.0
+
+
+class ZonalMedianLocal:
+    """map_batches actor: per-PoI MEDIAN of the clamped raster values
+    in the ``radius`` disk (the percentile sibling of
+    :class:`ZonalStatsLocal` — SURVEY M14's aggregate family).
+
+    Pixels quantize to int64 micro-units first (``floor(max(v,0)·1e6
+    + 0.5)``, the oracle's identical double expression over the exact
+    pixel table), so ``np.median`` over ints equals SQL
+    ``quantile_cont(vq, 0.5)`` bit-for-bit: odd counts pick the same
+    int, even counts average two ints ≤ 2^52 — exact in float64 either
+    way.  One halo'd window fetch per point; per-point work is one
+    vectorized mask + partition."""
+
+    def __init__(self, tile_root: str, band: str, radius: float,
+                 key_col: str = "doc_id", cache_tiles: int = 256):
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.radius = float(radius)
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import synth
+
+        res = synth.RASTER_RES
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        r = self.radius
+        med = np.empty(len(x))
+        npx = np.empty(len(x), dtype=np.int64)
+        for i in range(len(x)):
+            c0 = int(np.floor((x[i] - r) / res))
+            c1 = int(np.floor((x[i] + r) / res))
+            r0 = int(np.floor((y[i] - r) / res))
+            r1 = int(np.floor((y[i] + r) / res))
+            win = self.store.window(self.band, r0, c0,
+                                    r1 - r0 + 1, c1 - c0 + 1, fill=np.nan)
+            cx = (np.arange(c0, c1 + 1) * res + res / 2.0)[None, :]
+            cy = (np.arange(r0, r1 + 1) * res + res / 2.0)[:, None]
+            inside = ((cx - x[i]) * (cx - x[i])
+                      + (cy - y[i]) * (cy - y[i]) <= r * r)
+            v = win[inside & np.isfinite(win)]
+            vq = np.floor(np.maximum(v, 0.0) * MEDIAN_Q + 0.5) \
+                .astype(np.int64)
+            npx[i] = len(vq)
+            med[i] = np.median(vq) if len(vq) else np.nan
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "median_q": pa.array(med, pa.float64(),
+                                 mask=(npx == 0)),
+            "n_pix": pa.array(npx),
+        })

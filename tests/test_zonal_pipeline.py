@@ -3,6 +3,7 @@ that reimplements the reference formulas directly (clamp ≥0, population
 std, round 3 — availability.py:289; class % round 3 — :1068-1082)."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data
@@ -141,3 +142,47 @@ def test_line_buffer_zonal_polyline_matches_grid(world):
     vals = np.maximum(synth.field_ndvi(fx[mask], fy[mask]), 0.0)
     assert out.loc[0, "mean_NDVI"] == round(vals.mean(), 3)
     assert out.loc[0, "std_NDVI"] == round(vals.std(), 3)
+
+
+def test_zonal_median_matches_bruteforce(ray_session, tmp_path):
+    """ZonalMedianLocal vs a direct per-point mask + np.median, and
+    the DuckDB quantile_cont interpolation identity on even counts."""
+    import duckdb
+
+    from greenex_py_ray.sources import synth
+    from greenex_py_ray.stages.zonal import MEDIAN_Q, ZonalMedianLocal
+
+    paths = synth.ensure_world(str(tmp_path / "w"), n_docs=20, seed=5)
+    rng = np.random.default_rng(8)
+    x = rng.uniform(500, 4500, 40)
+    y = rng.uniform(500, 4500, 40)
+    batch = pa.table({"doc_id": pa.array([f"p{i}" for i in range(40)]),
+                      "x": pa.array(x), "y": pa.array(y)})
+    out = ZonalMedianLocal(paths["tiles"], "ndvi", 120.0)(batch)
+
+    res = synth.RASTER_RES
+    for i in range(40):
+        c0 = int(np.floor((x[i] - 120.0) / res))
+        c1 = int(np.floor((x[i] + 120.0) / res))
+        r0 = int(np.floor((y[i] - 120.0) / res))
+        r1 = int(np.floor((y[i] + 120.0) / res))
+        cs = np.arange(c0, c1 + 1)
+        rs = np.arange(r0, r1 + 1)
+        cx = cs * res + res / 2.0
+        cy = rs * res + res / 2.0
+        vals = []
+        for rr, yy in zip(rs, cy):
+            for cc, xx in zip(cs, cx):
+                if (xx - x[i]) ** 2 + (yy - y[i]) ** 2 <= 120.0 ** 2:
+                    v = float(synth.field_ndvi(np.array([xx]),
+                                               np.array([yy]))[0])
+                    vals.append(np.floor(max(v, 0.0) * MEDIAN_Q + 0.5))
+        exp = np.median(np.array(vals, dtype=np.int64))
+        assert out.column("median_q")[i].as_py() == exp
+        assert out.column("n_pix")[i].as_py() == len(vals)
+
+    # even-count interpolation: numpy (a+b)/2 == duckdb quantile_cont
+    got = duckdb.sql(
+        "SELECT quantile_cont(v, 0.5) FROM (VALUES (3), (8)) t(v)"
+    ).fetchone()[0]
+    assert got == np.median(np.array([3, 8], dtype=np.int64)) == 5.5
