@@ -3227,6 +3227,22 @@ def world_oracle_sql() -> dict[str, str]:
         FROM m GROUP BY doc_id
     """)
 
+    # --- raster downsample: 2x2 pool sums over the exact pixel table
+    downsample_sql = f"""
+        WITH pxq AS (SELECT r, c,
+                       CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS vq
+                     FROM read_parquet('{px["ndvi"]}')
+                     WHERE r < 512 AND c < 512),
+        g AS (SELECT CAST(floor(CAST(r AS DOUBLE) / 2.0) AS BIGINT)
+                       AS r_out,
+                     CAST(floor(CAST(c AS DOUBLE) / 2.0) AS BIGINT)
+                       AS c_out,
+                     vq FROM pxq)
+        SELECT r_out, c_out, CAST(sum(vq) AS BIGINT) AS pool_q,
+               CAST(count(*) AS BIGINT) AS n_in
+        FROM g GROUP BY 1, 2
+    """
+
     # --- composite exposure: the reference README's worked-example
     # sequence (availability + accessibility + visibility over ONE PoI
     # table) as a single query — zonal chain, nearest-centroid chain and
@@ -3774,6 +3790,7 @@ def world_oracle_sql() -> dict[str, str]:
         "composite_exposure": composite_sql,
         "focal_stats": focal_sql,
         "zonal_median": zonal_median_sql,
+        "raster_downsample": downsample_sql,
         "isochrone_ndvi": iso_sql,
         "isochrone_landcover": isolc_sql,
         "isochrone_greenspace": isogs_sql,
@@ -3894,6 +3911,16 @@ def q_zonal_median(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4), num_cpus=0.5,
     )
+
+
+def q_raster_downsample(sf_dir: str):
+    """Level-1 pyramid tile build (stages/focal.DownsampleTile):
+    2x2 mean-pool of the four level-0 tiles under output tile (0,0),
+    emitted as order-free int64 pool sums per output pixel."""
+    from ..stages.focal import downsample_level
+
+    w = _world_paths()
+    return downsample_level(w["tiles"], [(0, 0)], band="ndvi")
 
 
 def q_viewshed_gvi(sf_dir: str):
@@ -6353,6 +6380,7 @@ QUERIES = {
     "spans_mean_ndvi_payload": q_spans_mean_ndvi_payload,
     "viewshed_gvi": q_viewshed_gvi,
     "zonal_median": q_zonal_median,
+    "raster_downsample": q_raster_downsample,
     "composite_exposure": q_composite_exposure,
     "streetview_gvi": q_streetview_gvi,
     "canopy_pct": q_canopy_pct,

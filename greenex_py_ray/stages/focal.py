@@ -98,3 +98,70 @@ def focal_stats(tile_root: str, tiles: "list[tuple[int, int]]",
                                                 band=band),
                      batch_format="pyarrow", zero_copy_batch=True,
                      concurrency=concurrency, num_cpus=0.5)
+
+
+class DownsampleTile:
+    """map_batches actor: build ONE level-1 pyramid tile per input
+    (tix, tiy) row by 2×2 mean-pooling the four level-0 tiles under it
+    (the raster-pyramid write path: zoomed-out tiles for plotting and
+    coarse-first query planning).  Emits per OUTPUT pixel
+    ``(r_out, c_out, pool_q, n_in)`` where ``pool_q`` is the int64 SUM
+    of the (up to 4) quantized input pixels — order-free and exact, the
+    mean is ``pool_q / n_in`` downstream.  Missing inputs (world edge)
+    just lower ``n_in``; fully-empty output pixels are not emitted.
+    """
+
+    def __init__(self, tile_root: str, band: str = "ndvi",
+                 cache_tiles: int = 64):
+        from ..sources import synth
+
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.px = synth.TILE_PX
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tix = batch.column("tix").to_numpy(zero_copy_only=False)
+        tiy = batch.column("tiy").to_numpy(zero_copy_only=False)
+        px = self.px
+        outs = []
+        for i in range(len(tix)):
+            win = self.store.window(self.band, int(tiy[i]) * 2 * px,
+                                    int(tix[i]) * 2 * px, 2 * px, 2 * px,
+                                    fill=np.nan)
+            fin = np.isfinite(win)
+            q = np.where(fin, np.floor(win * FOCAL_Q + 0.5), 0.0) \
+                .astype(np.int64)
+            qs = (q[0::2, 0::2] + q[0::2, 1::2]
+                  + q[1::2, 0::2] + q[1::2, 1::2])
+            ns = (fin[0::2, 0::2].astype(np.int64)
+                  + fin[0::2, 1::2] + fin[1::2, 0::2] + fin[1::2, 1::2])
+            rr, cc = np.nonzero(ns > 0)
+            outs.append(pa.table({
+                "r_out": pa.array(rr + int(tiy[i]) * px),
+                "c_out": pa.array(cc + int(tix[i]) * px),
+                "pool_q": pa.array(qs[rr, cc]),
+                "n_in": pa.array(ns[rr, cc]),
+            }))
+        if not outs:
+            return pa.table({k: pa.array([], pa.int64())
+                             for k in ("r_out", "c_out", "pool_q", "n_in")})
+        return pa.concat_tables(outs)
+
+
+def downsample_level(tile_root: str, tiles: "list[tuple[int, int]]",
+                     band: str = "ndvi",
+                     concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Level-1 pyramid build for an explicit OUTPUT-tile list — the
+    tile grid partitions the work, one 2×2-input window per task."""
+    import ray.data
+
+    t = pa.table({
+        "tix": pa.array([a for a, _ in tiles], pa.int64()),
+        "tiy": pa.array([b for _, b in tiles], pa.int64()),
+    })
+    return ray.data.from_arrow(t).repartition(max(1, min(len(tiles), 8))) \
+        .map_batches(DownsampleTile,
+                     fn_constructor_kwargs=dict(tile_root=tile_root,
+                                                band=band),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=concurrency, num_cpus=0.5)
