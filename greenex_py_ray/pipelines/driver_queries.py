@@ -3243,6 +3243,41 @@ def world_oracle_sql() -> dict[str, str]:
         FROM g GROUP BY 1, 2
     """
 
+    # --- marching-squares contour census over the exact pixel table:
+    # 2x2 cells via three self-equi-joins on shifted keys; the saddle
+    # cases (6, 9) emit two segments.  Tile (7,7) sits at the world
+    # corner: its right/bottom halo pixels are absent, so its cell
+    # count is (px-1)^2 via the inner joins — same as the engine's
+    # finite mask. -----------------------------------------------------
+    contour_sql = f"""
+        WITH pxb AS (SELECT r, c, (v > 0.3) AS b
+                     FROM read_parquet('{px["ndvi"]}')
+                     WHERE (r < 513 AND c < 513)
+                        OR (r >= {7 * synth.TILE_PX} AND c >= {7 * synth.TILE_PX})),
+        cells AS (
+          SELECT a.r, a.c,
+                 (CASE WHEN a.b THEN 1 ELSE 0 END
+                  + CASE WHEN br.b THEN 2 ELSE 0 END
+                  + CASE WHEN bb.b THEN 4 ELSE 0 END
+                  + CASE WHEN bd.b THEN 8 ELSE 0 END) AS cs
+          FROM pxb a
+          JOIN pxb br ON br.r = a.r AND br.c = a.c + 1
+          JOIN pxb bb ON bb.r = a.r + 1 AND bb.c = a.c
+          JOIN pxb bd ON bd.r = a.r + 1 AND bd.c = a.c + 1),
+        lab AS (
+          SELECT CAST(floor(CAST(c AS DOUBLE) / 256.0) AS BIGINT) AS tix,
+                 CAST(floor(CAST(r AS DOUBLE) / 256.0) AS BIGINT) AS tiy,
+                 cs FROM cells)
+        SELECT tix, tiy,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN cs NOT IN (0, 15) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contour,
+               CAST(sum(CASE WHEN cs IN (6, 9) THEN 2
+                             WHEN cs NOT IN (0, 15) THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_segments
+        FROM lab GROUP BY tix, tiy
+    """
+
     # --- composite exposure: the reference README's worked-example
     # sequence (availability + accessibility + visibility over ONE PoI
     # table) as a single query — zonal chain, nearest-centroid chain and
@@ -3791,6 +3826,7 @@ def world_oracle_sql() -> dict[str, str]:
         "focal_stats": focal_sql,
         "zonal_median": zonal_median_sql,
         "raster_downsample": downsample_sql,
+        "contour_census": contour_sql,
         "isochrone_ndvi": iso_sql,
         "isochrone_landcover": isolc_sql,
         "isochrone_greenspace": isogs_sql,
@@ -3921,6 +3957,17 @@ def q_raster_downsample(sf_dir: str):
 
     w = _world_paths()
     return downsample_level(w["tiles"], [(0, 0)], band="ndvi")
+
+
+def q_contour_census(sf_dir: str):
+    """Marching-squares contour census (stages/focal.ContourCells):
+    per-tile case counts at the NDVI 0.3 isoline over a 2x2-tile bbox
+    (cross-tile halo + world edge both exercised)."""
+    from ..stages.focal import contour_census
+
+    w = _world_paths()
+    tiles = [(a, b) for a in range(2) for b in range(2)] + [(7, 7)]
+    return contour_census(w["tiles"], tiles, band="ndvi", threshold=0.3)
 
 
 def q_viewshed_gvi(sf_dir: str):
@@ -6381,6 +6428,7 @@ QUERIES = {
     "viewshed_gvi": q_viewshed_gvi,
     "zonal_median": q_zonal_median,
     "raster_downsample": q_raster_downsample,
+    "contour_census": q_contour_census,
     "composite_exposure": q_composite_exposure,
     "streetview_gvi": q_streetview_gvi,
     "canopy_pct": q_canopy_pct,

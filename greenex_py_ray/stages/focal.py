@@ -165,3 +165,78 @@ def downsample_level(tile_root: str, tiles: "list[tuple[int, int]]",
                                                 band=band),
                      batch_format="pyarrow", zero_copy_batch=True,
                      concurrency=concurrency, num_cpus=0.5)
+
+
+class ContourCells:
+    """map_batches actor: marching-squares case census per tile — the
+    raster→vector direction (focal/downsample smooth and shrink;
+    contouring EXTRACTS the greenness isoline the availability maps
+    draw).  For every 2×2 pixel cell anchored in the tile (right/bottom
+    neighbors fetched through a 1-pixel halo), the case index is
+    ``(v00>t) + 2·(v01>t) + 4·(v10>t) + 8·(v11>t)``; cells with any
+    missing pixel are skipped (the oracle's inner join).  Emits per
+    tile: ``n_cells`` (valid cells), ``n_contour`` (case ∉ {0, 15}),
+    ``n_segments`` (2 for the saddle cases 6/9, else 1 per contour
+    cell) — the exact threshold compare on identical doubles makes the
+    census bit-stable across engines.
+    """
+
+    def __init__(self, tile_root: str, band: str = "ndvi",
+                 threshold: float = 0.3, cache_tiles: int = 64):
+        from ..sources import synth
+
+        self.store = TileStore(tile_root, capacity=cache_tiles)
+        self.band = band
+        self.thr = float(threshold)
+        self.px = synth.TILE_PX
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tix = batch.column("tix").to_numpy(zero_copy_only=False)
+        tiy = batch.column("tiy").to_numpy(zero_copy_only=False)
+        px = self.px
+        n_cells = np.empty(len(tix), dtype=np.int64)
+        n_cont = np.empty(len(tix), dtype=np.int64)
+        n_seg = np.empty(len(tix), dtype=np.int64)
+        for i in range(len(tix)):
+            win = self.store.window(self.band, int(tiy[i]) * px,
+                                    int(tix[i]) * px, px + 1, px + 1,
+                                    fill=np.nan)
+            fin = np.isfinite(win)
+            ok = (fin[:-1, :-1] & fin[:-1, 1:]
+                  & fin[1:, :-1] & fin[1:, 1:])
+            b = win > self.thr
+            case = (b[:-1, :-1].astype(np.int64)
+                    + 2 * b[:-1, 1:] + 4 * b[1:, :-1] + 8 * b[1:, 1:])
+            case = case[ok]
+            contour = (case != 0) & (case != 15)
+            saddle = (case == 6) | (case == 9)
+            n_cells[i] = int(ok.sum())
+            n_cont[i] = int(contour.sum())
+            n_seg[i] = int(contour.sum() + saddle.sum())
+        return pa.table({
+            "tix": pa.array(tix.astype(np.int64)),
+            "tiy": pa.array(tiy.astype(np.int64)),
+            "n_cells": pa.array(n_cells),
+            "n_contour": pa.array(n_cont),
+            "n_segments": pa.array(n_seg),
+        })
+
+
+def contour_census(tile_root: str, tiles: "list[tuple[int, int]]",
+                   band: str = "ndvi", threshold: float = 0.3,
+                   concurrency=(1, 8)) -> "ray.data.Dataset":
+    """Marching-squares census for an explicit tile list — same
+    tile-partitioned, halo-read, shuffle-free plan as focal_stats."""
+    import ray.data
+
+    t = pa.table({
+        "tix": pa.array([a for a, _ in tiles], pa.int64()),
+        "tiy": pa.array([b for _, b in tiles], pa.int64()),
+    })
+    return ray.data.from_arrow(t).repartition(max(1, min(len(tiles), 8))) \
+        .map_batches(ContourCells,
+                     fn_constructor_kwargs=dict(tile_root=tile_root,
+                                                band=band,
+                                                threshold=threshold),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=concurrency, num_cpus=0.5)
