@@ -453,13 +453,19 @@ def q_pricing_summary(sf_dir: str):
         qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
         rev = (batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
                * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False)))
+        # per-row milli-unit quantization BEFORE the sum: a float
+        # revenue sum's order-dependent last ulp flipped the round-3
+        # output digit at sf0.001 (strict-sweep catch); int64 partials
+        # are order-exact (qty are small integers-as-doubles — their
+        # float sum is exact at any order, no quantization needed)
+        rev_q = np.floor(rev * 1000.0 + 0.5).astype(np.int64)
         keys = np.array([a + "\x00" + b for a, b in zip(rf, ls)])
         uniq, inv = np.unique(keys, return_inverse=True)
         sq = np.zeros(len(uniq))
-        sr = np.zeros(len(uniq))
+        sr = np.zeros(len(uniq), dtype=np.int64)
         cn = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(sq, inv, qty)
-        np.add.at(sr, inv, rev)
+        np.add.at(sr, inv, rev_q)
         np.add.at(cn, inv, 1)
         parts = [u.split("\x00") for u in uniq]
         return pa.table({
@@ -479,7 +485,9 @@ def q_pricing_summary(sf_dir: str):
             "l_returnflag": b.column("l_returnflag"),
             "l_linestatus": b.column("l_linestatus"),
             "sum_qty": pa.array(np.round(b.column("sum(pq_qty)").to_numpy(zero_copy_only=False), 3)),
-            "sum_rev": pa.array(np.round(b.column("sum(pq_rev)").to_numpy(zero_copy_only=False), 3)),
+            "sum_rev": pa.array(
+                b.column("sum(pq_rev)").to_numpy(
+                    zero_copy_only=False).astype(np.int64) / 1000.0),
             "n": b.column("sum(pq_n)"),
         }),
         batch_format="pyarrow",
@@ -998,7 +1006,9 @@ ORACLE_SQL: dict[str, str] = {
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 3) AS sum_qty,
-               round(sum(l_extendedprice * (1.0 - l_discount)), 3) AS sum_rev,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 1000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) / 1000.0 AS sum_rev,
                count(*) AS n
         FROM lineitem GROUP BY 1, 2
     """,
@@ -1364,7 +1374,7 @@ ORACLE_SQL["rolling_window"] = f"""
                FROM events)
     SELECT user_id, event_id,
            CAST(count(*) OVER w AS BIGINT) AS n_frame,
-           sum(vq) OVER w AS sum_q
+           CAST(sum(vq) OVER w AS BIGINT) AS sum_q
     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
                         ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING
                         AND CURRENT ROW)
@@ -1398,7 +1408,8 @@ ORACLE_SQL["tfidf_topk"] = r"""
                  CAST(round(round(ln((tot.n + 1.0) / (df.df + 1.0)) + 1.0,
                                   6) * 1000000.0, 0) AS BIGINT) AS w
           FROM df, tot),
-    sc AS (SELECT tf.doc_id, sum(tf.tf * w.w) AS score_q6
+    sc AS (SELECT tf.doc_id,
+             CAST(sum(tf.tf * w.w) AS BIGINT) AS score_q6
            FROM tf JOIN w USING (term) GROUP BY tf.doc_id),
     r AS (SELECT doc_id, score_q6, row_number() OVER (
             ORDER BY score_q6 DESC, doc_id ASC) AS "rank" FROM sc)

@@ -51,16 +51,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def harmonize(a: pd.DataFrame, b: pd.DataFrame):
-    """Cast int columns to float64 where the OTHER side is float —
-    the driver's hash equates int64 25074909 with DOUBLE 25074909.0
-    (quantized Ray columns vs uncast SQL arithmetic), so the strict
-    bit compare only applies within a common dtype."""
+def harmonize(a: pd.DataFrame, b: pd.DataFrame, name: str = ""):
+    """Cast int columns to float64 where the OTHER side is float so
+    the strict bit compare applies within a common dtype — and REPORT
+    the cast: whether the driver's byte hash equates int64 25074909
+    with DOUBLE 25074909.0 is unverified, so dtype-mismatched gates
+    should be fixed at the source (cast the oracle/engine), not
+    papered over here."""
     for c in set(a.columns) & set(b.columns):
         ka, kb = a[c].dtype.kind, b[c].dtype.kind
         if ka in "iu" and kb == "f":
+            print(f"[DTYPE    ] {name}.{c}: ray={a[c].dtype} "
+                  f"oracle={b[c].dtype}")
             a[c] = a[c].astype(np.float64)
         elif kb in "iu" and ka == "f":
+            print(f"[DTYPE    ] {name}.{c}: ray={a[c].dtype} "
+                  f"oracle={b[c].dtype}")
             b[c] = b[c].astype(np.float64)
     return a, b
 
@@ -106,7 +112,7 @@ def main():
             print(f"[FAIL-sql ] {name}: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
-        got, exp = harmonize(got.copy(), exp)
+        got, exp = harmonize(got.copy(), exp, name)
         got, exp = canon(got), canon(exp)
         if len(got) != len(exp):
             print(f"[FAIL-rows] {name}: ray={len(got)} oracle={len(exp)}")
