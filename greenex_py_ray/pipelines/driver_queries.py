@@ -2160,6 +2160,41 @@ ORACLE_SQL["hexbin"] = f"""
     FROM hx GROUP BY hq, hr
 """
 
+# H3-style k=1 ring aggregation (stages/geostats.hex_kring): the
+# hexbin chain feeds a 7-offset emission join — occupied hexes only,
+# all-int sums.
+ORACLE_SQL["hex_kring"] = f"""
+    WITH pts AS (SELECT {_X} AS x, {_Y} AS y FROM documents),
+    fr AS (SELECT (sqrt(3.0) / 3.0 * x - y / 3.0) / {HEX_SIZE!r} AS q,
+                  (y * (2.0 / 3.0)) / {HEX_SIZE!r} AS r
+           FROM pts),
+    fs AS (SELECT q, r, -q - r AS s FROM fr),
+    rd AS (SELECT q, r, s, floor(q + 0.5) AS rq, floor(r + 0.5) AS rr,
+                  floor(s + 0.5) AS rs
+           FROM fs),
+    df AS (SELECT rq, rr, rs, abs(rq - q) AS dq, abs(rr - r) AS dr,
+                  abs(rs - s) AS dv
+           FROM rd),
+    hx AS (SELECT
+             CAST(CASE WHEN dq > dv AND dq > dr THEN -rr - rs
+                       ELSE rq END AS BIGINT) AS hq,
+             CAST(CASE WHEN NOT (dq > dv AND dq > dr) AND dr > dv
+                       THEN -rq - rs ELSE rr END AS BIGINT) AS hr
+           FROM df),
+    cnt AS (SELECT hq, hr, CAST(count(*) AS BIGINT) AS n
+            FROM hx GROUP BY hq, hr),
+    em AS (SELECT c.hq + o.dq AS hq, c.hr + o.dr AS hr,
+                  c.n AS rn, o.nb AS nb
+           FROM cnt c JOIN (VALUES (0, 0, 0), (1, 0, 1), (1, -1, 1),
+                                   (0, -1, 1), (-1, 0, 1), (-1, 1, 1),
+                                   (0, 1, 1)) o(dq, dr, nb) ON TRUE),
+    ring AS (SELECT hq, hr, CAST(sum(rn) AS BIGINT) AS ring_n,
+                    CAST(sum(nb) AS BIGINT) AS n_nbr
+             FROM em GROUP BY hq, hr)
+    SELECT c.hq, c.hr, c.n, r.ring_n, r.n_nbr
+    FROM cnt c JOIN ring r USING (hq, hr)
+"""
+
 # NFC normalization + whitespace collapse (stages/scrub.normalize_batch)
 # — a deterministic decomposed-accent suffix (letter + U+0300 combining
 # grave) is appended in the same string ops on both sides so NFC
@@ -5304,6 +5339,17 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(ds, width=LINE_W, min_docs=LINE_MIN_DOCS)
 
 
+def q_hex_kring(sf_dir: str):
+    """H3-style k=1 ring aggregation on the hex lattice
+    (stages/geostats.hex_kring): per occupied hex its own count, the
+    7-cell ring total and the occupied-neighbor count — O(7 hexes)
+    emission shuffle, never the points."""
+    from ..stages.geostats import hex_kring
+
+    ds = dt.read_docs_with_xy(sf_dir, CELL_SIZE)
+    return hex_kring(ds, HEX_SIZE)
+
+
 def q_hexbin(sf_dir: str):
     """Hex binning (stages/geostats.hexbin): pointy-top axial hex ids
     with per-batch partial counts, so the groupby ships O(touched
@@ -6368,6 +6414,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "kde_grid": q_kde_grid,
     "hexbin": q_hexbin,
+    "hex_kring": q_hex_kring,
     "snap_to_road": q_snap_to_road,
     "viterbi_match": q_viterbi_match,
     "line_dedup": q_line_dedup,

@@ -391,6 +391,77 @@ def hexbin(ds: "ray.data.Dataset", size: float, x_col: str = "x",
                            zero_copy_batch=True)
 
 
+def hex_kring(ds: "ray.data.Dataset", size: float, x_col: str = "x",
+              y_col: str = "y") -> "ray.data.Dataset":
+    """K-ring (k=1) neighborhood aggregation on the hex lattice — the
+    H3-style density smooth: per occupied hex, its own count plus the
+    counts of its 6 axial neighbors (ring_n), and how many of those
+    neighbors are occupied (n_nbr).  The shuffle shape mirrors
+    :func:`local_morans_i`'s queen window on squares: per-batch hex
+    partials, each occupied hex EMITS its count to itself and its 6
+    axial-offset neighbors, one groupby — O(7·touched hexes) shuffle
+    payload, never the points.  Only occupied hexes appear in the
+    output (the emission join is inner on the occupied set)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import bucket_join_attach
+
+    #: pointy-top axial k=1 ring offsets (public hex-grid geometry)
+    OFFS = ((0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        hq, hr = hex_axial(x, y, size)
+        enc = (hq << np.int64(32)) + (hr & np.int64(0xFFFFFFFF))
+        uk, cnt = np.unique(enc, return_counts=True)
+        return pa.table({"hex": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    counts = part.groupby("hex").aggregate(Sum("n", alias_name="n"))                  .materialize()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        enc = batch.column("hex").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        hq = enc >> np.int64(32)
+        lo = enc & np.int64(0xFFFFFFFF)
+        hr = np.where(lo >= np.int64(1) << np.int64(31),
+                      lo - (np.int64(1) << np.int64(32)), lo)
+        outs, vals, occ = [], [], []
+        for dq, dr in ((0, 0), (1, 0), (1, -1), (0, -1), (-1, 0),
+                       (-1, 1), (0, 1)):
+            outs.append(((hq + dq) << np.int64(32))
+                        + ((hr + dr) & np.int64(0xFFFFFFFF)))
+            vals.append(n)
+            occ.append(np.full(len(n), 0 if (dq, dr) == (0, 0) else 1,
+                               np.int64))
+        return pa.table({"hex": pa.array(np.concatenate(outs)),
+                         "ring_n": pa.array(np.concatenate(vals)),
+                         "n_nbr": pa.array(np.concatenate(occ))})
+
+    ring = (counts.map_batches(emit, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("hex").aggregate(Sum("ring_n", alias_name="ring_n"),
+                                      Sum("n_nbr", alias_name="n_nbr")))
+    joined = bucket_join_attach(counts, ring, key="hex")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        enc = batch.column("hex").to_numpy(zero_copy_only=False)
+        hq = enc >> np.int64(32)
+        lo = enc & np.int64(0xFFFFFFFF)
+        hr = np.where(lo >= np.int64(1) << np.int64(31),
+                      lo - (np.int64(1) << np.int64(32)), lo)
+        return pa.table({"hq": pa.array(hq), "hr": pa.array(hr),
+                         "n": batch.column("n"),
+                         "ring_n": batch.column("ring_n"),
+                         "n_nbr": batch.column("n_nbr")})
+
+    return joined.map_batches(decode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def tile_pyramid(ds: "ray.data.Dataset", base_cell: float, levels: int = 3,
                  x_col: str = "x", y_col: str = "y") -> "ray.data.Dataset":
     """Multi-zoom tile-count pyramid: point counts per cell at
